@@ -1,0 +1,117 @@
+"""Shared utilities: downloads, seeding, prompt parsing, tensor stats.
+
+Re-designed equivalent of the reference's `maua/utility.py` (download
+:68-85, fetch :88-91, seed_everything :57-61, parse_prompt :109-116,
+info :14-54). Uses urllib instead of requests so the package has no
+hard dependency beyond the baked-in stack.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pathlib
+import random
+import shutil
+import tarfile
+import urllib.request
+import zipfile
+
+import numpy as np
+
+MODELZOO = os.environ.get("MAUA_MODELZOO", os.path.join(os.getcwd(), "modelzoo"))
+WORKSPACE = os.environ.get("MAUA_WORKSPACE", os.path.join(os.getcwd(), "workspace"))
+
+
+def name(s: str) -> str:
+    """Basename without extension (reference maua/utility.py:64-65)."""
+    return s.split("/")[-1].split(".")[0]
+
+
+def info(x, y=None, label=None):
+    """Print min/mean/max/shape stats of one or two arrays."""
+    x = np.asarray(x)
+    parts = [] if label is None else [label]
+    parts += [f"{x.min():.2f}", f"{float(x.mean()):.2f}", f"{x.max():.2f}", tuple(x.shape)]
+    if y is not None:
+        y = np.asarray(y)
+        parts += [f"{y.min():.2f}", f"{float(y.mean()):.2f}", f"{y.max():.2f}", tuple(y.shape)]
+    print(*parts)
+
+
+def seed_everything(seed: int):
+    """Seed python + numpy. Device randomness in JAX is explicit via
+    jax.random keys; use `rng(seed)` for those."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def rng(seed: int):
+    import jax
+
+    return jax.random.PRNGKey(seed)
+
+
+def download(url: str, filename: str, timeout: float = 60.0) -> pathlib.Path:
+    """HTTP download with progress (reference maua/utility.py:68-85)."""
+    from tqdm.auto import tqdm
+
+    path = pathlib.Path(filename).expanduser().resolve()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    req = urllib.request.Request(
+        url, headers={"User-Agent": "maua-tpu", "From": "https://github.com/maua-maua-maua/maua"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        total = int(r.headers.get("Content-Length", 0))
+        desc = f"Downloading {filename}" + (" (unknown size)" if total == 0 else "")
+        with tqdm.wrapattr(r, "read", total=total, desc=desc) as src, path.open("wb") as f:
+            shutil.copyfileobj(src, f)
+    return path
+
+
+def fetch(path_or_url: str):
+    """Open a local file or stream a URL (reference maua/utility.py:88-91)."""
+    if not (path_or_url.startswith("http://") or path_or_url.startswith("https://")):
+        return open(path_or_url, "rb")
+    req = urllib.request.Request(path_or_url, headers={"User-Agent": "maua-tpu"})
+    return urllib.request.urlopen(req)
+
+
+def unzip(file: str, path: str):
+    if file.endswith("tar.gz"):
+        with tarfile.open(file, "r:gz") as tar:
+            tar.extractall(path)
+    elif file.endswith("tar"):
+        with tarfile.open(file, "r:") as tar:
+            tar.extractall(path)
+    elif file.endswith("zip"):
+        with zipfile.ZipFile(file) as zf:
+            zf.extractall(path)
+
+
+def parse_prompt(prompt: str):
+    """Split ``"text:weight"`` (URL-aware) into (text, weight).
+
+    Same contract as reference maua/utility.py:109-116."""
+    if prompt.startswith("http://") or prompt.startswith("https://"):
+        vals = prompt.rsplit(":", 2)
+        vals = [vals[0] + ":" + vals[1], *vals[2:]]
+    else:
+        vals = prompt.rsplit(":", 1)
+    vals = vals + ["", "1"][len(vals) :]
+    return vals[0], float(vals[1])
+
+
+def content_hash(*arrays, length: int = 16) -> str:
+    """Stable content hash of arrays/strings for cache keys
+    (equivalent of reference maua/ops/io.py:86-102)."""
+    h = hashlib.blake2b(digest_size=length)
+    for a in arrays:
+        if isinstance(a, (str, bytes)):
+            h.update(a.encode() if isinstance(a, str) else a)
+        else:
+            arr = np.asarray(a)
+            h.update(str(arr.shape).encode())
+            h.update(str(arr.dtype).encode())
+            h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
