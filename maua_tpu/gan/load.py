@@ -1,0 +1,324 @@
+"""Checkpoint loading & conversion: torch StyleGAN formats -> pytree.
+
+Mirrors the tolerant multi-format cascade of the reference
+(`maua/GAN/load.py`: rosinality->ADA remap :18-127, NVIDIA pickle
+:130-164, plain .pt :167-189, cascade :192-207), producing this
+package's functional param pytrees instead of torch modules.
+
+Supported formats:
+* ADA-style flat state dicts: ``mapping.fc{i}.*``, ``synthesis.b{res}.*``
+* inference-style ModuleList dicts: ``mapping.fcs.{i}.*``, ``synthesis.bs.{i}.*``
+* rosinality StyleGAN2 dicts (``g_ema`` with ``style.*/convs.*/to_rgbs.*``)
+* NVIDIA legacy ``.pkl`` (persistence-pickled) via a tolerant unpickler
+
+torch (CPU) is used only host-side for deserialization.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import pickle
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .stylegan2 import SG2Config
+
+
+# ------------------------------------------------------- deserialization
+def _torch():
+    import torch
+
+    return torch
+
+
+def load_torch_file(path: str) -> Dict[str, np.ndarray]:
+    """Load any supported checkpoint file into a flat {key: ndarray}."""
+    torch = _torch()
+    if str(path).endswith(".pkl"):
+        sd = _load_nvidia_pickle(path)
+    else:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        sd = _extract_state_dict(obj)
+    return {k: _to_numpy(v) for k, v in sd.items() if _is_tensorlike(v)}
+
+
+def _is_tensorlike(v):
+    import torch
+
+    return isinstance(v, (torch.Tensor, np.ndarray))
+
+
+def _to_numpy(v) -> np.ndarray:
+    import torch
+
+    if isinstance(v, torch.Tensor):
+        return v.detach().cpu().float().numpy()
+    return np.asarray(v, dtype=np.float32)
+
+
+def _extract_state_dict(obj):
+    """Find the generator state dict inside assorted container formats."""
+    import torch
+
+    if isinstance(obj, dict):
+        for key in ("G_ema", "g_ema", "generator", "G", "state_dict"):
+            if key in obj:
+                inner = obj[key]
+                if hasattr(inner, "state_dict"):
+                    return inner.state_dict()
+                if isinstance(inner, dict):
+                    sd = dict(inner)
+                    if "latent_avg" in obj:
+                        sd["latent_avg"] = obj["latent_avg"]
+                    return sd
+        return obj
+    if hasattr(obj, "state_dict"):
+        return obj.state_dict()
+    raise ValueError("unrecognized checkpoint container")
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    """Unpickler that resolves NVIDIA persistence / dnnlib classes to
+    dummy containers so the tensor payload can be read without the
+    original source tree (replacement for `GAN/load.py:130-164`)."""
+
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            return _make_stub(module, name)
+
+
+_STUB_CACHE: Dict[Tuple[str, str], type] = {}
+
+
+def _make_stub(module, name):
+    key = (module, name)
+    if key not in _STUB_CACHE:
+
+        class Stub:
+            _module, _name = module, name
+
+            def __init__(self, *a, **kw):
+                pass
+
+            def __setstate__(self, state):
+                self.__dict__.update(state if isinstance(state, dict) else {"state": state})
+
+        Stub.__name__ = name
+        _STUB_CACHE[key] = Stub
+    return _STUB_CACHE[key]
+
+
+def _load_nvidia_pickle(path: str):
+    """Extract G_ema tensors from an NVIDIA legacy .pkl."""
+    torch = _torch()
+    with open(path, "rb") as f:
+        data = f.read()
+    obj = _TolerantUnpickler(io.BytesIO(data)).load()
+    g = obj.get("G_ema", obj) if isinstance(obj, dict) else obj
+    # persistence-pickled modules carry their tensors in nested dicts
+    sd = {}
+
+    def walk(prefix, node):
+        if isinstance(node, torch.Tensor):
+            sd[prefix.rstrip(".")] = node
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                if isinstance(k, str):
+                    walk(prefix + k + ".", v)
+        elif hasattr(node, "__dict__"):
+            for k, v in vars(node).items():
+                if not k.startswith("_"):
+                    walk(prefix + k + ".", v)
+
+    if hasattr(g, "state_dict"):
+        return g.state_dict()
+    walk("", g)
+    return sd
+
+
+# -------------------------------------------------------- key normalize
+def _normalize_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Map inference-style ModuleList keys (fcs.{i} / bs.{i}) onto
+    ADA-style names (fc{i} / b{res})."""
+    out = {}
+    for k, v in sd.items():
+        k = re.sub(r"mapping\.fcs\.(\d+)\.", lambda m: f"mapping.fc{m.group(1)}.", k)
+        k = re.sub(r"synthesis\.bs\.(\d+)\.", lambda m: f"synthesis.b{2 ** (2 + int(m.group(1)))}.", k)
+        out[k] = v
+    return out
+
+
+def is_rosinality(sd: Dict[str, np.ndarray]) -> bool:
+    return any(k.startswith("convs.") for k in sd) and any(k.startswith("style.") for k in sd)
+
+
+def rosinality_to_ada(sd: Dict[str, np.ndarray], blur_scale: float = 4.0) -> Dict[str, np.ndarray]:
+    """Rosinality-format key remap (`GAN/load.py:18-127`)."""
+    out = {}
+    out["synthesis.b4.const"] = sd["input.input"].squeeze(0)
+    out["synthesis.b4.conv1.noise_const"] = sd["noises.noise_0"].squeeze(0).squeeze(0)
+    out["synthesis.b4.conv1.weight"] = sd["conv1.conv.weight"].squeeze(0)
+    out["synthesis.b4.conv1.bias"] = sd["conv1.activate.bias"]
+    out["synthesis.b4.conv1.affine.weight"] = sd["conv1.conv.modulation.weight"]
+    out["synthesis.b4.conv1.affine.bias"] = sd["conv1.conv.modulation.bias"]
+    out["synthesis.b4.conv1.noise_strength"] = sd["conv1.noise.weight"].squeeze(0)
+    out["synthesis.b4.torgb.weight"] = sd["to_rgb1.conv.weight"].squeeze(0)
+    out["synthesis.b4.torgb.bias"] = sd["to_rgb1.bias"].reshape(-1)
+    out["synthesis.b4.torgb.affine.weight"] = sd["to_rgb1.conv.modulation.weight"]
+    out["synthesis.b4.torgb.affine.bias"] = sd["to_rgb1.conv.modulation.bias"]
+
+    for key, val in sd.items():
+        if key.startswith("style."):
+            _, num, wb = key.split(".")
+            out[f"mapping.fc{int(num) - 1}.{wb}"] = val
+        elif key.startswith("noises.") and key != "noises.noise_0":
+            n = int(key.split("_")[1])
+            r = 2 ** (3 + (n - 1) // 2)
+            out[f"synthesis.b{r}.conv{(n - 1) % 2}.noise_const"] = val.squeeze(0).squeeze(0)
+        elif key.startswith("convs."):
+            n = int(key.split(".")[1])
+            r = 2 ** (3 + n // 2)
+            ros = ".".join(key.split(".")[2:])
+            tgt = f"synthesis.b{r}.conv{n % 2}"
+            if ros == "conv.weight":
+                out[f"{tgt}.weight"] = val.squeeze(0)
+            elif ros == "activate.bias":
+                out[f"{tgt}.bias"] = val
+            elif ros == "conv.modulation.weight":
+                out[f"{tgt}.affine.weight"] = val
+            elif ros == "conv.modulation.bias":
+                out[f"{tgt}.affine.bias"] = val
+            elif ros == "noise.weight":
+                out[f"{tgt}.noise_strength"] = val.squeeze(0)
+        elif key.startswith("to_rgbs."):
+            n = int(key.split(".")[1])
+            r = 2 ** (3 + n)
+            ros = ".".join(key.split(".")[2:])
+            tgt = f"synthesis.b{r}.torgb"
+            if ros == "conv.weight":
+                out[f"{tgt}.weight"] = val.squeeze(0)
+            elif ros == "bias":
+                out[f"{tgt}.bias"] = val.reshape(-1)
+            elif ros == "conv.modulation.weight":
+                out[f"{tgt}.affine.weight"] = val
+            elif ros == "conv.modulation.bias":
+                out[f"{tgt}.affine.bias"] = val
+    if "latent_avg" in sd:
+        out["mapping.w_avg"] = sd["latent_avg"]
+    return out
+
+
+# ------------------------------------------------------------- to pytree
+def infer_config(sd: Dict[str, np.ndarray], dtype: str = "float32") -> SG2Config:
+    """Derive an SG2Config from a normalized ADA-style state dict."""
+    resolutions = set()
+    for k in sd:
+        m = re.match(r"synthesis\.b(\d+)\.", k)
+        if m:
+            resolutions.add(int(m.group(1)))
+    img_resolution = max(resolutions)
+    n_map = 1 + max(int(m.group(1)) for k in sd if (m := re.match(r"mapping\.fc(\d+)\.", k)))
+    w_dim = sd["synthesis.b4.conv1.affine.weight"].shape[1]
+    z_dim = sd["mapping.fc0.weight"].shape[1]
+    img_channels = sd[f"synthesis.b{img_resolution}.torgb.bias"].shape[0]
+    # channel table from conv weights
+    c4 = sd["synthesis.b4.conv1.weight"].shape[0]
+    channel_max = c4
+    # find first res where channels < channel_max to recover channel_base
+    channel_base = 32768
+    for res in sorted(resolutions):
+        co = sd[f"synthesis.b{res}.conv1.weight"].shape[0]
+        if co < channel_max:
+            channel_base = co * res
+            break
+    arch = "resnet" if any(".skip." in k for k in sd) else "skip"
+    return SG2Config(
+        z_dim=z_dim,
+        c_dim=0,
+        w_dim=w_dim,
+        img_resolution=img_resolution,
+        img_channels=img_channels,
+        channel_base=channel_base,
+        channel_max=channel_max,
+        architecture=arch,
+        mapping_layers=n_map,
+        dtype=dtype,
+    )
+
+
+def params_from_state_dict(sd: Dict[str, np.ndarray], cfg: Optional[SG2Config] = None):
+    """ADA-style state dict -> functional param pytree.
+
+    Layout changes: FC (out,in)->(in,out); conv (co,ci,kh,kw)->HWIO;
+    const (C,H,W)->(H,W,C). Missing noise_strength defaults to 1
+    (the reference inference net adds noise unscaled,
+    `inference/stylegan2.py:235-246`)."""
+    import jax.numpy as jnp
+
+    sd = _normalize_keys(sd)
+    if cfg is None:
+        cfg = infer_config(sd)
+
+    def fc(prefix):
+        return {
+            "w": jnp.asarray(sd[f"{prefix}.weight"].T),
+            "b": jnp.asarray(sd[f"{prefix}.bias"]),
+        }
+
+    mapping = {}
+    for i in range(cfg.mapping_layers):
+        mapping[f"fc{i}"] = fc(f"mapping.fc{i}")
+    if cfg.c_dim > 0:
+        mapping["embed"] = fc("mapping.embed")
+    mapping["w_avg"] = jnp.asarray(sd.get("mapping.w_avg", np.zeros(cfg.w_dim, np.float32)))
+
+    def conv_layer(prefix, res):
+        p = {
+            "affine": fc(f"{prefix}.affine"),
+            "weight": jnp.asarray(np.transpose(sd[f"{prefix}.weight"], (2, 3, 1, 0))),
+            "bias": jnp.asarray(sd[f"{prefix}.bias"]),
+        }
+        if f"{prefix}.noise_const" in sd:
+            p["noise_const"] = jnp.asarray(sd[f"{prefix}.noise_const"])
+        else:
+            p["noise_const"] = jnp.zeros((res, res), jnp.float32)
+        strength = sd.get(f"{prefix}.noise_strength", np.ones((), np.float32))
+        p["noise_strength"] = jnp.asarray(np.asarray(strength).reshape(()))
+        return p
+
+    synthesis = {}
+    for res in cfg.block_resolutions:
+        b = f"synthesis.b{res}"
+        block = {}
+        if res == 4:
+            block["const"] = jnp.asarray(np.transpose(sd[f"{b}.const"], (1, 2, 0)))
+        else:
+            block["conv0"] = conv_layer(f"{b}.conv0", res)
+            if f"{b}.skip.weight" in sd:
+                block["skip"] = {"weight": jnp.asarray(np.transpose(sd[f"{b}.skip.weight"], (2, 3, 1, 0)))}
+        block["conv1"] = conv_layer(f"{b}.conv1", res)
+        if f"{b}.torgb.weight" in sd:
+            block["torgb"] = {
+                "affine": fc(f"{b}.torgb.affine"),
+                "weight": jnp.asarray(np.transpose(sd[f"{b}.torgb.weight"], (2, 3, 1, 0))),
+                "bias": jnp.asarray(sd[f"{b}.torgb.bias"]),
+            }
+        synthesis[f"b{res}"] = block
+    return {"mapping": mapping, "synthesis": synthesis}
+
+
+def load_network(path: str, dtype: str = "float32"):
+    """Cascading tolerant loader (`GAN/load.py:192-207`).
+
+    Returns (params, cfg)."""
+    sd = load_torch_file(path)
+    if is_rosinality(sd):
+        sd = rosinality_to_ada(sd)
+    sd = _normalize_keys(sd)
+    cfg = infer_config(sd, dtype=dtype)
+    return params_from_state_dict(sd, cfg), cfg
