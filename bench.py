@@ -1,0 +1,74 @@
+"""Headline benchmark: 1024x1024 StyleGAN2 audio-reactive frame synthesis.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 30 fps (BASELINE.md north star: >= 30
+frames/sec/chip for 1024^2 StyleGAN2 video on TPU v5e).
+
+The benchmark mirrors the hot loop of the audio-reactive pipeline
+(SURVEY.md section 3.2) the TPU-native way: one jitted `lax.scan` over
+frame batches, per-frame w latents and per-frame noise generated
+on-device (no host round-trips inside the render loop), frames reduced
+to uint8 on device.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from maua_tpu.gan import stylegan2 as sg2
+
+    resolution = 1024
+    batch = 8
+    n_batches = 8
+    cfg = sg2.SG2Config(img_resolution=resolution, dtype="bfloat16")
+    params = sg2.init_params(jax.random.PRNGKey(0), cfg)
+
+    def render_chunk(params, base_ws, keys):
+        """lax.scan over frame batches; each step synthesizes `batch`
+        frames with distinct latents + fresh on-device noise."""
+
+        def body(carry, key):
+            kw, kn = jax.random.split(key)
+            ws = base_ws + 0.1 * jax.random.normal(kw, base_ws.shape, jnp.float32)
+            img = sg2.synthesis(params, ws, cfg, noise_mode="random", noise_key=kn)
+            img8 = jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+            return carry + jnp.sum(img8.astype(jnp.uint32)), img8[:, ::4, ::4]
+
+        checksum, frames = jax.lax.scan(body, jnp.uint32(0), keys)
+        return checksum, frames
+
+    render = jax.jit(render_chunk)
+    base_ws = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.num_ws, cfg.w_dim), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(2), n_batches)
+
+    # warmup; the scalar fetch is the synchronization point
+    # (block_until_ready is unreliable on the axon relay platform)
+    checksum, _ = render(params, base_ws, keys)
+    float(checksum)
+
+    times = []
+    for trial in range(3):
+        keys = jax.random.split(jax.random.PRNGKey(3 + trial), n_batches)
+        t0 = time.perf_counter()
+        checksum, _ = render(params, base_ws, keys)
+        float(checksum)
+        times.append(time.perf_counter() - t0)
+
+    fps = batch * n_batches / min(times)
+    print(json.dumps({
+        "metric": "stylegan2_1024_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,192 @@
+"""GAN training: losses, regularizers, fused pjit-able train step.
+
+TPU-native rebuild of the reference training harness core
+(`maua/GAN/training/trainer.py:127-306` LightningGAN alternating G/D
+`training_step` :206-257, WeightsEMA callback :23-124; losses:
+softplus `training/losses/softplus.py:6-24`, BCE
+`losses/cross_entropy.py:6-36`, lazy R1 `losses/r1_penalty.py:7-29`,
+path-length `losses/path_length_regularization.py:8-34`).
+
+Design: the whole alternating step (D update + G update + lazy regs +
+EMA) is ONE jitted function over a sharded TrainState. Data parallel
+via a batch sharded on the mesh `data` axis; tensor parallel via
+param NamedShardings — XLA inserts the psum/all-gather collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import stylegan2 as sg2
+from .discriminator import D2Config, discriminator, init_params as init_d_params
+
+
+# ------------------------------------------------------------- losses
+def g_logistic_loss(fake_logits: jax.Array) -> jax.Array:
+    """Non-saturating softplus G loss (`losses/softplus.py:6-24`)."""
+    return jnp.mean(jax.nn.softplus(-fake_logits))
+
+
+def d_logistic_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
+    """Logistic D loss (`losses/softplus.py`)."""
+    return jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(jax.nn.softplus(-real_logits))
+
+
+def g_bce_loss(fake_logits: jax.Array) -> jax.Array:
+    """(`losses/cross_entropy.py:6-36`)"""
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(fake_logits, jnp.ones_like(fake_logits)))
+
+
+def d_bce_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
+    return jnp.mean(
+        optax.sigmoid_binary_cross_entropy(real_logits, jnp.ones_like(real_logits))
+    ) + jnp.mean(optax.sigmoid_binary_cross_entropy(fake_logits, jnp.zeros_like(fake_logits)))
+
+
+def r1_penalty(d_params, real: jax.Array, d_cfg: D2Config) -> jax.Array:
+    """R1 gradient penalty (`losses/r1_penalty.py:7-29`): E[|grad D(x)|^2]."""
+
+    def d_sum(img):
+        return jnp.sum(discriminator(d_params, img, d_cfg))
+
+    grads = jax.grad(d_sum)(real)
+    return jnp.mean(jnp.sum(jnp.square(grads.astype(jnp.float32)), axis=(1, 2, 3)))
+
+
+def path_length_penalty(
+    g_params, ws: jax.Array, key, g_cfg: sg2.SG2Config, pl_mean: jax.Array, decay: float = 0.01
+) -> Tuple[jax.Array, jax.Array]:
+    """Path-length regularization
+    (`losses/path_length_regularization.py:8-34`): penalize deviation
+    of |J_w^T y| from its running mean."""
+
+    def synth(ws_in):
+        img = sg2.synthesis(g_params, ws_in, g_cfg, noise_mode="none")
+        noise = jax.random.normal(key, img.shape) / jnp.sqrt(img.shape[1] * img.shape[2])
+        return jnp.sum(img * noise)
+
+    grads = jax.grad(synth)(ws)
+    lengths = jnp.sqrt(jnp.mean(jnp.sum(jnp.square(grads), axis=2), axis=1) + 1e-8)
+    new_pl_mean = pl_mean + decay * (jnp.mean(lengths) - pl_mean)
+    penalty = jnp.mean(jnp.square(lengths - new_pl_mean))
+    return penalty, new_pl_mean
+
+
+# -------------------------------------------------------------- state
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    g_lr: float = 2.5e-3
+    d_lr: float = 2.5e-3
+    beta1: float = 0.0
+    beta2: float = 0.99
+    r1_gamma: float = 10.0
+    r1_interval: int = 16
+    pl_weight: float = 2.0
+    pl_interval: int = 4
+    ema_beta: float = 0.999
+    loss: str = "logistic"  # 'logistic' | 'bce'
+
+
+def make_optimizers(cfg: TrainConfig):
+    g_opt = optax.adam(cfg.g_lr, b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+    d_opt = optax.adam(cfg.d_lr, b1=cfg.beta1, b2=cfg.beta2, eps=1e-8)
+    return g_opt, d_opt
+
+
+def init_train_state(key, g_cfg: sg2.SG2Config, d_cfg: D2Config, t_cfg: TrainConfig) -> Dict:
+    kg, kd = jax.random.split(key)
+    g_params = sg2.init_params(kg, g_cfg)
+    d_params = init_d_params(kd, d_cfg)
+    g_opt, d_opt = make_optimizers(t_cfg)
+    return {
+        "g_params": g_params,
+        "d_params": d_params,
+        "g_ema": jax.tree_util.tree_map(jnp.copy, g_params),
+        "g_opt": g_opt.init(g_params),
+        "d_opt": d_opt.init(d_params),
+        "pl_mean": jnp.zeros((), jnp.float32),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------- train step
+@partial(jax.jit, static_argnames=("g_cfg", "d_cfg", "t_cfg"))
+def train_step(
+    state: Dict,
+    real: jax.Array,  # (B, H, W, C) in [-1, 1]
+    key: jax.Array,
+    g_cfg: sg2.SG2Config,
+    d_cfg: D2Config,
+    t_cfg: TrainConfig,
+) -> Tuple[Dict, Dict]:
+    """One alternating D+G update with lazy R1/path-length regs and EMA
+    (`trainer.py:206-257` semantics, fused into one compiled step)."""
+    g_opt, d_opt = make_optimizers(t_cfg)
+    kz_d, kz_g, kn_d, kn_g, kpl = jax.random.split(key, 5)
+    batch = real.shape[0]
+
+    g_loss_fn = g_logistic_loss if t_cfg.loss == "logistic" else g_bce_loss
+    d_loss_fn = d_logistic_loss if t_cfg.loss == "logistic" else d_bce_loss
+
+    # ---- D update
+    def d_loss(d_params):
+        z = jax.random.normal(kz_d, (batch, g_cfg.z_dim))
+        fake = sg2.generator(state["g_params"], z, g_cfg, noise_mode="random")
+        fake_logits = discriminator(d_params, jax.lax.stop_gradient(fake), d_cfg)
+        real_logits = discriminator(d_params, real, d_cfg)
+        loss = d_loss_fn(real_logits, fake_logits)
+        do_r1 = (state["step"] % t_cfg.r1_interval) == 0
+        r1 = jax.lax.cond(
+            do_r1,
+            lambda: r1_penalty(d_params, real, d_cfg),
+            lambda: jnp.zeros((), jnp.float32),
+        )
+        loss = loss + (t_cfg.r1_gamma / 2) * r1 * t_cfg.r1_interval
+        return loss, (jnp.mean(real_logits), jnp.mean(fake_logits), r1)
+
+    (d_l, (rl, fl, r1)), d_grads = jax.value_and_grad(d_loss, has_aux=True)(state["d_params"])
+    d_updates, d_opt_state = d_opt.update(d_grads, state["d_opt"], state["d_params"])
+    d_params = optax.apply_updates(state["d_params"], d_updates)
+
+    # ---- G update
+    def g_loss(g_params):
+        z = jax.random.normal(kz_g, (batch, g_cfg.z_dim))
+        ws = sg2.mapping(g_params, z, g_cfg)
+        fake = sg2.synthesis(g_params, ws, g_cfg, noise_mode="random", noise_key=kn_g)
+        fake_logits = discriminator(d_params, fake, d_cfg)
+        loss = g_loss_fn(fake_logits)
+        do_pl = (state["step"] % t_cfg.pl_interval) == 0
+        pl, new_pl_mean = jax.lax.cond(
+            do_pl,
+            lambda: path_length_penalty(g_params, ws, kpl, g_cfg, state["pl_mean"]),
+            lambda: (jnp.zeros(()), state["pl_mean"]),
+        )
+        loss = loss + t_cfg.pl_weight * pl * t_cfg.pl_interval
+        return loss, new_pl_mean
+
+    (g_l, pl_mean), g_grads = jax.value_and_grad(g_loss, has_aux=True)(state["g_params"])
+    g_updates, g_opt_state = g_opt.update(g_grads, state["g_opt"], state["g_params"])
+    g_params = optax.apply_updates(state["g_params"], g_updates)
+
+    # ---- EMA (WeightsEMA, trainer.py:23-124)
+    g_ema = jax.tree_util.tree_map(
+        lambda e, p: e * t_cfg.ema_beta + p * (1.0 - t_cfg.ema_beta), state["g_ema"], g_params
+    )
+
+    new_state = {
+        "g_params": g_params,
+        "d_params": d_params,
+        "g_ema": g_ema,
+        "g_opt": g_opt_state,
+        "d_opt": d_opt_state,
+        "pl_mean": pl_mean,
+        "step": state["step"] + 1,
+    }
+    metrics = {"d_loss": d_l, "g_loss": g_l, "real_logits": rl, "fake_logits": fl, "r1": r1}
+    return new_state, metrics
