@@ -1,0 +1,156 @@
+"""The `ar` convenience API used by patches: frame-rate-aligned
+envelopes, latent loops, smoothing.
+
+This is the interface the reference's example patches program against
+(`maua/audiovisual/patches/examples/stylegan2.py:15-68` calls
+`ar.onsets(audio, sr, n_frames, margin=, clip=, smooth=)` etc. — an
+API the reference's own `audioreactive/` package had drifted away
+from; SURVEY.md section 2.5 flags this). We implement the patch-facing
+contract: every feature is resampled to `n_frames`, percentile-clipped
+and gaussian-smoothed on request.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import beat as _beat
+from ..audio import chroma as _chroma
+from ..audio import mir as _mir
+from ..audio.io import band_pass, high_pass, load_audio, low_pass  # noqa: F401
+from ..audio.latent import (  # noqa: F401
+    multi_weighted,
+    single_weighted,
+    slerp,
+    slerp_loops,
+    spline_loops,
+    tempo_loops,
+)
+from ..audio.spectral import harmonic as _harmonic
+from ..audio.spectral import percussive as _percussive
+from ..audio.spectral import rms as _rms
+from ..ops.signal import compress, gaussian_filter, normalize, percentile_clip, resample_1d  # noqa: F401
+
+
+def _postprocess(env: jax.Array, n_frames: Optional[int], clip: Optional[float], smooth: Optional[float]) -> jax.Array:
+    if n_frames is not None:
+        env = resample_1d(env, n_frames)
+    if clip is not None:
+        env = percentile_clip(env, float(clip))
+    if smooth is not None and smooth > 0:
+        env = gaussian_filter(env, float(smooth), causal=0.0)
+        env = normalize(env)
+    return env
+
+
+def onsets(
+    audio, sr, n_frames: Optional[int] = None, margin: float = 2.0, clip: Optional[float] = 95.0,
+    smooth: Optional[float] = 2.0, type: str = "mm",
+) -> jax.Array:
+    """Frame-aligned onset envelope in [0, 1]."""
+    y = jnp.asarray(audio)
+    if margin:
+        y = _percussive(y, margin=float(margin))
+    env = _mir.onset_ensemble(y, sr) if type == "mm" else _beat.onset_strength(y, sr=sr)
+    return _postprocess(env, n_frames, clip, smooth)
+
+
+def rms(
+    audio, sr, n_frames: Optional[int] = None, smooth: Optional[float] = 5.0, clip: Optional[float] = 95.0,
+    power: float = 1.0,
+) -> jax.Array:
+    """Frame-aligned loudness envelope in [0, 1]."""
+    env = _rms(jnp.asarray(audio)) ** power
+    return _postprocess(env, n_frames, clip, smooth)
+
+
+def chroma(
+    audio, sr, n_frames: Optional[int] = None, margin: float = 2.0, type: str = "cens", notes: int = 12,
+) -> jax.Array:
+    """Frame-aligned chromagram (n_frames, notes)."""
+    ch = _mir.chroma(audio, sr, type=type, preharmonic=margin, notes=notes)
+    if n_frames is not None:
+        ch = resample_1d(ch, n_frames)
+    return ch
+
+
+def volume(audio, sr, n_frames: Optional[int] = None, smooth: Optional[float] = None) -> jax.Array:
+    env = _mir.volume(audio, sr)
+    return _postprocess(env, n_frames, None, smooth)
+
+
+def tempo(audio, sr, **kw):
+    return _mir.tempo(audio, sr, **kw)
+
+
+def pulse(audio, sr, n_frames: Optional[int] = None, **kw) -> jax.Array:
+    env = _mir.pulse(audio, sr, **kw)
+    return _postprocess(env, n_frames, None, None)
+
+
+def laplacian_segmentation(audio, sr, k: int = 5):
+    return _mir.laplacian_segmentation(audio, sr, k=k)
+
+
+def separate_sources(audio, sr, device=None) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(vocals, drums, bass, other) source separation.
+
+    The reference uses the openunmix neural separator
+    (`audioreactive/audio.py:51-76`); that model isn't available in
+    this stack, so this is a DSP stand-in: HPSS splits
+    percussive (drums) from harmonic, the harmonic part is band-split
+    into bass (<250 Hz), vocals (250-4k), other (rest). Swap in a
+    neural separator by overriding `separate_sources`."""
+    y = jnp.asarray(audio)
+    harm = _harmonic(y, margin=3.0)
+    perc = _percussive(y, margin=3.0)
+    drums = perc
+    bass = jnp.asarray(low_pass(np.asarray(harm), sr, 250))
+    vocals = jnp.asarray(band_pass(np.asarray(harm), sr, 250, 4000))
+    other = harm - bass - vocals
+    return vocals, drums, bass, other
+
+
+def chroma_weight_latents(chroma: jax.Array, latents: jax.Array) -> jax.Array:
+    """Weighted sum of latents by chroma activations
+    (the example patch's mapping recipe): (T, N), (N, L, D) -> (T, L, D)."""
+    w = chroma / jnp.maximum(chroma.sum(axis=1, keepdims=True), 1e-10)
+    return jnp.einsum("tn,nld->tld", w, latents)
+
+
+def plot_signals(signals, path: Optional[str] = None):
+    """Diagnostic plot (`audioreactive/util.py:28-103`); no-op when
+    matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    fig, axes = plt.subplots(len(signals), 1, figsize=(12, 2 * len(signals)), squeeze=False)
+    for ax, sig in zip(axes[:, 0], signals):
+        ax.plot(np.asarray(sig).squeeze())
+    plt.tight_layout()
+    plt.savefig(path or "workspace/signals.png")
+    plt.close(fig)
+
+
+def plot_spectra(spectra, path: Optional[str] = None):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    fig, axes = plt.subplots(len(spectra), 1, figsize=(12, 2 * len(spectra)), squeeze=False)
+    for ax, spec in zip(axes[:, 0], spectra):
+        ax.imshow(np.asarray(spec).squeeze().T, aspect="auto", origin="lower")
+    plt.tight_layout()
+    plt.savefig(path or "workspace/spectra.png")
+    plt.close(fig)

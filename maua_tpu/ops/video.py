@@ -1,0 +1,171 @@
+"""Threaded video encoding: ffmpeg raw-RGB pipe with audio muxing,
+cv2 fallback, plus whole-video helpers.
+
+Rebuild of `maua/ops/video.py` (WriteWorker :15-104, VideoWriter
+:107-129, write_video :131-155): a producer queue feeds a writer
+thread that pipes raw frames into an ffmpeg subprocess — the process
+boundary stays identical; the producer side is fed by device->host
+copies from the render loop.
+"""
+
+from __future__ import annotations
+
+import queue
+import shutil
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+class WriteWorker(threading.Thread):
+    """Drains a frame queue into an ffmpeg rawvideo pipe
+    (`maua/ops/video.py:15-104`)."""
+
+    def __init__(
+        self,
+        output_file: str,
+        output_size: Tuple[int, int],
+        fps: float,
+        audio_file: Optional[str] = None,
+        audio_offset: float = 0.0,
+        audio_duration: Optional[float] = None,
+        ffmpeg_preset: str = "slow",
+        crf: int = 17,
+    ):
+        super().__init__(daemon=True)
+        self.q: "queue.Queue[Optional[bytes]]" = queue.Queue(maxsize=64)
+        w, h = output_size
+        cmd = ["ffmpeg", "-y", "-v", "warning"]
+        cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-r", str(fps), "-i", "-"]
+        if audio_file is not None:
+            if audio_offset:
+                cmd += ["-ss", str(audio_offset)]
+            cmd += ["-i", audio_file]
+            if audio_duration is not None:
+                cmd += ["-t", str(audio_duration)]
+            cmd += ["-map", "0:v", "-map", "1:a", "-c:a", "aac", "-shortest"]
+        cmd += ["-c:v", "libx264", "-preset", ffmpeg_preset, "-crf", str(crf), "-pix_fmt", "yuv420p", output_file]
+        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+
+    def run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                break
+            self.proc.stdin.write(item)
+        self.proc.stdin.close()
+        self.proc.wait()
+
+    def write(self, frame_bytes: bytes):
+        self.q.put(frame_bytes)
+
+    def close(self):
+        self.q.put(None)
+        self.join()
+
+
+class _CV2Worker:
+    """Fallback writer when no ffmpeg binary exists (mp4v via OpenCV;
+    no audio muxing)."""
+
+    def __init__(self, output_file: str, output_size: Tuple[int, int], fps: float, **_):
+        import cv2
+
+        self.cv2 = cv2
+        self.size = output_size
+        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+        self.writer = cv2.VideoWriter(output_file, fourcc, fps, output_size)
+
+    def start(self):
+        pass
+
+    def write(self, frame_bytes: bytes):
+        w, h = self.size
+        frame = np.frombuffer(frame_bytes, np.uint8).reshape(h, w, 3)
+        self.writer.write(self.cv2.cvtColor(frame, self.cv2.COLOR_RGB2BGR))
+
+    def close(self):
+        self.writer.release()
+
+
+class VideoWriter:
+    """Context-managed threaded writer (`maua/ops/video.py:107-129`).
+
+    write() accepts float arrays in `value_range` (NHWC or HWC) or raw
+    bytes."""
+
+    def __init__(
+        self,
+        output_file: str,
+        output_size: Tuple[int, int],
+        fps: float = 24,
+        audio_file: Optional[str] = None,
+        audio_offset: float = 0.0,
+        audio_duration: Optional[float] = None,
+        value_range: Tuple[float, float] = (-1.0, 1.0),
+        **kwargs,
+    ):
+        self.output_size = output_size
+        self.value_range = value_range
+        cls = WriteWorker if ffmpeg_available() else _CV2Worker
+        self.worker = cls(
+            output_file, output_size, fps, audio_file=audio_file, audio_offset=audio_offset,
+            audio_duration=audio_duration, **kwargs,
+        )
+        self.worker.start()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def write(self, frame):
+        if isinstance(frame, bytes):
+            self.worker.write(frame)
+            return
+        arr = np.asarray(frame)
+        if arr.ndim == 4:
+            for f in arr:
+                self.write(f)
+            return
+        if arr.dtype != np.uint8:
+            mn, mx = self.value_range
+            arr = (np.clip(arr, mn, mx) - mn) / (mx - mn)
+            arr = np.round(arr * 255).astype(np.uint8)
+        self.worker.write(arr.tobytes())
+
+    def close(self):
+        self.worker.close()
+
+
+def write_video(frames, output_file: str, fps: float = 24, value_range=(-1, 1), audio_file=None, **kw):
+    """Write a (T, H, W, C) array to disk (`maua/ops/video.py:131-155`)."""
+    frames = np.asarray(frames)
+    t, h, w, _ = frames.shape
+    with VideoWriter(output_file, (w, h), fps, audio_file=audio_file, value_range=value_range, **kw) as v:
+        for f in frames:
+            v.write(f)
+
+
+def read_video(path: str, max_frames: Optional[int] = None) -> Tuple[np.ndarray, float]:
+    """Decode a video to (T, H, W, 3) float32 [0,1] + fps (decord in
+    the reference, `super/video/frame_by_frame.py:22-34`; cv2 here)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok or (max_frames is not None and len(frames) >= max_frames):
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return np.stack(frames).astype(np.float32) / 255.0, fps
