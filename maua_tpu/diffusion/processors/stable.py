@@ -1,0 +1,147 @@
+"""Stable-Diffusion-class latent diffusion processor.
+
+Rebuild of `maua/diffusion/processors/stable.py` (StableDiffusion
+:151-271): CLIP text conditioning + CFG (:274-279), k-diffusion
+sigma-space samplers (:185-207), partial-range sigma scheduling
+(:232-238), gradient guidance through the decoder (:212-220, 282-291).
+The sliced-attention memory patch (:33-86) is unnecessary here — the
+UNet's attention runs through the Pallas flash kernel.
+
+The whole sampling loop is one jitted lax.scan; encode/sample/decode
+stay on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...prompt import ImagePrompt, TextPrompt
+from ...text.clip_text import CLIPTextConfig, encode_text, tokenize
+from ...text.clip_text import init_params as init_text_params
+from ..models import unet as unet_mod
+from ..models import vae as vae_mod
+from ..samplers import get_sampler, make_ddpm_schedule
+from ..wrappers import EpsDenoiser, cfg_denoiser, guided_denoiser
+from .base import BaseDiffusionProcessor
+
+
+class StableDiffusion(BaseDiffusionProcessor):
+    """forward(img, prompts, t_start, t_end) partial-denoise processor
+    (`stable.py:240-271`)."""
+
+    def __init__(
+        self,
+        grad_modules: Sequence = (),
+        sampler: str = "lms",
+        timesteps: int = 50,
+        cfg_scale: float = 7.5,
+        image_size: int = 512,
+        unet_params=None,
+        unet_cfg: unet_mod.UNetConfig = unet_mod.SD1_UNET,
+        vae_params=None,
+        vae_cfg: vae_mod.VAEConfig = vae_mod.VAEConfig(),
+        text_params=None,
+        text_cfg: CLIPTextConfig = CLIPTextConfig(),
+        key=None,
+    ):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        self.unet_cfg = unet_cfg
+        self.vae_cfg = vae_cfg
+        self.text_cfg = text_cfg
+        self.unet_params = unet_params if unet_params is not None else unet_mod.init_params(k1, unet_cfg)
+        self.vae_params = vae_params if vae_params is not None else vae_mod.init_params(k2, vae_cfg)
+        self.text_params = text_params if text_params is not None else init_text_params(k3, text_cfg)
+
+        self.alphas_cumprod = make_ddpm_schedule(1000, schedule="scaled_linear")
+        self.denoiser = EpsDenoiser(
+            lambda x, t, context=None: unet_mod.forward(self.unet_params, x, t, unet_cfg, context),
+            self.alphas_cumprod,
+        )
+        self.sigmas = self.denoiser.get_sigmas(timesteps)
+        self.sample_fn = get_sampler(sampler)
+        self.sampler_name = sampler
+        self.cfg_scale = cfg_scale
+        self.scale_factor = vae_cfg.scale_factor
+        self.image_size = image_size
+        self.grad_modules = [gm for gm in grad_modules if getattr(gm, "scale", 1) != 0]
+        self.timestep_map = np.linspace(0, len(self.alphas_cumprod), timesteps + 1).round().astype(int)
+
+    # ------------------------------------------------------ conditioning
+    def conditioning(self, prompts):
+        """Text prompts -> (cond, uncond) embeddings
+        (`stable.py:133-148`)."""
+        texts = [p.text for p in prompts if isinstance(p, TextPrompt)]
+        text = " ".join(texts) if texts else ""
+        cl = self.text_cfg.context_length
+        cond = encode_text(self.text_params, jnp.asarray(tokenize(text, cl)), self.text_cfg)
+        uncond = encode_text(self.text_params, jnp.asarray(tokenize("", cl)), self.text_cfg)
+        return cond, uncond
+
+    def encode(self, img):
+        return vae_mod.encode(self.vae_params, jnp.asarray(img), self.vae_cfg)
+
+    def decode(self, x):
+        return vae_mod.decode(self.vae_params, x, self.vae_cfg)
+
+    def get_sigmas(self, t_s: float, t_e: Optional[float] = None):
+        """Partial sigma range (`stable.py:232-238`): t indexes the
+        descending sigma schedule (t=0 -> full noise)."""
+        step_start = round(t_s * (len(self.sigmas) - 1))
+        if t_e is None:
+            return self.sigmas[step_start]
+        step_end = round(t_e * (len(self.sigmas) - 1)) + 1
+        return self.sigmas[step_start:step_end]
+
+    # ----------------------------------------------------------- forward
+    def forward(self, img, prompts, t_start, t_end=1.0, verbose=True, reverse=False, latent=False, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k_noise, k_sample = jax.random.split(key)
+        img = jnp.asarray(img)
+
+        sigmas = np.asarray(self.get_sigmas(t_start, t_end))
+        if reverse:
+            sigmas = sigmas[::-1].copy()
+        if len(sigmas) < 2:
+            return img
+
+        cond, uncond = self.conditioning(prompts)
+        model_fn = cfg_denoiser(self.denoiser, cond, uncond, self.cfg_scale)
+
+        if self.grad_modules:
+            for gm in self.grad_modules:
+                gm.set_targets(prompts)
+
+            def cond_fn(x, sigma, denoised, vjp):
+                imgd, vjp_dec = jax.vjp(lambda z: vae_mod.decode(self.vae_params, z, self.vae_cfg), denoised)
+                img_grad = jnp.zeros_like(imgd)
+                for gm in self.grad_modules:
+                    img_grad = img_grad + gm(imgd, sigma)
+                (z_grad,) = vjp_dec(img_grad)
+                (x_grad,) = vjp(z_grad)
+                return -x_grad
+
+            model_fn = guided_denoiser(model_fn, cond_fn)
+
+        ds = self.vae_cfg.downscale
+        if t_start > 0 or reverse:
+            x = img if latent else self.encode(img)
+            x = x + jax.random.normal(k_noise, x.shape) * sigmas[0]
+        else:
+            b = img.shape[0]
+            h, w = img.shape[1], img.shape[2]
+            if not latent:
+                h, w = h // ds, w // ds
+            x = jax.random.normal(k_noise, (b, h, w, self.vae_cfg.z_channels)) * sigmas[0]
+
+        if self.sampler_name in ("euler_ancestral", "dpm_2_ancestral"):
+            out = self.sample_fn(model_fn, x, sigmas, key=k_sample)
+        else:
+            out = self.sample_fn(model_fn, x, sigmas)
+        out = out if latent else self.decode(out)
+        return out.astype(jnp.float32)

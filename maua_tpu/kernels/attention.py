@@ -1,0 +1,112 @@
+"""Attention: XLA reference implementation + Pallas flash-attention
+kernel for TPU.
+
+This replaces the reference's memory-adaptive *sliced* cross-attention
+monkey-patch (`maua/diffusion/processors/stable.py:33-86`), which
+serializes query chunks to fit VRAM. On TPU the equivalent is a
+blockwise (flash) kernel: O(N) memory via online softmax, MXU matmuls
+per block — no host-side slicing heuristics.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None) -> jax.Array:
+    """Plain softmax attention. q: (B, H, Nq, D), k/v: (B, H, Nk, D)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+    """One (batch*head, q-block) program: online-softmax over k blocks."""
+    q = q_ref[...].astype(jnp.float32) * scale  # (Bq, D)
+    n_k = k_ref.shape[0]
+    num_blocks = n_k // block_k
+
+    def body(i, carry):
+        acc, row_max, row_sum = carry
+        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = q @ k.T  # (Bq, Bk)
+        new_max = jnp.maximum(row_max, jnp.max(s, axis=-1, keepdims=True))
+        correction = jnp.exp(row_max - new_max)
+        p = jnp.exp(s - new_max)
+        acc = acc * correction + p @ v
+        row_sum = row_sum * correction + jnp.sum(p, axis=-1, keepdims=True)
+        return acc, new_max, row_sum
+
+    bq, d = q.shape
+    acc0 = jnp.zeros((bq, v_ref.shape[1]), jnp.float32)
+    max0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    sum0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, row_sum = jax.lax.fori_loop(0, num_blocks, body, (acc0, max0, sum0))
+    o_ref[...] = (acc / row_sum).astype(o_ref.dtype)
+
+
+try:  # pallas import kept lazy-safe for CPU test environments
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+def flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None,
+    block_q: int = 256, block_k: int = 256, interpret: bool = False,
+) -> jax.Array:
+    """Blockwise flash attention via Pallas. q: (B, H, Nq, D).
+
+    Falls back to the XLA path when shapes don't tile cleanly or
+    Pallas is unavailable."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (
+        not _HAVE_PALLAS
+        or (not on_tpu and not interpret)
+        or nq % block_q != 0
+        or nk % block_k != 0
+        or d % 8 != 0
+    ):
+        return attention_xla(q, k, v, scale)
+
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, v.shape[-1])
+
+    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, nq // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, nk, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, nk, vf.shape[-1]), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, vf.shape[-1]), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, vf.shape[-1]), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, nq, vf.shape[-1])
+
+
+def attention(q, k, v, scale=None, use_flash: bool = True):
+    """Dispatcher used by the UNet's attention layers."""
+    if use_flash:
+        return flash_attention(q, k, v, scale)
+    return attention_xla(q, k, v, scale)
