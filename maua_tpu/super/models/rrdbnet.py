@@ -1,0 +1,173 @@
+"""RRDBNet (Real-ESRGAN generator) + SRVGG compact net, functional JAX.
+
+Rebuild of the architectures behind
+`maua/super/image/models/realesrgan.py:13-49` (the basicsr RRDBNet /
+SRVGGNetCompact reached through the stripped RealESRGAN submodule):
+residual-in-residual dense blocks, pixel-unshuffle-free x4 upsampling
+via two nearest-neighbor stages. Weight conversion from basicsr state
+dicts; random init for offline tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class RRDBConfig:
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    num_feat: int = 64
+    num_block: int = 23
+    num_grow_ch: int = 32
+    scale: int = 4
+    dtype: str = "float32"
+
+
+def _conv_init(key, ci, co, k=3, scale=1.0):
+    s = scale / math.sqrt(ci * k * k)
+    return {
+        "w": jax.random.normal(key, (k, k, ci, co)) * s,
+        "b": jnp.zeros((co,)),
+    }
+
+
+def conv(p, x, padding=1):
+    return jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (1, 1), ((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["b"].astype(x.dtype)
+
+
+def _init_rdb(key, nf, gc):
+    ks = jax.random.split(key, 5)
+    return {f"conv{i + 1}": _conv_init(ks[i], nf + i * gc, gc if i < 4 else nf, scale=0.1) for i in range(5)}
+
+
+def _rdb(p, x):
+    lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+    x1 = lrelu(conv(p["conv1"], x))
+    x2 = lrelu(conv(p["conv2"], jnp.concatenate([x, x1], -1)))
+    x3 = lrelu(conv(p["conv3"], jnp.concatenate([x, x1, x2], -1)))
+    x4 = lrelu(conv(p["conv4"], jnp.concatenate([x, x1, x2, x3], -1)))
+    x5 = conv(p["conv5"], jnp.concatenate([x, x1, x2, x3, x4], -1))
+    return x5 * 0.2 + x
+
+
+def _init_rrdb(key, nf, gc):
+    ks = jax.random.split(key, 3)
+    return {f"rdb{i + 1}": _init_rdb(ks[i], nf, gc) for i in range(3)}
+
+
+def _rrdb(p, x):
+    out = _rdb(p["rdb1"], x)
+    out = _rdb(p["rdb2"], out)
+    out = _rdb(p["rdb3"], out)
+    return out * 0.2 + x
+
+
+def init_params(key, cfg: RRDBConfig = RRDBConfig()) -> Dict:
+    keys = iter(jax.random.split(key, cfg.num_block + 8))
+    nk = lambda: next(keys)
+    nf, gc = cfg.num_feat, cfg.num_grow_ch
+    return {
+        "conv_first": _conv_init(nk(), cfg.num_in_ch, nf),
+        "body": [_init_rrdb(nk(), nf, gc) for _ in range(cfg.num_block)],
+        "conv_body": _conv_init(nk(), nf, nf),
+        "conv_up1": _conv_init(nk(), nf, nf),
+        "conv_up2": _conv_init(nk(), nf, nf),
+        "conv_hr": _conv_init(nk(), nf, nf),
+        "conv_last": _conv_init(nk(), nf, cfg.num_out_ch),
+    }
+
+
+def _up2(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+
+
+def forward(params: Dict, img: jax.Array, cfg: RRDBConfig = RRDBConfig()) -> jax.Array:
+    """img (B, H, W, C) in [0, 1] -> (B, scale*H, scale*W, C)."""
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+    x = img.astype(dtype)
+    feat = conv(params["conv_first"], x)
+    body = feat
+    for blk in params["body"]:
+        body = _rrdb(blk, body)
+    feat = feat + conv(params["conv_body"], body)
+    feat = lrelu(conv(params["conv_up1"], _up2(feat)))
+    if cfg.scale >= 4:
+        feat = lrelu(conv(params["conv_up2"], _up2(feat)))
+    out = conv(params["conv_last"], lrelu(conv(params["conv_hr"], feat)))
+    return out.astype(jnp.float32)
+
+
+def params_from_torch(sd: Dict[str, np.ndarray], cfg: RRDBConfig = RRDBConfig()) -> Dict:
+    """basicsr RRDBNet state dict (params/params_ema containers
+    handled by caller) -> pytree."""
+
+    def cv(name):
+        return {
+            "w": jnp.asarray(np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0))),
+            "b": jnp.asarray(sd[f"{name}.bias"]),
+        }
+
+    body = []
+    for b in range(cfg.num_block):
+        blk = {}
+        for r in range(1, 4):
+            blk[f"rdb{r}"] = {f"conv{c}": cv(f"body.{b}.rdb{r}.conv{c}") for c in range(1, 6)}
+        body.append(blk)
+    return {
+        "conv_first": cv("conv_first"),
+        "body": body,
+        "conv_body": cv("conv_body"),
+        "conv_up1": cv("conv_up1"),
+        "conv_up2": cv("conv_up2"),
+        "conv_hr": cv("conv_hr"),
+        "conv_last": cv("conv_last"),
+    }
+
+
+# --------------------------------------------------------- SRVGG compact
+@dataclasses.dataclass(frozen=True)
+class SRVGGConfig:
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    num_feat: int = 64
+    num_conv: int = 16
+    upscale: int = 4
+
+
+def init_srvgg_params(key, cfg: SRVGGConfig = SRVGGConfig()) -> Dict:
+    keys = iter(jax.random.split(key, cfg.num_conv + 4))
+    nk = lambda: next(keys)
+    p = {"convs": [_conv_init(nk(), cfg.num_in_ch, cfg.num_feat)]}
+    p["prelu"] = [jnp.full((cfg.num_feat,), 0.25)]
+    for _ in range(cfg.num_conv):
+        p["convs"].append(_conv_init(nk(), cfg.num_feat, cfg.num_feat))
+        p["prelu"].append(jnp.full((cfg.num_feat,), 0.25))
+    p["conv_last"] = _conv_init(nk(), cfg.num_feat, cfg.num_out_ch * cfg.upscale**2)
+    return p
+
+
+def srvgg_forward(params: Dict, img: jax.Array, cfg: SRVGGConfig = SRVGGConfig()) -> jax.Array:
+    x = img
+    for p, a in zip(params["convs"], params["prelu"]):
+        x = conv(p, x)
+        x = jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+    x = conv(params["conv_last"], x)
+    # pixel shuffle (depth-to-space)
+    b, h, w, c = x.shape
+    r = cfg.upscale
+    x = x.reshape(b, h, w, cfg.num_out_ch, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * r, w * r, cfg.num_out_ch)
+    base = jax.image.resize(img, (b, h * r, w * r, img.shape[-1]), method="nearest")
+    return x + base

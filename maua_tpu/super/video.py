@@ -1,0 +1,54 @@
+"""Video super-resolution and framerate interpolation drivers.
+
+Rebuild of `maua/super/video/` (frame-by-frame upscaling
+`frame_by_frame.py:22-34`, RIFE framerate driver
+`framerate/__init__.py`).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..ops.video import VideoWriter, read_video
+from .image import Upscaler
+from . import rife
+
+
+def upscale_video(
+    video_file: str,
+    output_file: Optional[str] = None,
+    model_name: str = "RealESRGAN-x4plus",
+    batch_size: int = 4,
+    max_frames: Optional[int] = None,
+) -> str:
+    """(`super/video/frame_by_frame.py:22-34`)"""
+    frames, fps = read_video(video_file, max_frames=max_frames)
+    model = Upscaler(model_name)
+    t, h, w, _ = frames.shape
+    out_file = output_file or str(Path(video_file).with_suffix("")) + f"_{model_name}.mp4"
+    with VideoWriter(out_file, (w * model.scale, h * model.scale), fps, value_range=(0, 1)) as writer:
+        for i in range(0, t, batch_size):
+            up = np.asarray(model(frames[i : i + batch_size]))
+            for f in up:
+                writer.write(f)
+    return out_file
+
+
+def interpolate_video(
+    video_file: str,
+    output_file: Optional[str] = None,
+    factor: int = 2,
+    max_frames: Optional[int] = None,
+    params=None,
+) -> str:
+    """RIFE 2^n framerate boost (`super/video/framerate/__init__.py`)."""
+    frames, fps = read_video(video_file, max_frames=max_frames)
+    t, h, w, _ = frames.shape
+    out_file = output_file or str(Path(video_file).with_suffix("")) + f"_{factor}x.mp4"
+    with VideoWriter(out_file, (w, h), fps * factor, value_range=(0, 1)) as writer:
+        for frame in rife.interpolate(frames, factor=factor, params=params):
+            writer.write(frame)
+    return out_file
