@@ -1,0 +1,8 @@
+from .lib import (  # noqa: F401
+    decode_mflo,
+    encode_mflo,
+    flow_warp_map,
+    get_consistency_map,
+    preprocess_optical_flow,
+)
+from .models import get_flow_model  # noqa: F401

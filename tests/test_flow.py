@@ -1,0 +1,120 @@
+"""Tests for optical flow + flow-warped video diffusion
+(reference: maua/flow/, maua/diffusion/video.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maua_tpu.flow import consistency, lib, models
+
+
+def _shifted_pair(shift=3, size=64):
+    rs = np.random.RandomState(0)
+    base = rs.rand(size + 16, size + 16, 3).astype(np.float32)
+    import scipy.ndimage as ndi
+
+    base = ndi.gaussian_filter(base, (1.5, 1.5, 0))
+    base = (base - base.min()) / (base.max() - base.min())
+    f1 = base[8 : 8 + size, 8 : 8 + size]
+    f2 = base[8 : 8 + size, 8 - shift : 8 - shift + size]  # content moves right by +shift
+    return f1, f2
+
+
+def test_mflo_roundtrip():
+    rs = np.random.RandomState(1)
+    flow = rs.randn(32, 48, 2).astype(np.float32) * 5
+    rt = lib.decode_mflo(lib.encode_mflo(flow))
+    assert np.abs(rt - flow).max() < np.abs(flow).max() / 100
+
+
+def test_farneback_recovers_translation():
+    f1, f2 = _shifted_pair(shift=3)
+    flow = models.farneback_flow(f1, f2)
+    assert flow.shape == (64, 64, 2)
+    interior = flow[16:-16, 16:-16]
+    assert abs(np.median(interior[..., 0]) - 3.0) < 1.0
+    assert abs(np.median(interior[..., 1])) < 1.0
+
+
+def test_jax_flow_recovers_translation():
+    f1, f2 = _shifted_pair(shift=2)
+    flow = np.asarray(models.jax_flow(f1, f2))
+    interior = flow[16:-16, 16:-16]
+    assert abs(np.median(interior[..., 0]) - 2.0) < 1.0
+
+
+def test_flow_warp_map_and_sample():
+    from maua_tpu.ops.warp import grid_sample
+
+    f1, f2 = _shifted_pair(shift=3)
+    flow = models.farneback_flow(f1, f2)
+    warp = lib.flow_warp_map(flow)
+    warped_f2 = np.asarray(grid_sample(jnp.asarray(f2[None]), warp, padding_mode="border"))[0]
+    # warping frame2 back by the flow should reconstruct frame1
+    err_warped = np.abs(warped_f2[8:-8, 8:-8] - f1[8:-8, 8:-8]).mean()
+    err_plain = np.abs(f2[8:-8, 8:-8] - f1[8:-8, 8:-8]).mean()
+    assert err_warped < err_plain * 0.6
+
+
+def test_consistency_mask_range():
+    f1, f2 = _shifted_pair(shift=3)
+    fwd = models.farneback_flow(f1, f2)
+    bwd = models.farneback_flow(f2, f1)
+    mask = np.asarray(consistency.check_consistency(fwd, bwd))
+    assert mask.shape == (64, 64)
+    assert mask.min() >= 0 and mask.max() <= 1
+    # consistent translation: most of the frame is reliable
+    assert mask[8:-8, 8:-8].mean() > 0.6
+
+
+def test_consistency_detects_occlusion():
+    """Random independent flows should be marked unreliable."""
+    rs = np.random.RandomState(2)
+    fwd = rs.randn(32, 32, 2).astype(np.float32) * 4
+    bwd = rs.randn(32, 32, 2).astype(np.float32) * 4
+    mask = np.asarray(consistency.check_consistency(fwd, bwd))
+    assert mask.mean() < 0.5
+
+
+def test_video_flow_diffusion_end_to_end(tmp_path, monkeypatch):
+    """Flow-warped diffusion over a tiny synthetic video with a tiny SD."""
+    import cv2
+
+    from maua_tpu.diffusion.models import unet as unet_mod
+    from maua_tpu.diffusion.models import vae as vae_mod
+    from maua_tpu.diffusion.processors.stable import StableDiffusion
+    from maua_tpu.diffusion.video import VideoFlowDiffusionProcessor
+    from maua_tpu.text.clip_text import CLIPTextConfig
+
+    monkeypatch.setenv("MAUA_WORKSPACE", str(tmp_path))
+    import maua_tpu.utility as util
+
+    monkeypatch.setattr(util, "WORKSPACE", str(tmp_path))
+    import maua_tpu.flow.lib as fl
+
+    monkeypatch.setattr(fl, "WORKSPACE", str(tmp_path))
+
+    # synthetic moving-square video
+    vid_path = str(tmp_path / "test.mp4")
+    writer = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"), 8, (64, 64))
+    for i in range(4):
+        frame = np.zeros((64, 64, 3), np.uint8)
+        frame[20 : 40, 10 + 4 * i : 30 + 4 * i] = 255
+        writer.write(frame)
+    writer.release()
+
+    sd = StableDiffusion(
+        sampler="euler", timesteps=3,
+        unet_cfg=unet_mod.UNetConfig(in_channels=4, out_channels=4, model_channels=16, channel_mult=(1, 2),
+                                     num_res_blocks=1, attention_resolutions=(), context_dim=32),
+        vae_cfg=vae_mod.VAEConfig(base_channels=8, channel_mult=(1, 2), num_res_blocks=1),
+        text_cfg=CLIPTextConfig(width=32, layers=1, heads=2, context_length=8),
+        image_size=32,
+    )
+    out = VideoFlowDiffusionProcessor()(
+        sd, vid_path, text="test", size=(32, 32), t_start=0.5, verbose=False, max_frames=3,
+    )
+    assert out.shape == (3, 32, 32, 3)
+    assert np.all(np.isfinite(out))
