@@ -43,15 +43,16 @@ class Perceptor:
         return loss
 
 
-def load_perceptor(name: str, **kwargs):
-    """(`maua/perceptors/__init__.py:93-101`)"""
+def load_perceptor(name: str):
+    """Resolve a perceptor class by name
+    (`maua/perceptors/__init__.py:93-101`)."""
     name = name.lower()
     if name.startswith("clip"):
         from .clip import CLIPPerceptor
 
-        return CLIPPerceptor(**kwargs)
-    if "vgg" in name or name in ("kbc", "pgg"):
+        return CLIPPerceptor
+    if "vgg" in name or name.split("-")[0] in ("kbc", "pgg"):
         from .vgg import VGGPerceptor
 
-        return VGGPerceptor(**kwargs)
+        return VGGPerceptor
     raise ValueError(f"unknown perceptor {name}")

