@@ -1,0 +1,64 @@
+"""CLI tree: `python -m maua_tpu {diffusion,super,style,audiovisual,gan,nca}`.
+
+Rebuild of `maua/cli/entrypoint.py:6-33` (argparse tree dispatching to
+subcommand mains; subparsers in `maua/cli/{autoregressive,diffusion,
+style,super}.py`). Subcommands forward their remaining argv to the
+pipeline module's own `main`, so every pipeline stays directly
+runnable as `python -m maua_tpu.<module>` too.
+"""
+
+from __future__ import annotations
+
+import sys
+
+COMMANDS = {
+    "diffusion": {
+        "image": ("maua_tpu.diffusion.image", "Multi-resolution (guided) diffusion image synthesis"),
+    },
+    "super": {
+        "image": ("maua_tpu.super.image", "Image super-resolution (RealESRGAN-class models)"),
+    },
+    "style": {
+        "image": ("maua_tpu.style.cli", "Neural style transfer"),
+    },
+    "audiovisual": {
+        "generate": ("maua_tpu.audiovisual.generate", "Audio-reactive GAN video synthesis"),
+    },
+    "gan": {
+        "generate": ("maua_tpu.gan.cli", "StyleGAN image generation"),
+    },
+    "autoregressive": {
+        "generate": ("maua_tpu.autoregressive.cli", "Autoregressive text-to-image generation"),
+    },
+}
+
+
+def usage():
+    print("usage: python -m maua_tpu <command> <subcommand> [args...]\n")
+    for cmd, subs in COMMANDS.items():
+        for sub, (_, desc) in subs.items():
+            print(f"  {cmd} {sub:<10} {desc}")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) < 1 or argv[0] in ("-h", "--help"):
+        usage()
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}\n")
+        usage()
+        return 1
+    subs = COMMANDS[cmd]
+    sub = argv[1] if len(argv) > 1 and argv[1] in subs else next(iter(subs))
+    rest = argv[2:] if len(argv) > 1 and argv[1] in subs else argv[1:]
+    module_path, _ = subs[sub]
+    import importlib
+
+    mod = importlib.import_module(module_path)
+    return mod.main(rest)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,203 @@
+"""GAN evaluation metrics: FID, KID, PRDC with pluggable feature
+extractors.
+
+Rebuild of `maua/GAN/metrics/` (clean-resize pipeline `compute.py:95+`,
+Newton-Schulz sqrtm + frechet_distance `frechet.py:4-61`,
+kernel_distance `kernel.py:4`, prdc `prdc.py:40`, extractors
+`extractors/inception.py:26-35` / in-tree SwAV ResNet-50
+`swav.py:142-354`). Extractors here are functional JAX nets (a
+ResNet-50 trunk standing in for both Inception and SwAV roles —
+converted weights slot in when available).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ------------------------------------------------------------ distances
+def sqrtm_newton_schulz(A: jax.Array, num_iters: int = 50) -> jax.Array:
+    """Matrix square root via Newton-Schulz iteration
+    (`metrics/frechet.py:4-35`)."""
+    dim = A.shape[0]
+    norm = jnp.linalg.norm(A)
+    Y = A / norm
+    I = jnp.eye(dim, dtype=A.dtype)
+    Z = jnp.eye(dim, dtype=A.dtype)
+
+    def body(_, carry):
+        Y, Z = carry
+        T = 0.5 * (3.0 * I - Z @ Y)
+        return Y @ T, T @ Z
+
+    Y, Z = jax.lax.fori_loop(0, num_iters, body, (Y, Z))
+    return Y * jnp.sqrt(norm)
+
+
+def _sqrtm_psd(A: jax.Array) -> jax.Array:
+    eva, eve = jnp.linalg.eigh(A)
+    return (eve * jnp.sqrt(jnp.clip(eva, 0.0, None))[None, :]) @ eve.T
+
+
+def frechet_distance(mu_x: jax.Array, sigma_x: jax.Array, mu_y: jax.Array, sigma_y: jax.Array) -> jax.Array:
+    """FID between two Gaussians (`metrics/frechet.py:38-61`).
+
+    tr(sqrtm(Sx Sy)) is computed via the PSD form
+    tr(sqrt(sqrt(Sx) Sy sqrt(Sx))) (eigh) — the reference's
+    Newton-Schulz iteration diverges on the near-singular covariances
+    of small sample sets."""
+    sx_half = _sqrtm_psd(sigma_x)
+    M = sx_half @ sigma_y @ sx_half
+    tr_covmean = jnp.sum(jnp.sqrt(jnp.clip(jnp.linalg.eigvalsh(M), 0.0, None)))
+    diff = mu_x - mu_y
+    return jnp.sum(diff * diff) + jnp.trace(sigma_x) + jnp.trace(sigma_y) - 2.0 * tr_covmean
+
+
+def feature_stats(feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    mu = feats.mean(axis=0)
+    c = feats - mu
+    sigma = c.T @ c / (feats.shape[0] - 1)
+    return mu, sigma
+
+
+def fid(feats_real: jax.Array, feats_fake: jax.Array, eps: float = 1e-6) -> jax.Array:
+    mu_r, sig_r = feature_stats(feats_real)
+    mu_f, sig_f = feature_stats(feats_fake)
+    # regularize so rank-deficient covariances (few samples) stay
+    # numerically stable under Newton-Schulz
+    I = jnp.eye(sig_r.shape[0], dtype=sig_r.dtype)
+    return frechet_distance(mu_r, sig_r + eps * I, mu_f, sig_f + eps * I)
+
+
+def kernel_distance(feats_x: jax.Array, feats_y: jax.Array, degree: int = 3, gamma: Optional[float] = None,
+                    coef0: float = 1.0) -> jax.Array:
+    """Unbiased polynomial-kernel MMD^2 = KID (`metrics/kernel.py:4`)."""
+    d = feats_x.shape[1]
+    if gamma is None:
+        gamma = 1.0 / d
+    k_xx = (gamma * feats_x @ feats_x.T + coef0) ** degree
+    k_yy = (gamma * feats_y @ feats_y.T + coef0) ** degree
+    k_xy = (gamma * feats_x @ feats_y.T + coef0) ** degree
+    m = feats_x.shape[0]
+    n = feats_y.shape[0]
+    sum_xx = (jnp.sum(k_xx) - jnp.trace(k_xx)) / (m * (m - 1))
+    sum_yy = (jnp.sum(k_yy) - jnp.trace(k_yy)) / (n * (n - 1))
+    sum_xy = jnp.mean(k_xy)
+    return sum_xx + sum_yy - 2 * sum_xy
+
+
+def prdc(feats_real: jax.Array, feats_fake: jax.Array, nearest_k: int = 5) -> Dict[str, jax.Array]:
+    """Precision / recall / density / coverage (`metrics/prdc.py:40`)."""
+
+    def pairwise(a, b):
+        a2 = jnp.sum(a * a, 1)
+        b2 = jnp.sum(b * b, 1)
+        return jnp.sqrt(jnp.maximum(a2[:, None] + b2[None] - 2 * a @ b.T, 0.0))
+
+    d_rr = pairwise(feats_real, feats_real)
+    d_ff = pairwise(feats_fake, feats_fake)
+    d_rf = pairwise(feats_real, feats_fake)
+
+    def kth_radius(d, k):
+        return jnp.sort(d, axis=1)[:, k]  # k-th NN excluding self at idx 0
+
+    r_real = kth_radius(d_rr, nearest_k)
+    r_fake = kth_radius(d_ff, nearest_k)
+
+    precision = jnp.mean(jnp.any(d_rf < r_real[:, None], axis=0).astype(jnp.float32))
+    recall = jnp.mean(jnp.any(d_rf < r_fake[None, :], axis=1).astype(jnp.float32))
+    density = jnp.mean(jnp.sum((d_rf < r_real[:, None]).astype(jnp.float32), axis=0)) / nearest_k
+    coverage = jnp.mean((jnp.min(d_rf, axis=1) < r_real).astype(jnp.float32))
+    return {"precision": precision, "recall": recall, "density": density, "coverage": coverage}
+
+
+# ------------------------------------------------------------ extractor
+def clean_resize(img: jax.Array, size: int = 299) -> jax.Array:
+    """Anti-aliased resize for metric features
+    (`metrics/compute.py:25-35` clean-fid resize)."""
+    b, h, w, c = img.shape
+    return jax.image.resize(img, (b, size, size, c), method="bicubic", antialias=True)
+
+
+class ResNetExtractor:
+    """Compact ResNet feature trunk standing in for the reference's
+    TorchScript InceptionV3 / in-tree SwAV ResNet-50 extractors
+    (converted weights slot into the same structure)."""
+
+    def __init__(self, width: int = 32, depth: Tuple[int, ...] = (2, 2, 2, 2), feat_dim: int = 512, key=None):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        keys = iter(jax.random.split(key, 64))
+        nk = lambda: next(keys)
+        self.params = {"stem": self._conv_init(nk(), 7, 3, width)}
+        blocks = []
+        ch = width
+        for stage, n in enumerate(depth):
+            out_ch = width * 2**stage
+            for i in range(n):
+                blocks.append({
+                    "conv1": self._conv_init(nk(), 3, ch, out_ch),
+                    "conv2": self._conv_init(nk(), 3, out_ch, out_ch),
+                    "skip": None if ch == out_ch else self._conv_init(nk(), 1, ch, out_ch),
+                    "stride": 2 if (i == 0 and stage > 0) else 1,
+                })
+                ch = out_ch
+        self.params["blocks"] = blocks
+        self.params["head"] = {"w": jax.random.normal(nk(), (ch, feat_dim)) / math.sqrt(ch)}
+        self.feat_dim = feat_dim
+        self._fwd = jax.jit(self._forward)
+
+    @staticmethod
+    def _conv_init(key, k, ci, co):
+        return {"w": jax.random.normal(key, (k, k, ci, co)) * math.sqrt(2.0 / (ci * k * k)), "b": jnp.zeros((co,))}
+
+    def _forward(self, img):
+        def conv(p, x, stride=1):
+            pad = p["w"].shape[0] // 2
+            return jax.lax.conv_general_dilated(
+                x, p["w"], (stride, stride), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + p["b"]
+
+        x = jax.nn.relu(conv(self.params["stem"], img, stride=2))
+        for blk in self.params["blocks"]:
+            y = jax.nn.relu(conv(blk["conv1"], x, stride=blk["stride"]))
+            y = conv(blk["conv2"], y)
+            skip = x if blk["skip"] is None else conv(blk["skip"], x, stride=1)
+            if blk["stride"] > 1:
+                skip = skip[:, :: blk["stride"], :: blk["stride"], :]
+            x = jax.nn.relu(y + skip)
+        x = x.mean(axis=(1, 2))
+        return x @ self.params["head"]["w"]
+
+    def __call__(self, img: jax.Array) -> jax.Array:
+        """img (B, H, W, 3) in [-1, 1] -> (B, feat_dim)."""
+        return self._fwd(clean_resize(img, 64))
+
+
+def compute_metrics(
+    real_images: jax.Array,
+    fake_images: jax.Array,
+    extractor: Optional[Callable] = None,
+    batch: int = 32,
+    nearest_k: int = 5,
+) -> Dict[str, float]:
+    """Full metric suite over image batches (`metrics/compute.py:95+`)."""
+    extractor = extractor or ResNetExtractor()
+
+    def extract(images):
+        outs = []
+        for i in range(0, len(images), batch):
+            outs.append(extractor(jnp.asarray(images[i : i + batch])))
+        return jnp.concatenate(outs)
+
+    fr = extract(real_images)
+    ff = extract(fake_images)
+    out = {"fid": float(fid(fr, ff)), "kid": float(kernel_distance(fr, ff))}
+    out.update({k: float(v) for k, v in prdc(fr, ff, nearest_k).items()})
+    return out

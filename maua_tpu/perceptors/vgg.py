@@ -24,7 +24,8 @@ CHANNELS = (64, 128, 256, 512, 512)
 
 # canonical style/content layer indices (relu indices, kbc convention)
 DEFAULT_CONTENT = (8,)
-DEFAULT_STYLE = (1, 3, 6, 10, 14)
+DEFAULT_STYLE = (1, 3, 6, 10, 14)  # vgg19 (16 relus)
+DEFAULT_STYLE_16 = (1, 3, 6, 9, 12)  # vgg16 (13 relus)
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -97,11 +98,15 @@ class VGGPerceptor(Perceptor):
         self,
         arch: str = "vgg19",
         params: Optional[List[Dict]] = None,
-        content_layers: Sequence[int] = DEFAULT_CONTENT,
-        style_layers: Sequence[int] = DEFAULT_STYLE,
+        content_layers: Optional[Sequence[int]] = None,
+        style_layers: Optional[Sequence[int]] = None,
         pool: str = "max",
         key=None,
     ):
+        if style_layers is None:
+            style_layers = DEFAULT_STYLE if "19" in arch else DEFAULT_STYLE_16
+        if content_layers is None:
+            content_layers = DEFAULT_CONTENT
         super().__init__(content_layers, style_layers)
         self.arch = arch
         self.pool = pool
