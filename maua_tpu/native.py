@@ -1,0 +1,202 @@
+"""ctypes bridge to the native C++ kernels, built on demand.
+
+Rebuild of the reference's two native components (SURVEY.md 2.13):
+efficient_quantile (torch ext, `efficient_quantile.cpp:8-206`) and
+inverse_op_cython (`inverse_op_cython.pyx:19-67`), here as plain C ABI
+shared objects compiled with g++ (-O3 -fopenmp) on first use, plus
+jittable on-device equivalents (sort-based quantiles; lax.scan raster
+back-substitution) for data living in HBM.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_BUILD_DIR = _NATIVE_DIR / "build"
+_LIB = None
+_BUILD_FAILED = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _BUILD_FAILED
+    if _BUILD_FAILED:
+        return None
+    so_path = _BUILD_DIR / "libmaua_native.so"
+    srcs = [_NATIVE_DIR / "efficient_quantile.cpp", _NATIVE_DIR / "inverse_conv.cpp"]
+    if not so_path.exists() or any(s.stat().st_mtime > so_path.stat().st_mtime for s in srcs):
+        _BUILD_DIR.mkdir(exist_ok=True)
+        cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
+               *[str(s) for s in srcs], "-o", str(so_path)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            print(f"native build failed ({e}); using jnp fallbacks")
+            _BUILD_FAILED = True
+            return None
+    lib = ctypes.CDLL(str(so_path))
+    lib.efficient_quantile_f32.restype = ctypes.c_int
+    lib.efficient_quantile_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+    ]
+    lib.kthvalue_f32.restype = ctypes.c_float
+    lib.kthvalue_f32.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64]
+    lib.inverse_conv_f32.restype = None
+    lib.inverse_conv_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    return lib
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB is None and not _BUILD_FAILED:
+        _LIB = _build()
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def efficient_quantile(values, qs: Sequence[float], ignore_nan: bool = False) -> np.ndarray:
+    """Multi-quantile of a huge host array via recursive partial
+    sorting; numpy fallback when the native lib is unavailable."""
+    arr = np.ascontiguousarray(np.asarray(values, np.float32).reshape(-1))
+    q = np.ascontiguousarray(np.asarray(qs, np.float64).reshape(-1))
+    lib = _lib()
+    if lib is None:
+        fn = np.nanquantile if ignore_nan else np.quantile
+        return fn(arr, q).astype(np.float64)
+    scratch = arr.copy()
+    out = np.empty(len(q), np.float64)
+    rc = lib.efficient_quantile_f32(
+        scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), scratch.size,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), q.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), int(ignore_nan),
+    )
+    if rc != 0:
+        raise ValueError(f"efficient_quantile failed with code {rc}")
+    return out
+
+
+def kthvalue(values, k: int) -> float:
+    """kth smallest element (reference percentile rounding,
+    `audioreactive/signal.py:41-53`)."""
+    arr = np.ascontiguousarray(np.asarray(values, np.float32).reshape(-1)).copy()
+    lib = _lib()
+    if lib is None:
+        return float(np.partition(arr, k - 1)[k - 1])
+    return float(lib.kthvalue_f32(arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), arr.size, int(k)))
+
+
+def inverse_conv(z, w, is_upper: bool = False, dilation: int = 1) -> np.ndarray:
+    """Invert an emerging (masked autoregressive) convolution on host
+    (`inverse_op_cython.pyx:19-67`). z: (B, H, W, C), w: (K, K, C, C)."""
+    z = np.ascontiguousarray(np.asarray(z, np.float32))
+    w = np.ascontiguousarray(np.asarray(w, np.float32))
+    b, h, ww, c = z.shape
+    k = w.shape[0]
+    lib = _lib()
+    if lib is None:
+        return _inverse_conv_py(z, w, is_upper, dilation)
+    x = np.zeros_like(z)
+    lib.inverse_conv_f32(
+        z.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        b, h, ww, c, k, int(is_upper), int(dilation),
+    )
+    return x
+
+
+def _inverse_conv_py(z, w, is_upper, dilation):
+    """Naive python fallback (`inverse_op_naive.py` role)."""
+    b, height, width, channels = z.shape
+    ksize = w.shape[0]
+    kcenter = (ksize - 1) // 2
+    x = np.zeros_like(z)
+    c_range = range(channels - 1, -1, -1) if is_upper else range(channels)
+    j_range = range(height) if is_upper else range(height - 1, -1, -1)
+    i_range = range(width) if is_upper else range(width - 1, -1, -1)
+    for bb in range(b):
+        for j in j_range:
+            for i in i_range:
+                for c_out in c_range:
+                    acc = 0.0
+                    for c_in in range(channels):
+                        for k in range(ksize):
+                            for m in range(ksize):
+                                if k == kcenter and m == kcenter and c_in == c_out:
+                                    continue
+                                j_ = j + (k - kcenter) * dilation
+                                i_ = i + (m - kcenter) * dilation
+                                if not (0 <= j_ < height and 0 <= i_ < width):
+                                    continue
+                                acc -= w[k, m, c_in, c_out] * x[bb, j_, i_, c_in]
+                    x[bb, j, i, c_out] = (acc + z[bb, j, i, c_out]) / w[kcenter, kcenter, c_out, c_out]
+    return x
+
+
+# -------------------------------------------------- on-device variants
+def quantile_device(values, qs):
+    """Sort-based quantiles on device (for envelopes living in HBM) —
+    the jnp counterpart of efficient_quantile (SURVEY 2.13#1)."""
+    import jax.numpy as jnp
+
+    return jnp.quantile(jnp.asarray(values).reshape(-1), jnp.asarray(qs))
+
+
+def inverse_conv_device(z, w, is_upper: bool = False, dilation: int = 1):
+    """lax.scan raster back-substitution on device. Inherently
+    sequential per pixel — provided for completeness (SURVEY 2.13#2);
+    prefer the host kernel for bulk work."""
+    import jax
+    import jax.numpy as jnp
+
+    z = jnp.asarray(z)
+    w = jnp.asarray(w)
+    b, height, width, channels = z.shape
+    ksize = w.shape[0]
+    kcenter = (ksize - 1) // 2
+    n = height * width
+
+    order = jnp.arange(n) if is_upper else jnp.arange(n)[::-1]
+
+    def body(x, flat_idx):
+        j = flat_idx // width
+        i = flat_idx % width
+        # gather the kxk neighborhood (zero-padded)
+        acc = jnp.zeros((b, channels), z.dtype)
+        for k in range(ksize):
+            for m in range(ksize):
+                j_ = j + (k - kcenter) * dilation
+                i_ = i + (m - kcenter) * dilation
+                valid = (j_ >= 0) & (j_ < height) & (i_ >= 0) & (i_ < width)
+                jc = jnp.clip(j_, 0, height - 1)
+                ic = jnp.clip(i_, 0, width - 1)
+                neigh = jnp.where(valid, x[:, jc, ic, :], 0.0)  # (B, C)
+                wk = w[k, m]  # (C_in, C_out)
+                if k == kcenter and m == kcenter:
+                    wk = wk - jnp.diag(jnp.diag(wk))
+                    # center tap: only same-pixel cross-channel terms,
+                    # which are resolved channel-sequentially below
+                acc = acc + neigh @ wk
+        diag = jnp.diagonal(w[kcenter, kcenter])
+        val = (z[:, j, i, :] - acc) / diag
+        x = x.at[:, j, i, :].set(val)
+        return x, None
+
+    x0 = jnp.zeros_like(z)
+    x, _ = jax.lax.scan(body, x0, order)
+    return x
