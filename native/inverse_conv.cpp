@@ -31,14 +31,20 @@ void inverse_conv_f32(const float *z, const float *w, float *x,
 #define Z(b, j, i, c) z[(((b)*height + (j)) * width + (i)) * channels + (c)]
 #define W(k, m, ci, co) w[(((k)*ksize + (m)) * channels + (ci)) * channels + (co)]
 
+    // NOTE: the reference Cython kernel parallelizes over channels
+    // (inverse_op_cython.pyx:33), which races when the center tap has
+    // cross-channel entries. We parallelize over the batch instead —
+    // correct for any mask — and keep the raster/channel order
+    // sequential within each sample.
 #pragma omp parallel for schedule(static)
-    for (int64_t co_i = 0; co_i < channels; ++co_i) {
-        const int64_t c_out = is_upper ? channels - co_i - 1 : co_i;
-        for (int64_t b = 0; b < batch; ++b) {
-            for (int64_t jj = 0; jj < height; ++jj) {
-                const int64_t j = is_upper ? jj : height - jj - 1;
-                for (int64_t ii = 0; ii < width; ++ii) {
-                    const int64_t i = is_upper ? ii : width - ii - 1;
+    for (int64_t b = 0; b < batch; ++b) {
+        for (int64_t jj = 0; jj < height; ++jj) {
+            const int64_t j = is_upper ? jj : height - jj - 1;
+            for (int64_t ii = 0; ii < width; ++ii) {
+                const int64_t i = is_upper ? ii : width - ii - 1;
+                for (int64_t co_i = 0; co_i < channels; ++co_i) {
+                    const int64_t c_out =
+                        is_upper ? channels - co_i - 1 : co_i;
                     float acc = 0.0f;
                     for (int64_t c_in = 0; c_in < channels; ++c_in) {
                         for (int64_t k = 0; k < ksize; ++k) {
