@@ -1,0 +1,49 @@
+"""Latent interpolation video: slerp/spline through the latents of
+input images, batch-decoded.
+
+Rebuild of `maua/diffusion/interpolate.py:16-96` and the loop variant
+`interp_loop.py`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.latent import slerp_loops, spline_loops
+from ..ops.io import load_image
+from .processors.stable import StableDiffusion
+
+
+def interpolate_latents(
+    diffusion: StableDiffusion,
+    images: List,
+    n_frames: int = 64,
+    method: str = "spline",
+    loop: bool = True,
+    batch_size: int = 8,
+    renoise_t: Optional[float] = None,
+    key=None,
+) -> np.ndarray:
+    """Encode images -> interpolate latents -> (optional partial
+    renoise/denoise) -> batch decode (`interpolate.py:16-96`).
+    Returns (n_frames, H, W, 3) in [-1, 1]."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    latents = jnp.concatenate([
+        diffusion.encode(jnp.asarray(load_image(im)) * 2 - 1) for im in images
+    ])  # (K, h, w, 4)
+    k, h, w, c = latents.shape
+    flat = latents.reshape(k, 1, h * w * c)
+    interp = spline_loops if method == "spline" else slerp_loops
+    path = interp(flat, n_frames, 1 if loop else 1).reshape(n_frames, h, w, c)
+
+    frames = []
+    for i in range(0, n_frames, batch_size):
+        z = path[i : i + batch_size]
+        if renoise_t is not None:
+            z = diffusion(z, [], renoise_t, latent=True, key=jax.random.fold_in(key, i))
+        frames.append(np.asarray(diffusion.decode(z)))
+    return np.concatenate(frames)

@@ -1,0 +1,99 @@
+"""KLMC2 animation: kinetic Langevin MCMC over the diffusion score
+field.
+
+Rebuild of `maua/diffusion/klmc2_animation.py` (sample_mcmc_klmc2
+:151-318): second-order (underdamped) Langevin dynamics in latent
+space driven by the denoiser's score, with the Hessian-vector products
+the reference takes via functorch jvp/vjp expressed as jax.jvp over
+the score function.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .samplers import append_dims
+
+
+def score_from_denoiser(denoiser: Callable, sigma: float) -> Callable:
+    """score(x) = (denoised - x) / sigma^2."""
+
+    def score(x):
+        s = sigma * jnp.ones(x.shape[0])
+        return (denoiser(x, s) - x) / sigma**2
+
+    return score
+
+
+def sample_mcmc_klmc2(
+    denoiser: Callable,  # (x, sigma_batch) -> denoised
+    x0: jax.Array,
+    sigma: float = 1.0,
+    n_steps: int = 100,
+    step_size: float = 0.05,
+    friction: float = 1.0,
+    use_hvp: bool = True,
+    key=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Kinetic Langevin MCMC (KLMC2, `klmc2_animation.py:151-318`):
+    x'' = score(x) - gamma x' + sqrt(2 gamma) noise, integrated with a
+    second-order scheme using score jvp (Hessian-vector products).
+
+    Returns (final x, trajectory (n_steps, ...))."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    score = score_from_denoiser(denoiser, sigma)
+    gamma = friction
+    h = step_size
+
+    def step(carry, k):
+        x, v = carry
+        k1, k2 = jax.random.split(k)
+        s = score(x)
+        if use_hvp:
+            # second-order correction: d score/dt = H @ v  (jvp)
+            _, hvp = jax.jvp(score, (x,), (v,))
+            s_mid = s + 0.5 * h * hvp
+        else:
+            s_mid = s
+        noise = jax.random.normal(k1, x.shape)
+        v = v * jnp.exp(-gamma * h) + h * s_mid + jnp.sqrt(1 - jnp.exp(-2 * gamma * h)) * noise
+        x = x + h * v
+        return (x, v), x
+
+    v0 = jnp.zeros_like(x0)
+    (x, _), traj = jax.lax.scan(step, (x0, v0), jax.random.split(key, n_steps))
+    return x, traj
+
+
+def klmc2_animation(
+    diffusion,
+    shape: Tuple[int, int] = (64, 64),
+    n_frames: int = 64,
+    sigma: float = 1.0,
+    step_size: float = 0.05,
+    batch_decode: int = 8,
+    key=None,
+) -> np.ndarray:
+    """Animate a latent-space KLMC2 trajectory through the SD score
+    field, decoding frames in batches. Returns (T, H, W, 3)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    ds = diffusion.vae_cfg.downscale
+    h, w = shape[0] // ds, shape[1] // ds
+    x0 = jax.random.normal(k1, (1, h, w, diffusion.vae_cfg.z_channels)) * sigma
+
+    cond, uncond = diffusion.conditioning([])
+    from .wrappers import cfg_denoiser
+
+    model_fn = cfg_denoiser(diffusion.denoiser, cond, uncond, 1.0)
+    _, traj = sample_mcmc_klmc2(model_fn, x0, sigma=sigma, n_steps=n_frames, step_size=step_size, key=k2)
+
+    frames = []
+    for i in range(0, n_frames, batch_decode):
+        z = traj[i : i + batch_decode, 0]
+        frames.append(np.asarray(diffusion.decode(z)))
+    return np.concatenate(frames)

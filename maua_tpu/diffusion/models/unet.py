@@ -279,9 +279,10 @@ def init_params(key, cfg: UNetConfig) -> Dict:
 
     def attn_init(c):
         heads = cfg.heads_for(c)
+        # kind is encoded in the dict key so the pytree stays all-array
         if cfg.context_dim is not None:
-            return {"kind": "spatial", "p": _init_spatial_transformer(nk(), c, cfg.context_dim, heads, cfg.transformer_depth)}
-        return {"kind": "self", "p": _init_selfattn(nk(), c)}
+            return {"spatial": _init_spatial_transformer(nk(), c, cfg.context_dim, heads, cfg.transformer_depth)}
+        return {"self": _init_selfattn(nk(), c)}
 
     downs = []
     ch = mc
@@ -351,9 +352,9 @@ def forward(
     emb = linear(params["time_mlp2"], jax.nn.silu(linear(params["time_mlp1"], emb))).astype(dtype)
 
     def run_attn(blk, h):
-        if blk["kind"] == "spatial":
-            return spatial_transformer(blk["p"], h, context, cfg.heads_for(h.shape[-1]))
-        return self_attention_block(blk["p"], h, cfg.heads_for(h.shape[-1]))
+        if "spatial" in blk:
+            return spatial_transformer(blk["spatial"], h, context, cfg.heads_for(h.shape[-1]))
+        return self_attention_block(blk["self"], h, cfg.heads_for(h.shape[-1]))
 
     h = conv2d(params["conv_in"], x)
     skips = [h]

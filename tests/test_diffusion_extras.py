@@ -1,0 +1,191 @@
+"""Tests for outpaint, interpolate, klmc2, finetune, checkpoint
+converters (reference: maua/diffusion/{outpaint,interpolate,
+klmc2_animation,finetune_stable,load}.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maua_tpu.diffusion.models import unet as unet_mod
+from maua_tpu.diffusion.models import vae as vae_mod
+from maua_tpu.diffusion.processors.stable import StableDiffusion
+from maua_tpu.text.clip_text import CLIPTextConfig
+
+TINY_UNET = unet_mod.UNetConfig(
+    in_channels=4, out_channels=4, model_channels=16, channel_mult=(1, 2), num_res_blocks=1,
+    attention_resolutions=(2,), num_heads=2, context_dim=32,
+)
+TINY_VAE = vae_mod.VAEConfig(base_channels=8, channel_mult=(1, 2), num_res_blocks=1)
+TINY_TEXT = CLIPTextConfig(width=32, layers=1, heads=2, context_length=8)
+
+
+@pytest.fixture(scope="module")
+def sd():
+    return StableDiffusion(sampler="euler", timesteps=3, unet_cfg=TINY_UNET, vae_cfg=TINY_VAE,
+                           text_cfg=TINY_TEXT, image_size=32)
+
+
+def test_sliced_optimal_transport():
+    from maua_tpu.diffusion.outpaint import sliced_optimal_transport
+
+    rs = np.random.RandomState(0)
+    src = rs.randn(1, 16, 16, 3).astype(np.float32)
+    tgt = (rs.randn(1, 16, 16, 3) * 0.2 + 1.5).astype(np.float32)
+    out = np.asarray(sliced_optimal_transport(jnp.asarray(src), jnp.asarray(tgt), n_slices=64))
+    assert out.shape == src.shape
+    # color statistics move toward the target
+    assert abs(out.mean() - tgt.mean()) < abs(src.mean() - tgt.mean())
+    assert abs(out.std() - tgt.std()) < abs(src.std() - tgt.std())
+
+
+def test_outpaint(sd):
+    from maua_tpu.diffusion.outpaint import outpaint
+
+    img = np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32) * 2 - 1
+    out = outpaint(sd, jnp.asarray(img), expand=(16, 16, 16, 16), text="t", t_start=0.5)
+    assert out.shape == (1, 64, 64, 3)
+    # interior preserved
+    assert np.allclose(np.asarray(out)[:, 16:48, 16:48], img, atol=1e-5)
+
+
+def test_interpolate_latents(sd):
+    from maua_tpu.diffusion.interpolate import interpolate_latents
+
+    rs = np.random.RandomState(2)
+    imgs = [rs.rand(1, 32, 32, 3).astype(np.float32) for _ in range(3)]
+    frames = interpolate_latents(sd, imgs, n_frames=8, batch_size=4)
+    assert frames.shape == (8, 32, 32, 3)
+    assert np.all(np.isfinite(frames))
+
+
+def test_klmc2_animation(sd):
+    from maua_tpu.diffusion.klmc2 import klmc2_animation
+
+    frames = klmc2_animation(sd, shape=(32, 32), n_frames=6, batch_decode=3)
+    assert frames.shape == (6, 32, 32, 3)
+    assert np.all(np.isfinite(frames))
+    # trajectory actually moves
+    assert np.abs(frames[0] - frames[-1]).mean() > 1e-5
+
+
+def test_finetune_reduces_loss(sd):
+    from maua_tpu.diffusion.finetune import finetune
+
+    rs = np.random.RandomState(3)
+    images = rs.rand(4, 32, 32, 3).astype(np.float32) * 2 - 1
+    captions = ["a", "b", "c", "d"]
+    before = jax.tree_util.tree_leaves(sd.unet_params)[0]
+    finetune(sd, images, captions, n_steps=3, batch_size=2, verbose=False)
+    after = jax.tree_util.tree_leaves(sd.unet_params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_unet_converter_from_synthetic_compvis():
+    """Build a synthetic CompVis-style state dict for the tiny UNet and
+    convert; forward must run with matching shapes."""
+    from maua_tpu.diffusion.load import unet_params_from_compvis
+
+    rs = np.random.RandomState(4)
+    mc = TINY_UNET.model_channels
+    emb = mc * 4
+    sd = {}
+
+    def lin(name, ci, co):
+        sd[f"{name}.weight"] = rs.randn(co, ci).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros(co, np.float32)
+
+    def conv(name, ci, co, k=3):
+        sd[f"{name}.weight"] = rs.randn(co, ci, k, k).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros(co, np.float32)
+
+    def norm(name, c):
+        sd[f"{name}.weight"] = np.ones(c, np.float32)
+        sd[f"{name}.bias"] = np.zeros(c, np.float32)
+
+    def res(name, ci, co):
+        norm(f"{name}.in_layers.0", ci)
+        conv(f"{name}.in_layers.2", ci, co)
+        lin(f"{name}.emb_layers.1", emb, co)
+        norm(f"{name}.out_layers.0", co)
+        conv(f"{name}.out_layers.3", co, co)
+        if ci != co:
+            conv(f"{name}.skip_connection", ci, co, k=1)
+
+    def spatial(name, c, ctx):
+        norm(f"{name}.norm", c)
+        conv(f"{name}.proj_in", c, c, k=1)
+        bp = f"{name}.transformer_blocks.0"
+        for nn in ("norm1", "norm2", "norm3"):
+            norm(f"{bp}.{nn}", c)
+        for qkv, d_in in (("attn1.to_q", c), ("attn1.to_k", c), ("attn1.to_v", c)):
+            sd[f"{bp}.{qkv}.weight"] = rs.randn(c, d_in).astype(np.float32) * 0.05
+        lin(f"{bp}.attn1.to_out.0", c, c)
+        for qkv, d_in in (("attn2.to_q", c), ("attn2.to_k", ctx), ("attn2.to_v", ctx)):
+            sd[f"{bp}.{qkv}.weight"] = rs.randn(c, d_in).astype(np.float32) * 0.05
+        lin(f"{bp}.attn2.to_out.0", c, c)
+        lin(f"{bp}.ff.net.0.proj", c, c * 8)
+        lin(f"{bp}.ff.net.2", c * 4, c)
+        conv(f"{name}.proj_out", c, c, k=1)
+
+    ctx = TINY_UNET.context_dim
+    lin("time_embed.0", mc, emb)
+    lin("time_embed.2", emb, emb)
+    conv("input_blocks.0.0", 4, mc)
+    # level 0: 1 resblock (mc -> mc); then downsample; level 1: mc -> 2mc + attn
+    res("input_blocks.1.0", mc, mc)
+    conv("input_blocks.2.0.op", mc, mc)
+    res("input_blocks.3.0", mc, 2 * mc)
+    spatial("input_blocks.3.1", 2 * mc, ctx)
+    res("middle_block.0", 2 * mc, 2 * mc)
+    spatial("middle_block.1", 2 * mc, ctx)
+    res("middle_block.2", 2 * mc, 2 * mc)
+    # output blocks: level1: 2 blocks w/ attn (skip 2mc then 2mc), last has upsample; level0: 2 blocks
+    res("output_blocks.0.0", 4 * mc, 2 * mc)
+    spatial("output_blocks.0.1", 2 * mc, ctx)
+    res("output_blocks.1.0", 3 * mc, 2 * mc)
+    spatial("output_blocks.1.1", 2 * mc, ctx)
+    conv("output_blocks.1.2.conv", 2 * mc, 2 * mc)
+    res("output_blocks.2.0", 3 * mc, mc)
+    res("output_blocks.3.0", 2 * mc, mc)
+    norm("out.0", mc)
+    conv("out.2", mc, 4)
+
+    params = unet_params_from_compvis(sd, TINY_UNET)
+    x = rs.randn(1, 8, 8, 4).astype(np.float32)
+    context = rs.randn(1, 4, ctx).astype(np.float32)
+    out = unet_mod.forward(params, x, jnp.array([10.0]), TINY_UNET, context)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_text_converter_from_synthetic_hf():
+    from maua_tpu.diffusion.load import clip_text_params_from_hf
+    from maua_tpu.text.clip_text import encode_text
+
+    rs = np.random.RandomState(5)
+    cfg = TINY_TEXT
+    sd = {
+        "embeddings.token_embedding.weight": rs.randn(cfg.vocab_size, cfg.width).astype(np.float32) * 0.02,
+        "embeddings.position_embedding.weight": rs.randn(cfg.context_length, cfg.width).astype(np.float32) * 0.01,
+        "final_layer_norm.weight": np.ones(cfg.width, np.float32),
+        "final_layer_norm.bias": np.zeros(cfg.width, np.float32),
+    }
+    for i in range(cfg.layers):
+        b = f"encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            sd[f"{b}.{ln}.weight"] = np.ones(cfg.width, np.float32)
+            sd[f"{b}.{ln}.bias"] = np.zeros(cfg.width, np.float32)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            sd[f"{b}.self_attn.{proj}.weight"] = rs.randn(cfg.width, cfg.width).astype(np.float32) * 0.05
+            sd[f"{b}.self_attn.{proj}.bias"] = np.zeros(cfg.width, np.float32)
+        sd[f"{b}.mlp.fc1.weight"] = rs.randn(cfg.width * 4, cfg.width).astype(np.float32) * 0.05
+        sd[f"{b}.mlp.fc1.bias"] = np.zeros(cfg.width * 4, np.float32)
+        sd[f"{b}.mlp.fc2.weight"] = rs.randn(cfg.width, cfg.width * 4).astype(np.float32) * 0.05
+        sd[f"{b}.mlp.fc2.bias"] = np.zeros(cfg.width, np.float32)
+
+    params = clip_text_params_from_hf(sd, cfg)
+    out = encode_text(params, jnp.asarray([[49406, 320, 49407, 0, 0, 0, 0, 0]]), cfg)
+    assert out.shape == (1, 8, cfg.width)
+    assert np.all(np.isfinite(np.asarray(out)))
