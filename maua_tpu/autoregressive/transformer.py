@@ -1,0 +1,270 @@
+"""Autoregressive token transformer for text-to-image/video.
+
+TPU-native stand-in for the reference's autoregressive wrappers
+(`maua/autoregressive/`, SURVEY.md 2.11): ru-dalle / minDALLE /
+CogVideo all wrap decoder-only transformers over VQ token grids (the
+actual nets live in stripped submodules). This module provides the
+shared machinery: a functional GPT-style decoder with 2D (row/col)
+positional structure, KV-cached `lax.scan` sampling with
+top-k/top-p/temperature, and tensor-parallel-friendly weight layouts
+(attention heads and MLP features shard on the mesh `tensor` axis —
+the pjit replacement for CogVideo's megatron TP,
+`cog/video/generate.py:1250-1253`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ARConfig:
+    vocab_size: int = 8192  # image token codebook
+    text_vocab_size: int = 16384
+    text_length: int = 64
+    image_rows: int = 16
+    image_cols: int = 16
+    width: int = 256
+    layers: int = 4
+    heads: int = 8
+    dtype: str = "float32"
+
+    @property
+    def image_length(self) -> int:
+        return self.image_rows * self.image_cols
+
+    @property
+    def total_length(self) -> int:
+        return self.text_length + self.image_length
+
+    @property
+    def total_vocab(self) -> int:
+        return self.text_vocab_size + self.vocab_size
+
+
+def init_params(key, cfg: ARConfig) -> Dict:
+    keys = iter(jax.random.split(key, 16 + cfg.layers * 8))
+    nk = lambda: next(keys)
+    w = cfg.width
+    p = {
+        "tok_emb": jax.random.normal(nk(), (cfg.total_vocab, w)) * 0.02,
+        "pos_emb": jax.random.normal(nk(), (cfg.total_length, w)) * 0.01,
+        "row_emb": jax.random.normal(nk(), (cfg.image_rows, w)) * 0.01,
+        "col_emb": jax.random.normal(nk(), (cfg.image_cols, w)) * 0.01,
+        "ln_f": {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))},
+        "head": {"w": jax.random.normal(nk(), (w, cfg.total_vocab)) * 0.02},
+        "blocks": [],
+    }
+    for _ in range(cfg.layers):
+        p["blocks"].append({
+            "ln1": {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))},
+            "qkv": {"w": jax.random.normal(nk(), (w, 3 * w)) * (1 / math.sqrt(w)), "b": jnp.zeros((3 * w,))},
+            "proj": {"w": jax.random.normal(nk(), (w, w)) * (1 / math.sqrt(w)), "b": jnp.zeros((w,))},
+            "ln2": {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))},
+            "fc1": {"w": jax.random.normal(nk(), (w, 4 * w)) * (1 / math.sqrt(w)), "b": jnp.zeros((4 * w,))},
+            "fc2": {"w": jax.random.normal(nk(), (4 * w, w)) * (1 / math.sqrt(4 * w)), "b": jnp.zeros((w,))},
+        })
+    return p
+
+
+def _ln(p, x):
+    xf = x.astype(jnp.float32)
+    out = (xf - xf.mean(-1, keepdims=True)) * jax.lax.rsqrt(xf.var(-1, keepdims=True) + 1e-5)
+    return (out * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _positions(cfg: ARConfig, idx: jax.Array) -> jax.Array:
+    """Combined position embedding lookup supporting the 2D image
+    grid (ru-dalle style row/col factorization)."""
+    return idx  # raw index; embedding composed in forward
+
+
+def forward(
+    params: Dict,
+    tokens: jax.Array,  # (B, T)
+    cfg: ARConfig,
+    mask: Optional[jax.Array] = None,  # (T, T) attention mask override
+) -> jax.Array:
+    """Full-sequence logits (training / scoring path)."""
+    b, t = tokens.shape
+    x = params["tok_emb"][tokens]
+    pos = params["pos_emb"][:t]
+    # add 2D row/col structure on the image segment
+    img_idx = jnp.arange(t) - cfg.text_length
+    in_img = img_idx >= 0
+    rows = jnp.clip(img_idx // cfg.image_cols, 0, cfg.image_rows - 1)
+    cols = jnp.clip(img_idx % cfg.image_cols, 0, cfg.image_cols - 1)
+    pos = pos + jnp.where(in_img[:, None], params["row_emb"][rows] + params["col_emb"][cols], 0.0)
+    x = x + pos[None]
+
+    if mask is None:
+        mask = jnp.tril(jnp.ones((t, t), bool))
+    neg = jnp.asarray(-1e9, jnp.float32)
+
+    for blk in params["blocks"]:
+        h = _ln(blk["ln1"], x)
+        qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = cfg.width // cfg.heads
+        q = q.reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) / math.sqrt(hd)
+        logits = jnp.where(mask[None, None], logits, neg)
+        probs = jax.nn.softmax(logits, -1).astype(x.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, t, cfg.width)
+        x = x + att @ blk["proj"]["w"] + blk["proj"]["b"]
+        h = _ln(blk["ln2"], x)
+        x = x + jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
+
+    x = _ln(params["ln_f"], x)
+    return x @ params["head"]["w"]
+
+
+def _sample_logits(key, logits, temperature=1.0, top_k=0, top_p=0.0):
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p > 0.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, -1)
+        cum = jnp.cumsum(probs, -1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "top_k", "top_p", "n_image_tokens"))
+def generate_tokens(
+    params: Dict,
+    text_tokens: jax.Array,  # (B, text_length)
+    cfg: ARConfig,
+    key,
+    temperature: float = 1.0,
+    top_k: int = 64,
+    top_p: float = 0.0,
+    n_image_tokens: Optional[int] = None,
+) -> jax.Array:
+    """Sample image tokens autoregressively via lax.scan (the hot loop
+    of ru-dalle/minDALLE generation, `ru_dalle/generate.py:41-121`).
+
+    NOTE: recomputes the prefix each step (O(T^2) per token) — the
+    KV-cache path is `generate_tokens_cached`."""
+    n_img = n_image_tokens or cfg.image_length
+    b = text_tokens.shape[0]
+    total = cfg.text_length + n_img
+    tokens0 = jnp.concatenate(
+        [text_tokens, jnp.zeros((b, n_img), jnp.int32)], axis=1
+    )
+
+    def step(carry, i):
+        tokens, k = carry
+        k, sub = jax.random.split(k)
+        logits = forward(params, tokens, cfg)
+        step_logits = logits[:, cfg.text_length + i - 1, cfg.text_vocab_size:]
+        nxt = _sample_logits(sub, step_logits, temperature, top_k, top_p) + cfg.text_vocab_size
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None].astype(jnp.int32),
+                                              (0, cfg.text_length + i))
+        return (tokens, k), None
+
+    (tokens, _), _ = jax.lax.scan(step, (tokens0, key), jnp.arange(n_img))
+    return tokens[:, cfg.text_length:] - cfg.text_vocab_size
+
+
+def generate_tokens_cached(params, text_tokens, cfg: ARConfig, key, temperature=1.0, top_k=64):
+    """KV-cached incremental decoding: one attention row per new token."""
+    b = text_tokens.shape[0]
+    w, heads = cfg.width, cfg.heads
+    hd = w // heads
+    total = cfg.total_length
+
+    # prefill on the text prefix
+    def attn_step(blk, x_t, cache_k, cache_v, pos):
+        """x_t: (B, W) single position; returns (out, new caches)."""
+        h = _ln(blk["ln1"], x_t)
+        qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k.reshape(b, 1, heads, hd), (0, pos, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v.reshape(b, 1, heads, hd), (0, pos, 0, 0))
+        qh = q.reshape(b, heads, 1, hd)
+        kh = cache_k.transpose(0, 2, 1, 3)
+        vh = cache_v.transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32) / math.sqrt(hd)
+        pos_mask = jnp.arange(total)[None, None, None, :] <= pos
+        logits = jnp.where(pos_mask, logits, -1e9)
+        probs = jax.nn.softmax(logits, -1).astype(x_t.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", probs, vh).reshape(b, w)
+        out = x_t + att @ blk["proj"]["w"] + blk["proj"]["b"]
+        h2 = _ln(blk["ln2"], out)
+        out = out + jax.nn.gelu(h2 @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
+        return out, cache_k, cache_v
+
+    caches = [
+        (jnp.zeros((b, total, heads, hd)), jnp.zeros((b, total, heads, hd))) for _ in range(cfg.layers)
+    ]
+
+    def embed(tok, pos):
+        x = params["tok_emb"][tok]
+        pe = params["pos_emb"][pos]
+        img_idx = pos - cfg.text_length
+        pe = pe + jnp.where(
+            img_idx >= 0,
+            params["row_emb"][jnp.clip(img_idx // cfg.image_cols, 0, cfg.image_rows - 1)]
+            + params["col_emb"][jnp.clip(img_idx % cfg.image_cols, 0, cfg.image_cols - 1)],
+            0.0,
+        )
+        return x + pe[None]
+
+    def run_position(tok, pos, caches):
+        x = embed(tok, pos)
+        new_caches = []
+        for blk, (ck, cv) in zip(params["blocks"], caches):
+            x, ck, cv = attn_step(blk, x, ck, cv, pos)
+            new_caches.append((ck, cv))
+        x = _ln(params["ln_f"], x)
+        return x @ params["head"]["w"], new_caches
+
+    # prefill text
+    logits = None
+    for pos in range(cfg.text_length):
+        logits, caches = run_position(text_tokens[:, pos], pos, caches)
+
+    out_tokens = []
+    tok = None
+    for i in range(cfg.image_length):
+        key, sub = jax.random.split(key)
+        step_logits = logits[:, cfg.text_vocab_size:]
+        tok = _sample_logits(sub, step_logits, temperature, top_k) + cfg.text_vocab_size
+        out_tokens.append(tok - cfg.text_vocab_size)
+        if i < cfg.image_length - 1:
+            logits, caches = run_position(tok.astype(jnp.int32), cfg.text_length + i, caches)
+    return jnp.stack(out_tokens, axis=1)
+
+
+def tp_shardings(params: Dict, mesh):
+    """NamedShardings for tensor parallelism: attention heads and MLP
+    features shard on `tensor` (the pjit replacement for CogVideo's
+    megatron mpu TP, SURVEY 2.14)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec(path_leaf):
+        path, leaf = path_leaf
+        names = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        if "qkv" in names or "fc1" in names or "head" in names:
+            return NamedSharding(mesh, P(None, "tensor"))
+        if "proj" in names or "fc2" in names:
+            return NamedSharding(mesh, P("tensor", None))
+        return NamedSharding(mesh, P())
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    shardings = [spec(pl) if pl[1].ndim == 2 else NamedSharding(mesh, P()) for pl in flat]
+    return jax.tree_util.tree_unflatten(treedef, shardings)
