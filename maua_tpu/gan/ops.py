@@ -134,6 +134,20 @@ def upfirdn2d(
         f = np.ones((1, 1), dtype=np.float32)
     padx0, padx1, pady0, pady1 = padding
     c = x.shape[-1]
+    if f.ndim == 1:
+        # separable: two 1-D depthwise passes (SG3's kaiser-sinc
+        # filters); gain^(1/2) per pass
+        f1 = (f * (gain ** 0.5)).astype(np.float32)
+        ky = jnp.tile(jnp.asarray(f1, x.dtype)[:, None, None, None], (1, 1, 1, c))
+        kx = jnp.tile(jnp.asarray(f1, x.dtype)[None, :, None, None], (1, 1, 1, c))
+        y = jax.lax.conv_general_dilated(
+            x, ky, window_strides=(down, 1), padding=((pady0, pady1 + up - 1), (0, 0)),
+            lhs_dilation=(up, 1), feature_group_count=c, dimension_numbers=_DN,
+        )
+        return jax.lax.conv_general_dilated(
+            y, kx, window_strides=(1, down), padding=((0, 0), (padx0, padx1 + up - 1)),
+            lhs_dilation=(1, up), feature_group_count=c, dimension_numbers=_DN,
+        )
     fgained = f * (gain ** (f.ndim / 2))
     kernel = _depthwise_kernel(fgained, c, x.dtype)
     # lhs_dilation yields (H-1)*up+1 samples; the reference's

@@ -1,0 +1,260 @@
+"""StyleGAN3 (alias-free) generator, pure-functional JAX.
+
+The reference's SG3 network lives in the stripped `GAN/nv` submodule;
+its first-party wrapper (`maua/GAN/wrappers/stylegan3.py:15-133`)
+manipulates the input Fourier-feature transform (translate/rotate
+:82-93), output resizing with per-layer multipliers :15-19, and the
+@RiversHaveWings stabilization trick :54-58. This module implements
+the alias-free-T generator from the published architecture: Fourier
+input with learned affine transform, modulated convs, and filtered
+nonlinearities (kaiser-sinc up 2x -> lrelu -> down) with per-layer
+cutoff/sampling-rate schedules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import ops
+from .stylegan2 import fc_forward, _init_fc
+
+
+@dataclasses.dataclass(frozen=True)
+class SG3Config:
+    z_dim: int = 512
+    w_dim: int = 512
+    img_resolution: int = 1024
+    img_channels: int = 3
+    num_layers: int = 14
+    num_critical: int = 2
+    channel_base: int = 32768
+    channel_max: int = 512
+    first_cutoff: float = 2.0
+    first_stopband: float = 2.0 ** 2.1
+    last_stopband_rel: float = 2.0 ** 0.3
+    margin_size: int = 10
+    filter_size: int = 6
+    mapping_layers: int = 2
+    conv_kernel: int = 3
+    dtype: str = "float32"
+
+    def layer_plan(self):
+        """Per-layer (cutoff, stopband, sampling rate, size, channels)
+        — the alias-free-T scheduling."""
+        n = self.num_layers
+        last_cutoff = self.img_resolution / 2
+        last_stopband = last_cutoff * self.last_stopband_rel
+        exponents = np.minimum(np.arange(n + 1) / (n - self.num_critical), 1.0)
+        cutoffs = self.first_cutoff * (last_cutoff / self.first_cutoff) ** exponents
+        stopbands = self.first_stopband * (last_stopband / self.first_stopband) ** exponents
+        srates = np.exp2(np.ceil(np.log2(np.minimum(stopbands * 2, self.img_resolution))))
+        half_widths = np.maximum(stopbands, srates / 2) - cutoffs
+        sizes = srates + self.margin_size * 2
+        sizes[-2:] = self.img_resolution
+        channels = np.rint(np.minimum((self.channel_base / 2) / cutoffs, self.channel_max))
+        channels[-1] = self.img_channels
+        return cutoffs, stopbands, srates, half_widths, sizes.astype(int), channels.astype(int)
+
+    @property
+    def num_ws(self) -> int:
+        return self.num_layers + 2
+
+
+def _lowpass(numtaps: int, cutoff: float, width: float, fs: float) -> Optional[np.ndarray]:
+    """Kaiser-windowed sinc lowpass (scipy firwin)."""
+    if numtaps == 1:
+        return None
+    from scipy.signal import firwin, kaiser_atten, kaiser_beta
+
+    beta = kaiser_beta(kaiser_atten(numtaps, width * 2 / fs))
+    return firwin(numtaps, cutoff, window=("kaiser", beta), fs=fs).astype(np.float32)
+
+
+def init_params(key, cfg: SG3Config) -> Dict:
+    keys = iter(jax.random.split(key, 64 + cfg.num_layers * 4))
+    nk = lambda: next(keys)
+    cutoffs, stopbands, srates, half_widths, sizes, channels = cfg.layer_plan()
+
+    mapping = {}
+    for i in range(cfg.mapping_layers):
+        ci = cfg.z_dim if i == 0 else cfg.w_dim
+        mapping[f"fc{i}"] = _init_fc(nk(), ci, cfg.w_dim, lr_multiplier=0.01)
+    mapping["w_avg"] = jnp.zeros((cfg.w_dim,))
+
+    # SynthesisInput: fourier frequencies within the first cutoff disk
+    c0 = int(channels[0])
+    rk = nk()
+    freqs = jax.random.normal(rk, (c0, 2))
+    radii = jnp.sqrt(jnp.sum(jnp.square(freqs), axis=1, keepdims=True))
+    freqs = freqs / radii * jnp.exp(jax.random.uniform(nk(), (c0, 1)) * 0.25) * cfg.first_cutoff
+    phases = jax.random.uniform(nk(), (c0,)) - 0.5
+    input_p = {
+        "freqs": freqs,
+        "phases": phases,
+        "affine": _init_fc(nk(), cfg.w_dim, 4),
+        "weight": jax.random.normal(nk(), (1, 1, c0, c0)) / math.sqrt(c0),
+        "transform": jnp.eye(3),
+    }
+    # affine bias init: (1, 0, 0, 0) (r_c, r_s, t_x, t_y)
+    input_p["affine"]["b"] = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    input_p["affine"]["w"] = input_p["affine"]["w"] * 0.0  # zero weight like NVIDIA init
+
+    layers = []
+    for i in range(cfg.num_layers):
+        ci, co = int(channels[i]), int(channels[i + 1])
+        is_torgb = i == cfg.num_layers - 1
+        k = 1 if is_torgb else cfg.conv_kernel
+        layers.append({
+            "affine": _init_fc(nk(), cfg.w_dim, ci, bias_init=1.0),
+            "weight": jax.random.normal(nk(), (k, k, ci, co)),
+            "bias": jnp.zeros((co,)),
+            "magnitude_ema": jnp.ones(()),
+        })
+    return {"mapping": mapping, "input": input_p, "layers": layers}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mapping(params: Dict, z: jax.Array, cfg: SG3Config, truncation_psi: float = 1.0) -> jax.Array:
+    x = ops.normalize_2nd_moment(z.astype(jnp.float32))
+    for i in range(cfg.mapping_layers):
+        x = fc_forward(params["mapping"][f"fc{i}"], x, activation="lrelu", lr_multiplier=0.01)
+    ws = jnp.tile(x[:, None], (1, cfg.num_ws, 1))
+    w_avg = params["mapping"]["w_avg"]
+    return w_avg + truncation_psi * (ws - w_avg)
+
+
+def synthesis_input(params: Dict, w0: jax.Array, cfg: SG3Config, size: int, srate: float,
+                    transform: Optional[jax.Array] = None) -> jax.Array:
+    """Fourier-feature input plane with per-sample learned affine +
+    user transform (the surface the reference wrapper's
+    translate/rotate drives, `wrappers/stylegan3.py:54-61,82-93`)."""
+    p = params["input"]
+    b = w0.shape[0]
+    t = fc_forward(p["affine"], w0)  # (B, 4): r_c, r_s, t_x, t_y
+    t = t / jnp.maximum(jnp.linalg.norm(t[:, :2], axis=1, keepdims=True), 1e-8)
+    m_r = jnp.zeros((b, 3, 3)).at[:, 0, 0].set(t[:, 0]).at[:, 0, 1].set(-t[:, 1]) \
+        .at[:, 1, 0].set(t[:, 1]).at[:, 1, 1].set(t[:, 0]).at[:, 2, 2].set(1.0)
+    m_t = jnp.tile(jnp.eye(3)[None], (b, 1, 1)).at[:, 0, 2].set(-t[:, 2]).at[:, 1, 2].set(-t[:, 3])
+    user = transform if transform is not None else p["transform"]
+    if user.ndim == 2:
+        user = jnp.tile(user[None], (b, 1, 1))
+    transforms = m_r @ m_t @ user  # (B, 3, 3)
+
+    freqs = p["freqs"][None] @ transforms[:, :2, :2]  # (B, C, 2)
+    phases = p["phases"][None] + jnp.einsum("bcd,bd->bc", freqs, transforms[:, :2, 2])
+
+    # amplitude rolloff near the band limit
+    amp = 1.0 - jnp.clip(
+        (jnp.linalg.norm(freqs, axis=-1) - cfg.first_cutoff) / (srate / 2 - cfg.first_cutoff), 0, 1
+    )  # (B, C)
+
+    theta = (jnp.arange(size) + 0.5) / srate - (size / srate) / 2
+    gx = jnp.einsum("x,bc->bxc", theta, freqs[:, :, 0])  # (B, X, C)
+    gy = jnp.einsum("y,bc->byc", theta, freqs[:, :, 1])  # (B, Y, C)
+    field = gy[:, :, None, :] + gx[:, None, :, :] + phases[:, None, None, :]
+    feats = jnp.sin(field * (2 * jnp.pi)) * amp[:, None, None, :]  # (B, H, W, C)
+    return jax.lax.conv_general_dilated(feats, p["weight"], (1, 1), "VALID",
+                                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[jax.Array] = None) -> jax.Array:
+    """ws (B, num_ws, w_dim) -> (B, H, W, C) in [-1, 1]."""
+    cutoffs, stopbands, srates, half_widths, sizes, channels = cfg.layer_plan()
+    x = synthesis_input(params, ws[:, 0], cfg, int(sizes[0]), float(srates[0]), transform)
+
+    for i, layer in enumerate(params["layers"]):
+        is_torgb = i == cfg.num_layers - 1
+        in_rate, out_rate = float(srates[i]), float(srates[i + 1])
+        in_size, out_size = int(sizes[i]), int(sizes[i + 1])
+        in_cut, out_cut = float(cutoffs[i]), float(cutoffs[i + 1])
+        in_hw, out_hw = float(half_widths[i]), float(half_widths[i + 1])
+
+        styles = fc_forward(layer["affine"], ws[:, i + 1])
+        if is_torgb:
+            styles = styles * (1.0 / math.sqrt(int(channels[i])))
+        w = layer["weight"] * (1.0 / math.sqrt(np.prod(layer["weight"].shape[:3])))
+        w = w / jnp.maximum(jnp.sqrt(layer["magnitude_ema"]), 1e-8)
+        x = ops.modulated_conv2d(x, w, styles, padding=w.shape[0] // 2, demodulate=not is_torgb)
+        x = x + layer["bias"]
+
+        if is_torgb:
+            break
+
+        # filtered nonlinearity: up to tmp_rate, lrelu, down to out_rate
+        tmp_rate = max(in_rate, out_rate) * 2
+        up = int(np.rint(tmp_rate / in_rate))
+        down = int(np.rint(tmp_rate / out_rate))
+        up_taps = cfg.filter_size * up if up > 1 else 1
+        down_taps = cfg.filter_size * down if down > 1 else 1
+        up_f = _lowpass(up_taps, in_cut, in_hw, tmp_rate)
+        down_f = _lowpass(down_taps, out_cut, out_hw, tmp_rate)
+
+        # geometry: pad so the output crops to out_size centered
+        pad_total = (out_size - 1) * down + 1
+        pad_total -= (in_size * up + (up_taps - 1) - (up - 1))
+        pad_total += up_taps + down_taps - 2 if (up > 1 and down > 1) else 0
+        # simpler robust path: filter with 'same'-ish padding then
+        # center-crop/pad to out_size
+        if up > 1:
+            pt = (up_taps - 1) // 2
+            x = ops.upfirdn2d(x, up_f, up=up, padding=(pt, up_taps - 1 - pt, pt, up_taps - 1 - pt), gain=up * up)
+        x = jax.nn.leaky_relu(x, 0.2) * math.sqrt(2.0)
+        if down > 1:
+            pt = (down_taps - 1) // 2
+            x = ops.upfirdn2d(x, down_f, down=down, padding=(pt, down_taps - 1 - pt, pt, down_taps - 1 - pt))
+        # center crop / pad to the target canvas
+        h = x.shape[1]
+        if h > out_size:
+            o = (h - out_size) // 2
+            x = x[:, o : o + out_size, o : o + out_size, :]
+        elif h < out_size:
+            o = (out_size - h) // 2
+            x = jnp.pad(x, ((0, 0), (o, out_size - h - o), (o, out_size - h - o), (0, 0)))
+
+    return x.astype(jnp.float32)
+
+
+def make_transform_mat(translate: Tuple[float, float], angle_deg: float) -> jnp.ndarray:
+    """(`wrappers/stylegan3.py:82-93`): inverse rotation+translation
+    fed into the input transform."""
+    s = math.sin(angle_deg / 360.0 * math.pi * 2)
+    c = math.cos(angle_deg / 360.0 * math.pi * 2)
+    m = np.array([[c, s, translate[0]], [-s, c, translate[1]], [0, 0, 1]], np.float64)
+    try:
+        m = np.linalg.inv(m)
+    except np.linalg.LinAlgError:
+        m = np.linalg.pinv(m)
+    return jnp.asarray(m, jnp.float32)
+
+
+class StyleGAN3:
+    """Facade mirroring the reference wrapper surface
+    (`wrappers/stylegan3.py:26-133`)."""
+
+    def __init__(self, cfg: Optional[SG3Config] = None, params: Optional[Dict] = None, key=None):
+        self.cfg = cfg or SG3Config()
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.params = params if params is not None else init_params(key, self.cfg)
+        self.num_ws = self.cfg.num_ws
+        self.w_dim = self.cfg.w_dim
+
+    def mapper(self, z, truncation: float = 1.0):
+        return mapping(self.params, jnp.asarray(z), self.cfg, truncation)
+
+    def synthesizer(self, latents, translation=None, rotation=None):
+        transform = None
+        if translation is not None or rotation is not None:
+            t = translation if translation is not None else (0.0, 0.0)
+            r = rotation if rotation is not None else 0.0
+            transform = make_transform_mat(tuple(np.asarray(t).reshape(-1)[:2]), float(np.asarray(r).reshape(-1)[0]))
+        return synthesis(self.params, jnp.asarray(latents), self.cfg, transform)
+
+    def __call__(self, z, truncation: float = 1.0, translation=None, rotation=None):
+        return self.synthesizer(self.mapper(z, truncation), translation, rotation)

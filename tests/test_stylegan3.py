@@ -1,0 +1,69 @@
+"""Tests for the alias-free StyleGAN3 generator
+(reference: maua/GAN/wrappers/stylegan3.py surface)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maua_tpu.gan import stylegan3 as sg3
+
+CFG = sg3.SG3Config(
+    z_dim=32, w_dim=32, img_resolution=64, channel_base=1024, channel_max=64,
+    num_layers=6, mapping_layers=2, margin_size=4,
+)
+
+
+@pytest.fixture(scope="module")
+def gen():
+    return sg3.StyleGAN3(CFG, key=jax.random.PRNGKey(0))
+
+
+def test_layer_plan():
+    cutoffs, stopbands, srates, half_widths, sizes, channels = CFG.layer_plan()
+    assert len(cutoffs) == CFG.num_layers + 1
+    assert cutoffs[0] == CFG.first_cutoff
+    assert cutoffs[-1] == CFG.img_resolution / 2
+    assert np.all(np.diff(cutoffs) >= 0)
+    assert sizes[-1] == CFG.img_resolution
+    assert channels[-1] == CFG.img_channels
+
+
+def test_generator_forward(gen):
+    z = np.random.RandomState(0).randn(2, 32).astype(np.float32)
+    img = gen(z)
+    assert img.shape == (2, 64, 64, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_translation_shifts_output(gen):
+    """The defining SG3 property: input-transform translation shifts
+    the image content continuously."""
+    z = np.random.RandomState(1).randn(1, 32).astype(np.float32)
+    ws = gen.mapper(z)
+    base = np.asarray(gen.synthesizer(ws))
+    shifted = np.asarray(gen.synthesizer(ws, translation=(0.25, 0.0)))
+    assert not np.allclose(base, shifted)
+    # shifting by a quarter frame should roughly align base shifted in x
+    px = int(0.25 * 64 / (64 / CFG.img_resolution))  # 16 px at out res
+    a = base[0, :, : 64 - 16]
+    b = shifted[0, :, 16:]
+    err_aligned = np.abs(a - b).mean()
+    err_raw = np.abs(base[0, :, 16:] - shifted[0, :, 16:]).mean()
+    assert err_aligned < err_raw
+
+
+def test_rotation_changes_output(gen):
+    z = np.random.RandomState(2).randn(1, 32).astype(np.float32)
+    ws = gen.mapper(z)
+    base = np.asarray(gen.synthesizer(ws))
+    rot = np.asarray(gen.synthesizer(ws, rotation=45.0))
+    assert not np.allclose(base, rot)
+
+
+def test_truncation(gen):
+    z = np.random.RandomState(3).randn(1, 32).astype(np.float32)
+    ws0 = np.asarray(gen.mapper(z, truncation=0.0))
+    w_avg = np.asarray(gen.params["mapping"]["w_avg"])
+    assert np.allclose(ws0, np.broadcast_to(w_avg, ws0.shape), atol=1e-6)
