@@ -1,0 +1,97 @@
+"""Training data pipeline: image folder -> cached array store ->
+device-side augmented batches.
+
+Rebuild of the reference's FFCV `.beton` pipeline
+(`maua/GAN/training/__main__.py:167-203`: cached preprocessed dataset
++ random-crop decoder + flip): here a one-time npy cache (the .beton
+role) and a host iterator feeding device_put batches, with the random
+crop/flip running on device.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def build_cache(input_dir: str, resolution: int, cache_file: Optional[str] = None) -> str:
+    """Decode + center-crop-resize all images once into one npy
+    (`__main__.py:167-185` beton build)."""
+    from PIL import Image
+
+    cache_file = cache_file or os.path.join(input_dir, f"cache_{resolution}.npy")
+    if os.path.exists(cache_file):
+        return cache_file
+    paths = sorted(p for p in Path(input_dir).rglob("*") if p.suffix.lower() in IMAGE_EXTS)
+    if not paths:
+        raise FileNotFoundError(f"no images under {input_dir}")
+    arrs = []
+    for p in paths:
+        im = Image.open(p).convert("RGB")
+        w, h = im.size
+        s = min(w, h)
+        im = im.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2)).resize((resolution, resolution))
+        arrs.append(np.asarray(im, np.uint8))
+    np.save(cache_file, np.stack(arrs))
+    return cache_file
+
+
+class ImageDataset:
+    """Epoch iterator over the cached array with device-side
+    normalize + random flip (`__main__.py:186-203` decode pipeline)."""
+
+    def __init__(self, cache_file: str, batch_size: int, seed: int = 0, mesh=None):
+        self.data = np.load(cache_file, mmap_mode="r")
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.mesh = mesh
+
+    def __len__(self):
+        return len(self.data) // self.batch_size
+
+    def __iter__(self) -> Iterator[jax.Array]:
+        order = self.rng.permutation(len(self.data))
+        for i in range(len(self)):
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            batch = np.asarray(self.data[np.sort(idx)], np.float32) / 127.5 - 1.0
+            arr = jnp.asarray(batch)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                arr = jax.device_put(arr, NamedSharding(self.mesh, P("data", None, None, None)))
+            yield arr
+
+
+def augment_batch(key, batch: jax.Array, p_flip: float = 0.5, p_translate: float = 0.2,
+                  max_shift: float = 0.125, p_color: float = 0.1) -> jax.Array:
+    """ADA-style differentiable augmentation on device
+    (`maua/GAN/training/augmentation/` role): x-flip, integer
+    translation, brightness/contrast jitter."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    b, h, w, c = batch.shape
+
+    flip = jax.random.bernoulli(k1, p_flip, (b,))
+    batch = jnp.where(flip[:, None, None, None], batch[:, :, ::-1, :], batch)
+
+    do_t = jax.random.bernoulli(k2, p_translate, (b,))
+    shift = jax.random.randint(k3, (b, 2), -int(max_shift * h), int(max_shift * h) + 1)
+    shift = jnp.where(do_t[:, None], shift, 0)
+
+    def translate_one(img, s):
+        return jnp.roll(img, (s[0], s[1]), axis=(0, 1))
+
+    batch = jax.vmap(translate_one)(batch, shift)
+
+    do_c = jax.random.bernoulli(k4, p_color, (b,))
+    bright = jax.random.uniform(k5, (b,), minval=-0.2, maxval=0.2)
+    batch = jnp.where(do_c[:, None, None, None], jnp.clip(batch + bright[:, None, None, None], -1, 1), batch)
+    return batch
