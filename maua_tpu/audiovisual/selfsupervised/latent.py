@@ -71,7 +71,8 @@ def latent_patch(
             f = feature[..., None]
             sequence = f * palette[selection][0][None] + (1 - f) * palette[selection][1][None]
         else:
-            selection = permutation[:n_select]
+            # wrap when the feature has more channels than the palette
+            selection = permutation[jnp.arange(n_select) % permutation.shape[0]]
             sequence = jnp.einsum("TN,NWL->TWL", feature, palette[selection])
     else:  # loop
         selection = permutation[: int(segments)]

@@ -1,0 +1,95 @@
+"""Tests for dataset utilities, interactive session, realtime module,
+profiling (reference: maua/dataset/, maua/audiovisual/interactive.py,
+render/gpu2gl.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_multicrop_dataset():
+    from maua_tpu.dataset import MultiCropDataset
+
+    rs = np.random.RandomState(0)
+    imgs = rs.rand(8, 32, 32, 3).astype(np.float32)
+    ds = MultiCropDataset(imgs, size_crops=(16, 8), n_crops=(2, 3), batch_size=4)
+    crops = next(iter(ds))
+    assert len(crops) == 5
+    assert crops[0].shape == (4, 16, 16, 3)
+    assert crops[2].shape == (4, 8, 8, 3)
+    for c in crops:
+        assert np.all(np.isfinite(np.asarray(c)))
+
+
+def test_image_ranker():
+    from maua_tpu.dataset import ImageRanker
+    from maua_tpu.perceptors.clip import AestheticPerceptor, CLIPVisionConfig
+
+    p = AestheticPerceptor(vision_cfg=CLIPVisionConfig(image_size=32, patch_size=8, width=64, layers=1,
+                                                        heads=2, embed_dim=32))
+    ranker = ImageRanker(perceptor=p)
+    imgs = np.random.RandomState(0).rand(4, 32, 32, 3).astype(np.float32) * 2 - 1
+    order = ranker.rank(imgs, prompt="test")
+    assert sorted(order.tolist()) == [0, 1, 2, 3]
+
+
+def test_laion_stub_raises():
+    from maua_tpu.dataset.ranker import laion_clip_retrieval
+
+    with pytest.raises(RuntimeError):
+        laion_clip_retrieval("query")
+
+
+def test_interactive_session():
+    from maua_tpu.audiovisual.interactive import InteractiveSession
+
+    sr = 22050
+    t = np.arange(sr * 3) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    sess = InteractiveSession(audio, sr, n_sections=2)
+    assert len(sess.patches) >= 1
+    msg = sess.apply("more", 0)
+    assert "more intense" in msg
+    msg = sess.apply("style", 0)
+    assert "style" in msg
+    palette = jax.random.normal(jax.random.PRNGKey(0), (8, 18, 32))
+    seq = sess.realize(palette)
+    assert seq.ndim == 3 and seq.shape[1:] == (18, 32)
+
+    # scripted REPL
+    script = iter(["more 0", "show", "quit"])
+    outputs = []
+    sess.repl(input_fn=lambda _: next(script), print_fn=outputs.append)
+    assert any("intense" in str(o) for o in outputs)
+
+
+def test_realtime_module():
+    from maua_tpu.audiovisual.realtime import RealtimeModule, run_realtime
+
+    def synth(ws):
+        return jnp.tanh(ws[:, 0, :3])[:, None, None, :] * jnp.ones((1, 8, 8, 3))
+
+    mod = RealtimeModule(synth, num_ws=2, w_dim=16, momentum=0.5, step_size=1.0)
+    f1 = mod.frame()
+    for _ in range(5):
+        f2 = mod.frame()
+    assert f1.shape == (8, 8, 3) and f1.dtype == np.uint8
+    assert not np.array_equal(f1, f2)  # the walk moves
+
+    frames = []
+    run_realtime(synth, 2, 16, frame_callback=frames.append, max_frames=3, target_fps=1000)
+    assert len(frames) == 3
+
+
+def test_stage_timer():
+    from maua_tpu.profiling import StageTimer
+
+    t = StageTimer(sync=False)
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a" in t.report()
