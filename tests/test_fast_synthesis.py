@@ -1,0 +1,78 @@
+"""Exactness tests for the space-to-depth fast synthesis path
+(maua_tpu/gan/fast_synthesis.py) against the reference-parity
+synthesis."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maua_tpu.gan import fast_synthesis as fs
+from maua_tpu.gan import stylegan2 as sg2
+
+
+def test_s2d_roundtrip():
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32))
+    rt = fs.depth_to_space(fs.space_to_depth(x))
+    assert np.allclose(np.asarray(rt), np.asarray(x))
+
+
+def test_extract_kernel_identity():
+    """Probing a plain conv recovers the conv."""
+    rs = np.random.RandomState(1)
+    w = rs.randn(3, 3, 4, 5).astype(np.float32)
+
+    op = lambda x: jax.lax.conv_general_dilated(x, jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+                                                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    K = fs._extract_kernel(op, 4, in_cell=1, out_cell=1)
+    x = jnp.asarray(rs.rand(2, 16, 16, 4).astype(np.float32))
+    out_ref = np.asarray(op(x))
+    out_fast = np.asarray(fs._conv(x, K, jnp.float32))
+    assert np.abs(out_fast - out_ref).max() < 1e-4
+
+
+@pytest.mark.parametrize("res,mc", [(64, 9999), (64, 48)])
+def test_fast_synthesis_exact(res, mc):
+    """mc=9999: every block >= 4 uses the fast path; mc=48: only the
+    top blocks. Both must match the reference synthesis closely."""
+    cfg = sg2.SG2Config(img_resolution=res, channel_base=res * 32, channel_max=128, num_fp16_res=0)
+    params = sg2.init_params(jax.random.PRNGKey(0), cfg)
+    ws = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.num_ws, cfg.w_dim))
+
+    ref = np.asarray(sg2.synthesis(params, ws, cfg, noise_mode="none"))
+    plan = fs.build_fast_plan(params, cfg, min_channels=mc)
+    assert plan["blocks"], "no fast blocks built"
+    out = np.asarray(fs.synthesis_fast(params, plan, ws, cfg, noise_mode="none"))
+    err = np.abs(out - ref).max()
+    assert err < 5e-3, err
+    # PSNR-style check
+    mse = np.mean((out - ref) ** 2)
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+    assert psnr > 55, psnr
+
+
+def test_fast_synthesis_with_noise_dict():
+    cfg = sg2.SG2Config(img_resolution=32, channel_base=1024, channel_max=64, num_fp16_res=0)
+    params = sg2.init_params(jax.random.PRNGKey(2), cfg)
+    ws = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.num_ws, cfg.w_dim))
+    noises = {}
+    key = jax.random.PRNGKey(4)
+    for res in cfg.block_resolutions:
+        for cname in (["conv1"] if res == 4 else ["conv0", "conv1"]):
+            key, sub = jax.random.split(key)
+            noises[f"b{res}.{cname}"] = jax.random.normal(sub, (1, res, res, 1))
+    ref = np.asarray(sg2.synthesis(params, ws, cfg, noises=noises))
+    plan = fs.build_fast_plan(params, cfg, min_channels=9999)
+    out = np.asarray(fs.synthesis_fast(params, plan, ws, cfg, noises=noises))
+    assert np.abs(out - ref).max() < 5e-3
+
+
+def test_fast_synthesis_const_noise_mode():
+    cfg = sg2.SG2Config(img_resolution=32, channel_base=1024, channel_max=64, num_fp16_res=0)
+    params = sg2.init_params(jax.random.PRNGKey(5), cfg)
+    ws = jax.random.normal(jax.random.PRNGKey(6), (2, cfg.num_ws, cfg.w_dim))
+    ref = np.asarray(sg2.synthesis(params, ws, cfg, noise_mode="const"))
+    plan = fs.build_fast_plan(params, cfg, min_channels=9999)
+    out = np.asarray(fs.synthesis_fast(params, plan, ws, cfg, noise_mode="const"))
+    assert np.abs(out - ref).max() < 5e-3
