@@ -59,9 +59,28 @@ def mel_to_hz(mels, htk: bool = False):
     return jnp.where(m >= _MIN_LOG_MEL, logpart, linear)
 
 
+def _hz_to_mel_np(f, htk=False):
+    f = np.asarray(f, np.float64)
+    if htk:
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    linear = f / _F_SP
+    logpart = _MIN_LOG_MEL + np.log(np.maximum(f, 1e-10) / _MIN_LOG_HZ) / _LOGSTEP
+    return np.where(f >= _MIN_LOG_HZ, logpart, linear)
+
+
+def _mel_to_hz_np(m, htk=False):
+    m = np.asarray(m, np.float64)
+    if htk:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    linear = _F_SP * m
+    logpart = _MIN_LOG_HZ * np.exp(_LOGSTEP * (m - _MIN_LOG_MEL))
+    return np.where(m >= _MIN_LOG_MEL, logpart, linear)
+
+
 def mel_frequencies(n_mels: int = 128, fmin: float = 0.0, fmax: float = 11025.0, htk: bool = False):
-    mels = jnp.linspace(float(hz_to_mel(fmin, htk)), float(hz_to_mel(fmax, htk)), n_mels)
-    return mel_to_hz(mels, htk)
+    """Host-side (numpy) mel band centers — safe to call at trace time."""
+    mels = np.linspace(float(_hz_to_mel_np(fmin, htk)), float(_hz_to_mel_np(fmax, htk)), n_mels)
+    return _mel_to_hz_np(mels, htk)
 
 
 def hz_to_octs(frequencies, tuning: float = 0.0, bins_per_octave: int = 12):

@@ -27,8 +27,19 @@ def hann_window(n: int) -> jnp.ndarray:
 
 
 def frame(y: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
-    """(..., T) -> (..., frame_length, n_frames) sliding frames."""
+    """(..., T) -> (..., frame_length, n_frames) sliding frames.
+
+    When frame_length is a hop multiple, frames assemble from
+    consecutive hop-blocks with slices/concat only — TPU gathers are an
+    order of magnitude slower (see kernels/spectrogram.py)."""
     n_frames = 1 + (y.shape[-1] - frame_length) // hop_length
+    if frame_length % hop_length == 0:
+        k = frame_length // hop_length
+        n_blocks = y.shape[-1] // hop_length
+        blocks = y[..., : n_blocks * hop_length].reshape(y.shape[:-1] + (n_blocks, hop_length))
+        parts = [blocks[..., i : n_blocks - k + 1 + i, :] for i in range(k)]
+        frames = jnp.concatenate(parts, axis=-1)[..., :n_frames, :]
+        return jnp.swapaxes(frames, -1, -2)
     starts = jnp.arange(n_frames) * hop_length
     idx = starts[None, :] + jnp.arange(frame_length)[:, None]
     return y[..., idx]

@@ -1,0 +1,54 @@
+"""Golden tests for the TPU kernels (flash attention, fused
+mel-spectrogram) against the XLA reference paths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maua_tpu.audio.spectral import melspectrogram
+from maua_tpu.kernels import attention as attn
+from maua_tpu.kernels import spectrogram as spec
+
+SR = 22050
+
+
+@pytest.fixture(scope="module")
+def tone():
+    t = np.arange(SR * 2) / SR
+    rs = np.random.RandomState(0)
+    return (0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rs.randn(len(t))).astype(np.float32)
+
+
+def test_mel_mxu_matches_rfft(tone):
+    ref = np.asarray(melspectrogram(tone, SR))
+    out = np.asarray(spec.melspectrogram_mxu(tone, SR))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() / max(ref.max(), 1e-6) < 1e-4
+
+
+def test_mel_pallas_matches_rfft(tone):
+    ref = np.asarray(melspectrogram(tone, SR))
+    out = np.asarray(spec.melspectrogram_pallas(tone, SR, interpret=True))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() / max(ref.max(), 1e-6) < 1e-4
+
+
+def test_flash_attention_matches_xla():
+    rs = np.random.RandomState(1)
+    q = rs.randn(2, 4, 256, 64).astype(np.float32)
+    k = rs.randn(2, 4, 256, 64).astype(np.float32)
+    v = rs.randn(2, 4, 256, 64).astype(np.float32)
+    ref = np.asarray(attn.attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    out = np.asarray(attn.flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                          block_q=128, block_k=128, interpret=True))
+    assert np.abs(out - ref).max() < 1e-4
+
+
+def test_flash_attention_fallback_shapes():
+    """Non-tiling shapes route to the XLA path."""
+    rs = np.random.RandomState(2)
+    q = jnp.asarray(rs.randn(1, 2, 100, 32).astype(np.float32))
+    out = attn.flash_attention(q, q, q)
+    assert out.shape == q.shape
