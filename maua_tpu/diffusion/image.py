@@ -75,7 +75,20 @@ def get_diffusion_model(
     if diffusion == "guided":
         return GuidedDiffusion(grad_modules=grad_modules, sampler=sampler, timesteps=timesteps,
                                speed=guidance_speed, **model_kwargs)
-    if diffusion in ("stable", "latent"):
+    if diffusion == "latent":
+        from .processors.latent import LatentDiffusion
+
+        smplr = sampler if sampler in ("plms", "ddim") else "plms"
+        return LatentDiffusion(cfg_scale=cfg_scale, sampler=smplr, timesteps=timesteps, **model_kwargs)
+    if diffusion == "glide":
+        from .processors.glide import GLIDE
+
+        return GLIDE(cfg_scale=cfg_scale, timesteps=timesteps, **model_kwargs)
+    if diffusion == "glid3xl":
+        from .processors.glide import GLID3XL
+
+        return GLID3XL(grad_modules=grad_modules, cfg_scale=cfg_scale, timesteps=timesteps, **model_kwargs)
+    if diffusion == "stable":
         smplr = sampler if sampler not in ("plms", "ddim", "p") else "lms"
         return StableDiffusion(grad_modules=grad_modules, cfg_scale=cfg_scale, sampler=smplr,
                                timesteps=timesteps, **model_kwargs)

@@ -98,12 +98,15 @@ def fc_forward(p, x, activation="linear", lr_multiplier=1.0):
     square so this runs; we reproduce it bug-for-bug since output
     parity is measured against this net. `p["w"]` is stored (in, out)
     = reference weight transposed."""
-    in_f = p["w"].shape[0]
+    in_f, out_f = p["w"].shape
     gain = lr_multiplier / math.sqrt(in_f)
     b = p["b"] * lr_multiplier
     if activation == "linear":
         return x @ (p["w"] * gain).astype(x.dtype) + b.astype(x.dtype)
-    x = x @ (p["w"].T * gain).astype(x.dtype)
+    # the transposed contraction only type-checks for square layers;
+    # non-square (e.g. conditional fc0) takes the standard path
+    w = p["w"].T if in_f == out_f else p["w"]
+    x = x @ (w * gain).astype(x.dtype)
     return ops.bias_act(x, b.astype(x.dtype), act=activation)
 
 
