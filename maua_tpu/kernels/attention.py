@@ -29,20 +29,24 @@ def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[floa
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
-    """One (batch*head, q-block) program: online-softmax over k blocks."""
-    q = q_ref[...].astype(jnp.float32) * scale  # (Bq, D)
+    """One (batch*head, q-block) program: online-softmax over k blocks.
+
+    Matmuls keep the input dtype (bf16 on the MXU) with f32
+    accumulation via preferred_element_type — upcasting the operands
+    to f32 would run the MXU at 1/8 rate."""
+    q = q_ref[...]  # (Bq, D), input dtype
     n_k = k_ref.shape[0]
     num_blocks = n_k // block_k
 
     def body(i, carry):
         acc, row_max, row_sum = carry
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = q @ k.T  # (Bq, Bk)
+        k = k_ref[pl.ds(i * block_k, block_k), :]
+        v = v_ref[pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # (Bq, Bk) f32
         new_max = jnp.maximum(row_max, jnp.max(s, axis=-1, keepdims=True))
         correction = jnp.exp(row_max - new_max)
         p = jnp.exp(s - new_max)
-        acc = acc * correction + p @ v
+        acc = acc * correction + jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         row_sum = row_sum * correction + jnp.sum(p, axis=-1, keepdims=True)
         return acc, new_max, row_sum
 
@@ -52,6 +56,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     sum0 = jnp.zeros((bq, 1), jnp.float32)
     acc, _, row_sum = jax.lax.fori_loop(0, num_blocks, body, (acc0, max0, sum0))
     o_ref[...] = (acc / row_sum).astype(o_ref.dtype)
+
+
+def _attn_kernel_single(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """Single-shot per-program attention: K/V live fully in VMEM (fine
+    up to a few thousand tokens), so each program is two large MXU
+    matmuls + one softmax — no online-softmax loop needed."""
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[...] = (acc / denom).astype(o_ref.dtype)
 
 
 try:  # pallas import kept lazy-safe for CPU test environments
@@ -89,7 +108,12 @@ def flash_attention(
     kf = k.reshape(b * h, nk, d)
     vf = v.reshape(b * h, nk, v.shape[-1])
 
-    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale)
+    # K/V small enough for VMEM residency -> single-shot programs;
+    # otherwise the blocked online-softmax kernel
+    if nk * d <= 1_048_576 and nk * block_q <= 4_194_304:
+        kernel = functools.partial(_attn_kernel_single, scale=scale)
+    else:
+        kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale)
     out = pl.pallas_call(
         kernel,
         grid=(b * h, nq // block_q),
