@@ -29,8 +29,8 @@ def main():
     from maua_tpu.gan import stylegan2 as sg2
 
     resolution = 1024
-    batch = 8
-    n_batches = 8
+    batch = 16
+    n_batches = 6
     cfg = sg2.SG2Config(img_resolution=resolution, dtype="bfloat16")
     params = sg2.init_params(jax.random.PRNGKey(0), cfg)
     plan = fs.build_fast_plan(params, cfg)
