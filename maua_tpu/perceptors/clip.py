@@ -156,3 +156,27 @@ class AestheticPerceptor(CLIPPerceptor):
 
     def score(self, img) -> jax.Array:
         return (self.encode_image(img) @ self.head["w"] + self.head["b"]).squeeze(-1)
+
+
+class NIMAPerceptor(CLIPPerceptor):
+    """Neural image assessment: 10-bucket quality distribution head on
+    image embeddings (`maua/perceptors/nima.py:23-34`)."""
+
+    def __init__(self, head=None, **kw):
+        super().__init__(**kw)
+        if head is None:
+            k = jax.random.PRNGKey(7)
+            head = {
+                "w": jax.random.normal(k, (self.vision_cfg.embed_dim, 10)) * 0.02,
+                "b": jnp.zeros((10,)),
+            }
+        self.head = head
+
+    def distribution(self, img) -> jax.Array:
+        logits = self.encode_image(img) @ self.head["w"] + self.head["b"]
+        return jax.nn.softmax(logits, axis=-1)
+
+    def score(self, img) -> jax.Array:
+        """Mean opinion score in [1, 10]."""
+        probs = self.distribution(img)
+        return probs @ (jnp.arange(10, dtype=jnp.float32) + 1.0)

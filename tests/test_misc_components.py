@@ -93,3 +93,37 @@ def test_stage_timer():
         pass
     assert t.counts["a"] == 2
     assert "a" in t.report()
+
+
+def test_experimental_gan_models():
+    from maua_tpu.gan import models_experimental as me
+
+    key = jax.random.PRNGKey(0)
+    gp = me.init_dcgan_g(key, z_dim=16, base=8, resolution=32)
+    img = me.dcgan_g(gp, jnp.zeros((2, 16)))
+    assert img.shape == (2, 32, 32, 3)
+    dp = me.init_dcgan_d(key, base=8, resolution=32)
+    logits = me.dcgan_d(dp, img)
+    assert logits.shape == (2, 1)
+
+    hp = me.init_hypermixer_g(key, z_dim=16, dim=32, grid=4, depth=2, resolution=16)
+    img2 = me.hypermixer_g(hp, jax.random.normal(key, (2, 16)), grid=4)
+    assert img2.shape == (2, 16, 16, 3)
+
+    # emerging conv roundtrip through the native inverse
+    w = me.masked_emerging_weight(key, channels=3)
+    x = np.random.RandomState(0).randn(1, 6, 6, 3).astype(np.float32)
+    z = np.asarray(me.emerging_conv(jnp.asarray(x), w))
+    x_rec = me.emerging_conv_inverse(z, w, is_upper=False)
+    assert np.abs(x_rec - x).max() < 1e-3
+
+
+def test_nima_perceptor():
+    from maua_tpu.perceptors.clip import CLIPVisionConfig, NIMAPerceptor
+
+    p = NIMAPerceptor(vision_cfg=CLIPVisionConfig(image_size=32, patch_size=8, width=32, layers=1,
+                                                   heads=2, embed_dim=16))
+    imgs = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    scores = np.asarray(p.score(imgs))
+    assert scores.shape == (2,)
+    assert np.all((scores >= 1) & (scores <= 10))
