@@ -363,10 +363,24 @@ class StyleGAN2:
         rotation: Optional[jax.Array] = None,  # (T,)
         batch_size: int = 8,
         postprocess=None,
+        mesh=None,
     ) -> Iterator[np.ndarray]:
         """Batched frame generator (`wrappers/__init__.py:52-99`):
         yields uint8 HWC frames. The device loop is jitted per batch
-        shape; the tail batch is padded to keep one compilation."""
+        shape; the tail batch is padded to keep one compilation.
+
+        Passing a Mesh shards each frame batch on its `data` axis —
+        video frames are the natural sequence axis for ICI data
+        parallelism (SURVEY.md section 2.14)."""
+        sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            batch_size = max(batch_size // n_data, 1) * n_data
+            sharding = lambda x: jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            )
         T = latents.shape[0]
         n_batches = math.ceil(T / batch_size)
         for b in range(n_batches):
@@ -376,9 +390,11 @@ class StyleGAN2:
             def take(arr):
                 if arr is None:
                     return None
-                sl = arr[lo:hi]
+                sl = jnp.asarray(arr[lo:hi])
                 if pad:
                     sl = jnp.concatenate([sl, jnp.repeat(sl[-1:], pad, axis=0)], axis=0)
+                if sharding is not None:
+                    sl = sharding(sl)
                 return sl
 
             batch_noises = None if noises is None else {k: take(v) for k, v in noises.items()}

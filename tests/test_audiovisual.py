@@ -194,3 +194,18 @@ class TinyPatch(StyleGAN2Patch):
     assert video.shape == (12, 32, 32, 3)
     assert video.dtype == np.uint8
     assert video.std() > 1.0  # non-degenerate frames
+
+
+def test_render_sharded_over_mesh():
+    """Frame batches shard over the mesh `data` axis and match the
+    unsharded render exactly."""
+    from maua_tpu.parallel.mesh import make_mesh
+
+    gan = StyleGAN2(cfg=CFG32, dtype="float32")
+    ws = gan.mapper(np.random.RandomState(1).randn(2, 512).astype(np.float32))
+    lats = np.tile(np.asarray(ws[:1]), (10, 1, 1))
+    ref = np.stack(list(gan.render(lats, batch_size=8)))
+    mesh = make_mesh(8)
+    out = np.stack(list(gan.render(lats, batch_size=8, mesh=mesh)))
+    assert out.shape == ref.shape
+    assert np.array_equal(out, ref)
