@@ -118,3 +118,44 @@ def main(args=None):
 
 if __name__ == "__main__":
     main()
+
+
+@register("models")
+class DCGANModel(Component):
+    name = "deepconvolutional"
+
+    @staticmethod
+    def add_model_specific_args(parser):
+        parser.add_argument("--dcgan_base", default=64, type=int)
+        return parser
+
+    @staticmethod
+    def build(args):
+        from .models_experimental import init_dcgan_d, init_dcgan_g
+
+        return ("dcgan", args.resolution, getattr(args, "dcgan_base", 64))
+
+
+@register("models")
+class HyperMixerModel(Component):
+    name = "stylehypermixer"
+
+    @staticmethod
+    def build(args):
+        from .models_experimental import init_hypermixer_g
+
+        return ("hypermixer", args.resolution)
+
+
+@register("augmentation")
+class ADAAugment(Component):
+    name = "ada"
+
+    @staticmethod
+    def add_model_specific_args(parser):
+        parser.add_argument("--augment_p", default=0.2, type=float)
+        return parser
+
+    @staticmethod
+    def build(args):
+        return getattr(args, "augment_p", 0.2)

@@ -183,3 +183,16 @@ def main(args=None):
 
 if __name__ == "__main__":
     main()
+
+
+def compare(image, model_names=None, out_dir: str = "output/comparison", **kw):
+    """Run all (or selected) registered models side-by-side on one
+    image (`maua/super/image/comparison.py`). Returns {name: array}."""
+    results = {}
+    os.makedirs(out_dir, exist_ok=True)
+    arr = load_image(image) if isinstance(image, (str, Path)) else np.asarray(image)
+    for name in model_names or MODEL_NAMES:
+        out = np.asarray(Upscaler(name, **kw)(jnp.asarray(arr)))
+        results[name] = out
+        tensor2img(out).save(f"{out_dir}/{name}.png")
+    return results
