@@ -52,3 +52,16 @@ def test_flash_attention_fallback_shapes():
     q = jnp.asarray(rs.randn(1, 2, 100, 32).astype(np.float32))
     out = attn.flash_attention(q, q, q)
     assert out.shape == q.shape
+
+
+def test_fused_conv_interpret():
+    from maua_tpu.kernels.fused_conv import _xla_reference, fused_conv3x3_act
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(1, 32, 16, 16).astype(np.float32))
+    w = jnp.asarray(rs.randn(3, 3, 16, 16).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rs.randn(16).astype(np.float32) * 0.1)
+    noise = jnp.asarray(rs.randn(1, 32, 16, 4).astype(np.float32) * 0.1)
+    ref = _xla_reference(x, w, bias, noise, 0.2, 1.414, 256.0)
+    out = fused_conv3x3_act(x, w, bias, noise, block_rows=16, interpret=True)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 5e-3
