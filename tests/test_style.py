@@ -105,3 +105,22 @@ def test_style_transfer_lbfgs_runs():
                    match_hist="False", verbose=False)
     assert np.asarray(out).shape == (1, 16, 16, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_video_vit_style_transfer():
+    from maua_tpu.style.video_vit import VideoViTConfig, features, init_params, video_style_transfer
+
+    rs = np.random.RandomState(0)
+    cfg = VideoViTConfig(image_size=16, patch_size=8, tubelet=2, width=32, layers=2, heads=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    video = jnp.asarray(rs.rand(4, 16, 16, 3).astype(np.float32) * 2 - 1)
+    feats = features(params, video, cfg)
+    assert len(feats) == 2
+    assert feats[0].shape == (2, 4, 32)  # (n_time, n_space, width)
+
+    content = rs.rand(4, 16, 16, 3).astype(np.float32) * 2 - 1
+    style = rs.rand(4, 16, 16, 3).astype(np.float32) * 2 - 1
+    out = video_style_transfer(content, style, cfg=cfg, n_iters=3, verbose=False)
+    assert out.shape == content.shape
+    assert np.all(np.isfinite(out))
+    assert not np.allclose(out, content)
