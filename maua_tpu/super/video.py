@@ -43,12 +43,13 @@ def interpolate_video(
     factor: int = 2,
     max_frames: Optional[int] = None,
     params=None,
+    cfg: rife.RIFEConfig = rife.RIFEConfig(),
 ) -> str:
     """RIFE 2^n framerate boost (`super/video/framerate/__init__.py`)."""
     frames, fps = read_video(video_file, max_frames=max_frames)
     t, h, w, _ = frames.shape
     out_file = output_file or str(Path(video_file).with_suffix("")) + f"_{factor}x.mp4"
     with VideoWriter(out_file, (w, h), fps * factor, value_range=(0, 1)) as writer:
-        for frame in rife.interpolate(frames, factor=factor, params=params):
+        for frame in rife.interpolate(frames, factor=factor, params=params, cfg=cfg):
             writer.write(frame)
     return out_file

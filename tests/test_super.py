@@ -87,3 +87,45 @@ def test_rife_midpoint_and_interpolate():
     out = list(rife.interpolate(frames, factor=2, params=params, cfg=cfg))
     assert len(out) == 5  # 2 gaps * 2 + final
     assert out[0].shape == (32, 32, 3)
+
+
+def test_upscale_bulk_sharded_matches_single(monkeypatch):
+    """Mesh-sharded bulk path yields the same outputs as per-image calls
+    (`bulk.py:30-113` replacement)."""
+    from maua_tpu.super import image as sup_image
+    from maua_tpu.super.image import upscale_bulk_sharded
+
+    monkeypatch.setitem(sup_image.MODEL_REGISTRY, "tiny", ("rrdb", TINY_RRDB))
+    rs = np.random.RandomState(3)
+    imgs = [rs.rand(1, 8, 8, 3).astype(np.float32) for _ in range(5)]
+    outs = list(upscale_bulk_sharded(imgs, model_name="tiny", batch_size=4))
+    assert len(outs) == 5
+    ref = np.asarray(upscale_image(imgs[0], model=Upscaler("tiny")))
+    assert outs[0].shape == ref.shape == (1, 32, 32, 3)
+    assert np.abs(outs[0] - ref).max() < 1e-4
+
+
+def test_video_upscale_and_interpolate(monkeypatch, tmp_path):
+    """End-to-end video SR + RIFE framerate drivers over the cv2 IO
+    path (`super/video/frame_by_frame.py:22-34`, `framerate/__init__.py`)."""
+    from maua_tpu.ops.video import read_video, write_video
+    from maua_tpu.super import image as sup_image
+    from maua_tpu.super.video import interpolate_video, upscale_video
+
+    monkeypatch.setitem(sup_image.MODEL_REGISTRY, "tiny", ("rrdb", TINY_RRDB))
+    rs = np.random.RandomState(4)
+    frames = rs.rand(4, 16, 16, 3).astype(np.float32)
+    src = str(tmp_path / "in.mp4")
+    write_video(frames, src, fps=8, value_range=(0, 1))
+
+    out = upscale_video(src, str(tmp_path / "up.mp4"), model_name="tiny", batch_size=2)
+    up_frames, fps = read_video(out)
+    assert up_frames.shape[1:] == (64, 64, 3)
+    assert up_frames.shape[0] >= 3
+
+    cfg = rife.RIFEConfig(base_channels=8, scales=2)
+    params = rife.init_params(jax.random.PRNGKey(0), cfg)
+    out2 = interpolate_video(src, str(tmp_path / "interp.mp4"), factor=2, params=params, cfg=cfg)
+    interp_frames, fps2 = read_video(out2)
+    assert interp_frames.shape[0] >= 6
+    assert abs(fps2 - 16) < 1.0
