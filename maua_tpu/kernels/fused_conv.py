@@ -127,7 +127,7 @@ def fused_conv3x3_act(
         kernel,
         grid=(b, h // block_rows),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full array in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # full array in HBM
             pl.BlockSpec((3, ci, 3 * co), lambda i, j: (0, 0, 0)),
             pl.BlockSpec((None, block_rows, wd, noise.shape[-1]), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((co,), lambda i, j: (0,)),
