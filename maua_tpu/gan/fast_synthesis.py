@@ -295,6 +295,35 @@ def _add_cell_noise(y: jax.Array, n, co: int):
     return (y.reshape(b, h, w, 4, co) + n).reshape(b, h, w, 4 * co)
 
 
+def _fused_epilogue(y, demod, n_cell, bias, clamp, pre_next=None):
+    """Post-conv chain (demod scale + cell noise + bias + lrelu + clamp
+    [+ next layer's input scale]) as ONE fused HBM pass.
+
+    Default: one consolidated XLA chain in native NHWC (XLA fuses and
+    overlaps it well in the full graph — measured 203 fps at 1024^2).
+    MAUA_FUSED_EPILOGUE=1 dispatches to the Pallas kernel
+    (`kernels/epilogue.py`) instead, which wins in isolation (8.8 ms vs
+    14.7 ms per 16x512x512x128 layer on v5e) but loses in the full
+    pipeline (160 fps): the pallas_call boundary blocks XLA's
+    cross-layer overlap. Kept opt-in for standalone epilogue use.
+
+    y: (B, h, w, 4co); demod: (B, 4co) f32; n_cell: (B|1, h, w, 4, 1) or
+    None; bias: (4co,); pre_next: (B, 4co) or None."""
+    import os
+
+    from ..kernels.epilogue import _xla_epilogue, modconv_epilogue
+
+    b, h, w, c = y.shape
+    n4 = None if n_cell is None else n_cell.reshape(n_cell.shape[0], h, w, 4)
+    if os.environ.get("MAUA_FUSED_EPILOGUE", "0") != "1":
+        return _xla_epilogue(y, demod, n4, bias, 0.2, float(np.sqrt(2.0)),
+                             float(clamp) if clamp is not None else None, pre_next)
+    return modconv_epilogue(
+        y, demod, n4, bias,
+        clamp=float(clamp) if clamp is not None else None, pre_next=pre_next,
+    )
+
+
 def synthesis_fast(
     params: Dict,
     plan: Dict,
@@ -364,25 +393,21 @@ def synthesis_fast(
         x_in = x.astype(dtype) * styles0.astype(dtype)[:, None, None, :]
         y = _conv(x_in, entry["k0"], dtype)  # (B, res/2, res/2, 4*co)
         d0 = jax.lax.rsqrt(jnp.square(styles0) @ jnp.asarray(entry["w0_sq"]) + 1e-8)
-        y = y * jnp.tile(d0, (1, 4)).astype(dtype)[:, None, None, :]
-        # noise + bias + act in s2d layout
         n0 = _cell_noise(p0, f"b{res}.conv0", res, batch, noise_mode, noises,
                          jax.random.fold_in(noise_key, 2 * bi), dtype)
-        y = _add_cell_noise(y, n0, co)
-        bias0 = jnp.tile(p0["bias"], (4,))
-        y = ops.bias_act(y, bias0.astype(dtype), act="lrelu", clamp=cfg.conv_clamp)
-
-        # conv1 (same): s2d -> s2d
+        # fused epilogue also applies conv1's input style scale, saving
+        # a further full-tensor HBM pass
         styles1 = fc_forward(p1["affine"], block_ws[:, 1].astype(jnp.float32))
-        y = y * _tile_styles_in(styles1, 2).astype(dtype)[:, None, None, :]
+        y = _fused_epilogue(y, jnp.tile(d0, (1, 4)), n0, jnp.tile(p0["bias"], (4,)),
+                            cfg.conv_clamp, pre_next=_tile_styles_in(styles1, 2))
+
+        # conv1 (same): s2d -> s2d (input scale already applied above)
         z = _conv(y, entry["k1"], dtype)
         d1 = jax.lax.rsqrt(jnp.square(styles1) @ jnp.asarray(entry["w1_sq"]) + 1e-8)
-        z = z * jnp.tile(d1, (1, 4)).astype(dtype)[:, None, None, :]
         n1 = _cell_noise(p1, f"b{res}.conv1", res, batch, noise_mode, noises,
                          jax.random.fold_in(noise_key, 2 * bi + 1), dtype)
-        z = _add_cell_noise(z, n1, co)
-        bias1 = jnp.tile(p1["bias"], (4,))
-        x = ops.bias_act(z, bias1.astype(dtype), act="lrelu", clamp=cfg.conv_clamp)
+        x = _fused_epilogue(z, jnp.tile(d1, (1, 4)), n1, jnp.tile(p1["bias"], (4,)),
+                            cfg.conv_clamp)
 
         # img path: upsample previous img into this block's s2d cells
         if img is not None:

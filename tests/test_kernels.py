@@ -65,3 +65,24 @@ def test_fused_conv_interpret():
     ref = _xla_reference(x, w, bias, noise, 0.2, 1.414, 256.0)
     out = fused_conv3x3_act(x, w, bias, noise, block_rows=16, interpret=True)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 5e-3
+
+
+def test_modconv_epilogue_interpret():
+    """Fused demod+noise+bias+lrelu+clamp+prescale epilogue matches the
+    unfused XLA chain (all variants)."""
+    from maua_tpu.kernels.epilogue import _xla_epilogue, modconv_epilogue
+
+    rs = np.random.RandomState(0)
+    B, H, W, C, G = 2, 8, 8, 128, 4
+    z = jnp.asarray(rs.randn(B, H, W, C).astype(np.float32))
+    post = jnp.asarray(rs.rand(B, C).astype(np.float32) + 0.5)
+    noise = jnp.asarray(rs.randn(B, H, W, G).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rs.randn(C).astype(np.float32) * 0.1)
+    pre = jnp.asarray(rs.rand(B, C).astype(np.float32) + 0.5)
+
+    for nz in (noise, noise[:1], None):
+        for pn in (pre, None):
+            full_n = None if nz is None else jnp.broadcast_to(nz, noise.shape)
+            ref = _xla_epilogue(z, post, full_n, bias, 0.2, float(np.sqrt(2)), 256.0, pn)
+            out = modconv_epilogue(z, post, nz, bias, pre_next=pn, interpret=True)
+            assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
