@@ -29,7 +29,8 @@ def main():
     from maua_tpu.gan import stylegan2 as sg2
 
     resolution = 1024
-    batch = 16
+    import os
+    batch = int(os.environ.get("MAUA_BENCH_BATCH", "56"))
     n_batches = 6
     cfg = sg2.SG2Config(img_resolution=resolution, dtype="bfloat16")
     params = sg2.init_params(jax.random.PRNGKey(0), cfg)
