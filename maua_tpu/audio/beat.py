@@ -7,7 +7,7 @@ the reference's tempo wrapper (`audioreactive/mir.py:183-209`).
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax
@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .convert import fourier_tempo_frequencies, power_to_db, tempo_frequencies
-from .spectral import hann_window, melspectrogram, stft
+from .spectral import hann_window, melspectrogram
 
 
 def onset_strength(

@@ -16,7 +16,7 @@ import numpy as np
 
 from .constantq import cqt
 from .convert import chroma_filterbank, cq_to_chroma, note_to_hz
-from .spectral import _median_filter_axis, spectrogram, stft
+from .spectral import stft
 
 
 def _normalize_cols(x: jax.Array, norm: float = jnp.inf, axis: int = 0) -> jax.Array:

@@ -14,12 +14,12 @@ a contiguous chunk of frames (the evident intent).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
+
+
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from ..ops.signal import gaussian_filter, normalize, resample_1d
 

@@ -13,7 +13,7 @@ the flux variants are built from our own STFT primitives instead.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ import numpy as np
 from .beat import onset_strength, tempo
 from .constantq import cqt
 from .convert import amplitude_to_db
-from .spectral import _median_filter_axis, mfcc, median_filter2d
+from .spectral import _median_filter_axis, mfcc
 
 
 def recurrence_matrix(

@@ -11,7 +11,7 @@ kernels are verified against.
 from __future__ import annotations
 
 import math
-from functools import partial
+
 from typing import Optional, Tuple
 
 import jax

@@ -10,7 +10,7 @@ between sections) with EMA crossfades between section boundaries
 from __future__ import annotations
 
 import copy
-from typing import Dict, List, Optional
+from typing import List
 
 import numpy as np
 

@@ -11,12 +11,12 @@ on device) instead of per-frame Python iteration.
 
 from __future__ import annotations
 
-from math import ceil
+
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from ...audio.latent import slerp_loops, spline_loops
 from ...ops.signal import gaussian_filter, resample_1d

@@ -14,7 +14,7 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 
-import jax.numpy as jnp
+
 
 
 def _split_inputs(synthesizer_inputs: Dict):

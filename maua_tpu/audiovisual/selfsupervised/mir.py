@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ...audio import beat as _beat
 from ...audio import segment as _segment
 from ...ops.signal import gaussian_filter, normalize
-from .features import AFEATFNS, extract_features, salience_weighted
+from .features import extract_features, salience_weighted
 
 HOP = 1024
 

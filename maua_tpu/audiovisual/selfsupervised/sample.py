@@ -7,7 +7,7 @@ render -> video.
 
 from __future__ import annotations
 
-import math
+
 from pathlib import Path
 from typing import Optional
 

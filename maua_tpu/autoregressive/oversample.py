@@ -11,10 +11,10 @@ models trained with them.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 
 from .transformer import ARConfig, generate_tokens

@@ -7,7 +7,7 @@ Rebuild of the minDALLE/RQ sampling + rerank path
 
 from __future__ import annotations
 
-from typing import List, Optional
+
 
 import jax
 import jax.numpy as jnp

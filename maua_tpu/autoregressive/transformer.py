@@ -17,11 +17,11 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 
 @dataclasses.dataclass(frozen=True)

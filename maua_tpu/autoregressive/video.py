@@ -11,13 +11,13 @@ from `transformer.tp_shardings` over the mesh `tensor` axis.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .transformer import ARConfig, generate_tokens, init_params, tp_shardings
+from .transformer import ARConfig, generate_tokens, tp_shardings
 
 
 def generate_video_tokens(

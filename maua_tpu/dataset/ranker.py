@@ -7,7 +7,7 @@ LAION CLIP-retrieval scraper role (`dataset/laion_clip_retrieval.py`
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

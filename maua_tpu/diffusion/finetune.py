@@ -8,7 +8,7 @@ eps-prediction objective, batch sharded on the mesh `data` axis.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,7 @@ import optax
 from ..text.clip_text import encode_text, tokenize
 from .models import unet as unet_mod
 from .models import vae as vae_mod
-from .samplers import make_ddpm_schedule, q_sample
+from .samplers import q_sample
 
 
 @partial(jax.jit, static_argnames=("unet_cfg", "opt_update"))

@@ -10,13 +10,13 @@ the score function.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .samplers import append_dims
+
 
 
 def score_from_denoiser(denoiser: Callable, sigma: float) -> Callable:

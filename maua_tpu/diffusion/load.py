@@ -9,8 +9,8 @@ AutoencoderKL, and the CLIP text tower.
 
 from __future__ import annotations
 
-import re
-from typing import Dict, Optional
+
+from typing import Dict
 
 import numpy as np
 

@@ -9,7 +9,7 @@ frame flows back into the first; frames cache to a memmapped store.
 from __future__ import annotations
 
 import os
-from pathlib import Path
+
 from typing import Optional
 
 import jax

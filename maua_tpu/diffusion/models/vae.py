@@ -10,14 +10,14 @@ posterior, 0.18215 latent scale.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Dict, Optional, Tuple
+
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ...kernels.attention import attention
-from .unet import _avgpool, _conv_init, _norm_init, _upsample_nn, conv2d, group_norm
+from .unet import _conv_init, _norm_init, _upsample_nn, conv2d, group_norm
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,7 +11,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from ..prompt import TextPrompt
 from .processors.base import BaseDiffusionProcessor

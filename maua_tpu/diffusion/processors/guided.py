@@ -10,8 +10,8 @@ secondary model's x0 prediction exactly like the reference
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Sequence
+
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ runs in discrete-timestep alpha space instead of Karras sigma space.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+
 
 import jax
 import jax.numpy as jnp

@@ -13,14 +13,14 @@ stay on device.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Optional, Sequence
+
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...prompt import ImagePrompt, TextPrompt
+from ...prompt import TextPrompt
 from ...text.clip_text import CLIPTextConfig, encode_text, tokenize
 from ...text.clip_text import init_params as init_text_params
 from ..models import unet as unet_mod

@@ -17,8 +17,8 @@ precomputed exactly.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Callable, Optional, Tuple
+
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .samplers import append_dims, make_ddpm_schedule
+from .samplers import append_dims
 
 
 class DiscreteSchedule:

@@ -11,14 +11,14 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import stylegan2 as sg2
-from .wrappers import get_z_latents
+
 
 
 def blend_models(

@@ -14,7 +14,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 import optax
 
 from . import stylegan2 as sg2

@@ -17,7 +17,7 @@ torch (CPU) is used only host-side for deserialization.
 from __future__ import annotations
 
 import io
-import math
+
 import pickle
 import re
 from typing import Dict, Optional, Tuple

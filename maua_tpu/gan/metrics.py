@@ -13,12 +13,12 @@ converted weights slot in when available).
 from __future__ import annotations
 
 import math
-from functools import partial
+
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 
 # ------------------------------------------------------------ distances

@@ -25,7 +25,7 @@ with static config arguments.
 from __future__ import annotations
 
 import math
-from functools import partial
+
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -12,7 +12,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from . import stylegan2 as sg2
 

@@ -11,7 +11,7 @@ its flags and a builder.
 from __future__ import annotations
 
 import argparse
-from typing import Callable, Dict
+from typing import Dict
 
 
 class Component:
@@ -131,7 +131,7 @@ class DCGANModel(Component):
 
     @staticmethod
     def build(args):
-        from .models_experimental import init_dcgan_d, init_dcgan_g
+
 
         return ("dcgan", args.resolution, getattr(args, "dcgan_base", 64))
 
@@ -142,7 +142,7 @@ class HyperMixerModel(Component):
 
     @staticmethod
     def build(args):
-        from .models_experimental import init_hypermixer_g
+
 
         return ("hypermixer", args.resolution)
 

@@ -11,13 +11,13 @@ pytrees; evaluation runs the FID/KID/PRDC suite.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
+
 
 from . import stylegan2 as sg2
 from . import training as tr

@@ -24,7 +24,7 @@ import numpy as np
 from ..ops import warp as W
 from . import ops
 from .load import load_network
-from .stylegan2 import SG2Config, fc_forward, init_params, mapping, synthesis_layer, torgb_layer
+from .stylegan2 import SG2Config, fc_forward, init_params, mapping, torgb_layer
 
 
 def layer_names(cfg: SG2Config):

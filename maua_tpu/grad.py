@@ -10,11 +10,11 @@ torch.enable_grad blocks.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from .loss import range_loss, spherical_dist_loss, tv_loss
 from .prompt import ContentPrompt, ImagePrompt, StylePrompt, TextPrompt

@@ -18,7 +18,7 @@ reference) to float tolerance.
 from __future__ import annotations
 
 import functools
-import math
+
 from typing import Optional, Tuple
 
 import jax

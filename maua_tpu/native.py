@@ -11,7 +11,7 @@ back-substitution) for data living in HBM.
 from __future__ import annotations
 
 import ctypes
-import os
+
 import subprocess
 from pathlib import Path
 from typing import Optional, Sequence

@@ -9,11 +9,11 @@ over cutouts) instead of per-crop Python loops.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 
 def _crop_resize(img: jax.Array, y0, x0, size, out_size: int) -> jax.Array:

@@ -7,7 +7,7 @@ float32; `save_image` expects [-1, 1] like the reference.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Tuple, Union
+from typing import List, Tuple
 
 import numpy as np
 

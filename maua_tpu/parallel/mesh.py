@@ -11,7 +11,7 @@ annotations; there is no NCCL/gloo analog in user code.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -7,17 +7,17 @@ update step jitted (value_and_grad through decode -> perceptor).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, List, Optional, Union
+
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 import optax
 
 from ..loss import tv_loss
 from ..ops.image import match_histogram, resample
-from ..ops.io import load_image, load_images
+from ..ops.io import load_images
 from ..optimizers import load_optimizer
 from ..parameterizations import load_parameterization
 from ..perceptors import load_perceptor

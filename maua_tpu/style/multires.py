@@ -7,7 +7,7 @@ feeding each scale's output as the next scale's init.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -8,8 +8,8 @@ flow-consistent pixels.
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Dict, List, Optional
+
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ from ..ops.image import resample
 from ..ops.io import load_images
 from ..ops.warp import grid_sample
 from ..optimizers import load_optimizer
-from ..parameterizations.rgb import RGB
+
 from ..perceptors import load_perceptor
 
 
