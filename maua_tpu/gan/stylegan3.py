@@ -164,13 +164,74 @@ def synthesis_input(params: Dict, w0: jax.Array, cfg: SG3Config, size: int, srat
                                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+def _filtered_lrelu_direct(x: jax.Array, up_f, down_f, up: int, down: int) -> jax.Array:
+    """up-FIR -> lrelu*sqrt2 -> FIR-down at the 2x temporary rate
+    (the alias-free nonlinearity), materializing the full tmp grid."""
+    if up > 1:
+        ut = len(up_f)
+        pt = (ut - 1) // 2
+        x = ops.upfirdn2d(x, up_f, up=up, padding=(pt, ut - 1 - pt, pt, ut - 1 - pt), gain=up * up)
+    x = jax.nn.leaky_relu(x, 0.2) * math.sqrt(2.0)
+    if down > 1:
+        dt = len(down_f)
+        pt = (dt - 1) // 2
+        x = ops.upfirdn2d(x, down_f, down=down, padding=(pt, dt - 1 - pt, pt, dt - 1 - pt))
+    return x
+
+
+# chunk the filtered nonlinearity only when the 2x tmp grid would
+# approach the HBM ceiling (banding costs ~28% throughput from halo
+# recompute + lost fusion, so it is purely an OOM escape valve;
+# measured: batch 8 unchunked 18.4 fps vs chunked 13.3 fps, batch 16
+# OOMs unchunked at an 11.7 GB tmp tensor)
+_CHUNK_TMP_ELEMS = 1_600_000_000
+
+
+def _filtered_lrelu(x: jax.Array, up_f, down_f, up: int, down: int) -> jax.Array:
+    """Row-banded filtered nonlinearity: identical output to the direct
+    path (verified in tests), but the oversampled tmp grid only ever
+    exists band-by-band — SG3's peak-memory bottleneck (a
+    B x 2H x 2W x C bf16 tensor per layer) shrinks by the band count,
+    unlocking larger frame batches per chip."""
+    import os
+
+    b, hi, wi, c = x.shape
+    tmp_elems = b * hi * up * wi * up * c
+    bands = int(os.environ.get("MAUA_SG3_BANDS", "0"))
+    if bands == 0:
+        bands = max(1, int(np.ceil(tmp_elems / _CHUNK_TMP_ELEMS)))
+    fn = lambda xx: _filtered_lrelu_direct(xx, up_f, down_f, up, down)
+    if bands <= 1:
+        return fn(x)
+
+    ho = jax.eval_shape(fn, x).shape[1]
+    ratio = up / down
+    halo = 24  # rows at the input rate, >> filter influence radius
+    outs = []
+    for k in range(bands):
+        s = (k * ho // bands) // 4 * 4
+        e = ho if k == bands - 1 else ((k + 1) * ho // bands) // 4 * 4
+        if e <= s:
+            continue
+        a = max(0, (int(s / ratio) - halo) // 4 * 4)
+        bb = min(hi, int(np.ceil(e / ratio)) + halo)
+        yb = fn(x[:, a:bb])
+        off = int(round(a * ratio))
+        outs.append(yb[:, s - off : e - off])
+    return jnp.concatenate(outs, axis=1)
+
+
 def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[jax.Array] = None) -> jax.Array:
     """ws (B, num_ws, w_dim) -> (B, H, W, C) in [-1, 1]."""
     cutoffs, stopbands, srates, half_widths, sizes, channels = cfg.layer_plan()
+    compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     x = synthesis_input(params, ws[:, 0], cfg, int(sizes[0]), float(srates[0]), transform)
 
     for i, layer in enumerate(params["layers"]):
         is_torgb = i == cfg.num_layers - 1
+        # bf16 through the resample-heavy trunk (the oversampled
+        # intermediate grids dominate HBM); torgb stays f32
+        x = x.astype(jnp.float32 if is_torgb else compute_dtype)
         in_rate, out_rate = float(srates[i]), float(srates[i + 1])
         in_size, out_size = int(sizes[i]), int(sizes[i + 1])
         in_cut, out_cut = float(cutoffs[i]), float(cutoffs[i + 1])
@@ -181,8 +242,8 @@ def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[j
             styles = styles * (1.0 / math.sqrt(int(channels[i])))
         w = layer["weight"] * (1.0 / math.sqrt(np.prod(layer["weight"].shape[:3])))
         w = w / jnp.maximum(jnp.sqrt(layer["magnitude_ema"]), 1e-8)
-        x = ops.modulated_conv2d(x, w, styles, padding=w.shape[0] // 2, demodulate=not is_torgb)
-        x = x + layer["bias"]
+        x = ops.modulated_conv2d(x, w.astype(x.dtype), styles, padding=w.shape[0] // 2, demodulate=not is_torgb)
+        x = x + layer["bias"].astype(x.dtype)
 
         if is_torgb:
             break
@@ -196,19 +257,8 @@ def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[j
         up_f = _lowpass(up_taps, in_cut, in_hw, tmp_rate)
         down_f = _lowpass(down_taps, out_cut, out_hw, tmp_rate)
 
-        # geometry: pad so the output crops to out_size centered
-        pad_total = (out_size - 1) * down + 1
-        pad_total -= (in_size * up + (up_taps - 1) - (up - 1))
-        pad_total += up_taps + down_taps - 2 if (up > 1 and down > 1) else 0
-        # simpler robust path: filter with 'same'-ish padding then
-        # center-crop/pad to out_size
-        if up > 1:
-            pt = (up_taps - 1) // 2
-            x = ops.upfirdn2d(x, up_f, up=up, padding=(pt, up_taps - 1 - pt, pt, up_taps - 1 - pt), gain=up * up)
-        x = jax.nn.leaky_relu(x, 0.2) * math.sqrt(2.0)
-        if down > 1:
-            pt = (down_taps - 1) // 2
-            x = ops.upfirdn2d(x, down_f, down=down, padding=(pt, down_taps - 1 - pt, pt, down_taps - 1 - pt))
+        # filter with 'same'-ish padding then center-crop/pad to out_size
+        x = _filtered_lrelu(x, up_f, down_f, up, down)
         # center crop / pad to the target canvas
         h = x.shape[1]
         if h > out_size:

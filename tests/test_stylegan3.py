@@ -67,3 +67,23 @@ def test_truncation(gen):
     ws0 = np.asarray(gen.mapper(z, truncation=0.0))
     w_avg = np.asarray(gen.params["mapping"]["w_avg"])
     assert np.allclose(ws0, np.broadcast_to(w_avg, ws0.shape), atol=1e-6)
+
+
+def test_filtered_lrelu_chunked_exact(monkeypatch):
+    """Row-banded filtered nonlinearity is bit-exact vs the direct
+    path for every up/down combination the layer plan produces."""
+    import numpy as np
+
+    from maua_tpu.gan import stylegan3 as sg3
+
+    rs = np.random.RandomState(0)
+    monkeypatch.setenv("MAUA_SG3_BANDS", "3")
+    for (hi, up, down, ut, dt) in [(64, 2, 2, 12, 12), (48, 4, 2, 24, 12),
+                                   (64, 2, 1, 12, 1), (60, 1, 2, 1, 12)]:
+        x = jnp.asarray(rs.randn(2, hi, hi, 8).astype(np.float32))
+        up_f = sg3._lowpass(ut, 0.35 * up, 0.1 * up, 2.0 * up) if up > 1 else None
+        down_f = sg3._lowpass(dt, 0.3 * down, 0.1 * down, 2.0 * down) if down > 1 else None
+        ref = sg3._filtered_lrelu_direct(x, up_f, down_f, up, down)
+        out = sg3._filtered_lrelu(x, up_f, down_f, up, down)
+        assert out.shape == ref.shape
+        assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-6
