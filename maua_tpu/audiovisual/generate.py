@@ -53,7 +53,8 @@ def generate_audiovisual_from_patch(
     renderer_kwargs.setdefault("fps", patch.fps)
     if renderer == "ffmpeg":
         renderer_kwargs.setdefault("audio_file", patch.audio_file)
-    video = get_output_class(renderer)(**renderer_kwargs)(patch.stylegan2.render, synthesizer_inputs, postprocess)
+    model = getattr(patch, "stylegan2", None) or getattr(patch, "stylegan3", None)
+    video = get_output_class(renderer)(**renderer_kwargs)(model.render, synthesizer_inputs, postprocess)
     return video, (patch.audio, patch.sr)
 
 

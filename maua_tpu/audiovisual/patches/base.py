@@ -74,6 +74,43 @@ class StyleGAN2Patch(MauaPatch):
         return video
 
 
+class StyleGAN3Patch(MauaPatch):
+    """Alias-free variant (`patches/base/stylegan3.py:5-50`): the
+    synthesizer additionally takes per-frame translation/rotation that
+    drive the Fourier input transform."""
+
+    def __init__(
+        self,
+        model_file: Optional[str],
+        audio_file: str,
+        fps: float = 24,
+        offset: float = 0,
+        duration: float = -1,
+        output_size: Tuple[int, int] = (1024, 1024),
+        **stylegan_kwargs,
+    ):
+        from ...gan.stylegan3 import SG3Config, StyleGAN3
+        from ...gan.wrappers import get_z_latents as _gz
+
+        super().__init__(audio_file, fps, offset, duration)
+        cfg = stylegan_kwargs.pop("cfg", None) or SG3Config(img_resolution=max(output_size))
+        self.stylegan3 = StyleGAN3(cfg=cfg, **stylegan_kwargs)
+        self.stylegan3.z_dim = cfg.z_dim
+        self.stylegan3.get_z_latents = lambda seeds: _gz(seeds, cfg.z_dim)
+        self.mapper = self.stylegan3.mapper
+        self.synthesizer = self.stylegan3.synthesizer
+        self.synthesizer_output_size = output_size
+
+    def process_mapper_inputs(self):
+        return {"latent_z": np.random.randn(1, self.stylegan3.cfg.z_dim).astype(np.float32)}
+
+    def process_synthesizer_inputs(self, latent_w):
+        return {"latent_w_plus": latent_w}
+
+    def process_outputs(self, video):
+        return video
+
+
 def get_patch_from_file(filepath: str, class_name: Optional[str] = None):
     """Load a MauaPatch subclass from a user .py file
     (`patches/base/__init__.py:28-44`)."""
@@ -81,7 +118,7 @@ def get_patch_from_file(filepath: str, class_name: Optional[str] = None):
     module = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(module)
     for _, cls in inspect.getmembers(module, inspect.isclass):
-        if issubclass(cls, MauaPatch) and cls not in (MauaPatch, StyleGAN2Patch):
+        if issubclass(cls, MauaPatch) and cls not in (MauaPatch, StyleGAN2Patch, StyleGAN3Patch):
             if class_name is None or cls.__name__ == class_name:
                 return cls
     raise Exception(

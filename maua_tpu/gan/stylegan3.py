@@ -308,3 +308,27 @@ class StyleGAN3:
 
     def __call__(self, z, truncation: float = 1.0, translation=None, rotation=None):
         return self.synthesizer(self.mapper(z, truncation), translation, rotation)
+
+    def render(self, latent_w_plus, translation=None, rotation=None, batch_size: int = 4,
+               postprocess=None, **_ignored):
+        """Batched frame generator mirroring the SG2 wrapper surface
+        (`wrappers/__init__.py:52-99`): per-frame translation (T, 2) and
+        rotation (T,) drive the Fourier input transform."""
+        latent_w_plus = jnp.asarray(latent_w_plus)
+        t = latent_w_plus.shape[0]
+        mats = None
+        if translation is not None or rotation is not None:
+            tr = np.zeros((t, 2), np.float32) if translation is None else np.asarray(translation)
+            ro = np.zeros((t,), np.float32) if rotation is None else np.asarray(rotation).reshape(-1)
+            mats = jnp.stack([make_transform_mat((float(tr[i, 0]), float(tr[i, 1])), float(ro[i]))
+                              for i in range(t)])
+
+        fn = jax.jit(lambda ws, m: synthesis(self.params, ws, self.cfg, m))
+        for s0 in range(0, t, batch_size):
+            ws = latent_w_plus[s0 : s0 + batch_size]
+            m = mats[s0 : s0 + batch_size] if mats is not None else None
+            imgs = fn(ws, m)
+            if postprocess is not None:
+                imgs = postprocess(imgs)
+            for f in np.asarray(jnp.clip(imgs, -1, 1)):
+                yield f

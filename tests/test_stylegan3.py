@@ -87,3 +87,32 @@ def test_filtered_lrelu_chunked_exact(monkeypatch):
         out = sg3._filtered_lrelu(x, up_f, down_f, up, down)
         assert out.shape == ref.shape
         assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-6
+
+
+def test_sg3_render_generator_and_patch_base(tmp_path):
+    """StyleGAN3 facade render() streams frames with per-frame
+    translation/rotation; StyleGAN3Patch wires it for audiovisual
+    patches (`patches/base/stylegan3.py`, `wrappers/__init__.py:52-99`)."""
+    from scipy.io import wavfile
+
+    from maua_tpu.audiovisual.patches.base import StyleGAN3Patch
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    y = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    wav = str(tmp_path / "tone.wav")
+    wavfile.write(wav, sr, (y * 32767).astype(np.int16))
+
+    patch = StyleGAN3Patch(None, wav, fps=4, duration=1, output_size=(64, 64), cfg=CFG)
+    z = patch.stylegan3.get_z_latents("1-3")
+    ws = patch.mapper(z)
+    n = 4
+    lat = jnp.tile(jnp.asarray(ws[:1]), (n, 1, 1))
+    frames = list(patch.stylegan3.render(
+        lat, translation=np.zeros((n, 2), np.float32),
+        rotation=np.linspace(0, 90, n).astype(np.float32), batch_size=2))
+    assert len(frames) == n
+    assert frames[0].shape == (64, 64, 3)
+    assert np.all(np.isfinite(np.stack(frames)))
+    # rotation actually changes the output
+    assert not np.allclose(frames[0], frames[-1])
