@@ -209,3 +209,23 @@ def test_render_sharded_over_mesh():
     out = np.stack(list(gan.render(lats, batch_size=8, mesh=mesh)))
     assert out.shape == ref.shape
     assert np.array_equal(out, ref)
+
+
+def test_noise_parameterization_patch(wav_file):
+    """Example patch parity: rotating perlin annulus noise pyramid +
+    envelope-mixed latents render through the SG2 wrapper
+    (`patches/examples/noise_parameterization.py:43-128`)."""
+    from maua_tpu.audiovisual.patches.examples.noise_parameterization import NoiseParameterization
+    from maua_tpu.gan.stylegan2 import SG2Config
+
+    cfg = SG2Config(img_resolution=32, z_dim=16, w_dim=16, channel_base=512,
+                    channel_max=32, num_fp16_res=0, dtype="float32")
+    patch = NoiseParameterization(None, wav_file, fps=2, duration=1, output_size=(32, 32), cfg=cfg)
+    patch.process_audio()
+    ws = patch.mapper(**patch.process_mapper_inputs())
+    si = patch.process_synthesizer_inputs(ws)
+    assert si["latent_w_plus"].shape[0] == patch.n_frames
+    noises = {k: v for k, v in si.items() if k.startswith("b")}
+    frames = list(patch.stylegan2.render(si["latent_w_plus"], noises=noises, batch_size=2))
+    assert len(frames) == patch.n_frames
+    assert np.all(np.isfinite(np.stack(frames)))
