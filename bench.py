@@ -31,7 +31,8 @@ def main():
     resolution = 1024
     import os
     batch = int(os.environ.get("MAUA_BENCH_BATCH", "56"))
-    n_batches = 6
+    import os as _os
+    n_batches = int(_os.environ.get("MAUA_BENCH_CHUNKS", "12"))
     cfg = sg2.SG2Config(img_resolution=resolution, dtype="bfloat16")
     params = sg2.init_params(jax.random.PRNGKey(0), cfg)
     plan = fs.build_fast_plan(params, cfg)
