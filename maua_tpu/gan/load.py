@@ -320,5 +320,107 @@ def load_network(path: str, dtype: str = "float32"):
     if is_rosinality(sd):
         sd = rosinality_to_ada(sd)
     sd = _normalize_keys(sd)
+    if is_stylegan3(sd):
+        cfg = infer_sg3_config(sd, dtype=dtype)
+        return sg3_params_from_state_dict(sd, cfg), cfg
     cfg = infer_config(sd, dtype=dtype)
     return params_from_state_dict(sd, cfg), cfg
+
+
+# ------------------------------------------------------------- StyleGAN3
+
+
+def is_stylegan3(sd: Dict[str, np.ndarray]) -> bool:
+    """Alias-free checkpoints carry the Fourier input + L{i}_{size}_{ch}
+    layer names (NVIDIA SG3 module naming)."""
+    return any(k.startswith(("synthesis.input.", "input.")) for k in sd) and any(
+        ".freqs" in k or k == "synthesis.input.freqs" for k in sd
+    )
+
+
+def infer_sg3_config(sd: Dict[str, np.ndarray], dtype: str = "float32"):
+    """Infer SG3Config from an alias-free state dict. Layer names
+    `synthesis.L{i}_{size}_{channels}` give the count and output
+    resolution; kernel size distinguishes the -T (3x3) and -R (1x1)
+    configs."""
+    import re
+
+    from .stylegan3 import SG3Config
+
+    layers = {}
+    for k in sd:
+        m = re.match(r"synthesis\.L(\d+)_(\d+)_(\d+)\.weight$", k)
+        if m:
+            layers[int(m.group(1))] = (int(m.group(2)), int(m.group(3)), sd[k])
+    if not layers:
+        raise ValueError("no synthesis.L* layers found — not an SG3 state dict")
+    n = max(layers) + 1
+    img_resolution = layers[max(layers)][0]
+    conv_kernel = layers[0][2].shape[-1]
+    z_dim = sd["mapping.fc0.weight"].shape[1]
+    w_dim = sd["mapping.fc0.weight"].shape[0]
+    mapping_layers = len([k for k in sd if re.match(r"mapping\.fc\d+\.weight$", k)])
+    cmax = max(v[1] for v in layers.values())
+    observed = [layers[i][1] for i in sorted(layers)]
+    # search the channel_base whose layer plan reproduces the observed
+    # per-layer channel counts (the -T/-R configs differ here)
+    for cb in (32768, 65536, 16384, 8192, 4096, 2048, 1024, 512):
+        cand = SG3Config(
+            z_dim=z_dim, w_dim=w_dim, img_resolution=img_resolution, num_layers=n,
+            mapping_layers=mapping_layers, conv_kernel=conv_kernel,
+            channel_base=cb, channel_max=cmax, dtype=dtype,
+        )
+        planned = [int(c) for c in cand.layer_plan()[5][1:]]
+        if planned == observed:
+            return cand
+    raise ValueError(
+        f"could not infer SG3 channel_base for observed channels {observed}; "
+        "pass an explicit SG3Config to sg3_params_from_state_dict"
+    )
+
+
+def sg3_params_from_state_dict(sd: Dict[str, np.ndarray], cfg=None):
+    """Alias-free state dict -> functional SG3 pytree
+    (`gan/stylegan3.py init_params` layout; NVIDIA names: mapping.fc*,
+    synthesis.input.*, synthesis.L{i}_{size}_{ch}.*)."""
+    import re
+
+    import jax.numpy as jnp
+
+    sd = _normalize_keys(sd)
+    if cfg is None:
+        cfg = infer_sg3_config(sd)
+
+    def fc(prefix):
+        return {"w": jnp.asarray(sd[f"{prefix}.weight"].T), "b": jnp.asarray(sd[f"{prefix}.bias"])}
+
+    mapping = {}
+    for i in range(cfg.mapping_layers):
+        mapping[f"fc{i}"] = fc(f"mapping.fc{i}")
+    mapping["w_avg"] = jnp.asarray(sd.get("mapping.w_avg", np.zeros(cfg.w_dim, np.float32)))
+
+    inp = sd
+    input_p = {
+        "freqs": jnp.asarray(inp["synthesis.input.freqs"]),
+        "phases": jnp.asarray(inp["synthesis.input.phases"]),
+        "affine": fc("synthesis.input.affine"),
+        # NVIDIA stores the 1x1 mixing conv as (co, ci); ours is HWIO
+        "weight": jnp.asarray(inp["synthesis.input.weight"].T[None, None]),
+        "transform": jnp.asarray(inp.get("synthesis.input.transform", np.eye(3, dtype=np.float32))),
+    }
+
+    names = {}
+    for k in sd:
+        m = re.match(r"synthesis\.(L(\d+)_\d+_\d+)\.weight$", k)
+        if m:
+            names[int(m.group(2))] = m.group(1)
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"synthesis.{names[i]}"
+        layers.append({
+            "affine": fc(f"{p}.affine"),
+            "weight": jnp.asarray(np.transpose(sd[f"{p}.weight"], (2, 3, 1, 0))),
+            "bias": jnp.asarray(sd[f"{p}.bias"]),
+            "magnitude_ema": jnp.asarray(np.asarray(sd.get(f"{p}.magnitude_ema", np.ones((), np.float32))).reshape(())),
+        })
+    return {"mapping": mapping, "input": input_p, "layers": layers}

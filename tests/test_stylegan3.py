@@ -116,3 +116,47 @@ def test_sg3_render_generator_and_patch_base(tmp_path):
     assert np.all(np.isfinite(np.stack(frames)))
     # rotation actually changes the output
     assert not np.allclose(frames[0], frames[-1])
+
+
+def test_sg3_state_dict_roundtrip():
+    """NVIDIA-style SG3 state dict (mapping.fc*, synthesis.input.*,
+    synthesis.L{i}_{size}_{ch}.*) converts to the functional pytree and
+    reproduces the source generator exactly (`GAN/load.py:130-164` role
+    for alias-free checkpoints)."""
+    import numpy as np
+
+    from maua_tpu.gan.load import infer_sg3_config, is_stylegan3, sg3_params_from_state_dict
+
+    src = sg3.init_params(jax.random.PRNGKey(3), CFG)
+    _, _, _, _, sizes, channels = CFG.layer_plan()
+
+    sd = {}
+    for i in range(CFG.mapping_layers):
+        sd[f"mapping.fc{i}.weight"] = np.asarray(src["mapping"][f"fc{i}"]["w"]).T
+        sd[f"mapping.fc{i}.bias"] = np.asarray(src["mapping"][f"fc{i}"]["b"])
+    sd["mapping.w_avg"] = np.asarray(src["mapping"]["w_avg"])
+    sd["synthesis.input.freqs"] = np.asarray(src["input"]["freqs"])
+    sd["synthesis.input.phases"] = np.asarray(src["input"]["phases"])
+    sd["synthesis.input.affine.weight"] = np.asarray(src["input"]["affine"]["w"]).T
+    sd["synthesis.input.affine.bias"] = np.asarray(src["input"]["affine"]["b"])
+    sd["synthesis.input.weight"] = np.asarray(src["input"]["weight"])[0, 0].T
+    sd["synthesis.input.transform"] = np.asarray(src["input"]["transform"])
+    for i, layer in enumerate(src["layers"]):
+        name = f"L{i}_{int(sizes[i + 1])}_{int(channels[i + 1])}"
+        sd[f"synthesis.{name}.weight"] = np.transpose(np.asarray(layer["weight"]), (3, 2, 0, 1))
+        sd[f"synthesis.{name}.bias"] = np.asarray(layer["bias"])
+        sd[f"synthesis.{name}.affine.weight"] = np.asarray(layer["affine"]["w"]).T
+        sd[f"synthesis.{name}.affine.bias"] = np.asarray(layer["affine"]["b"])
+        sd[f"synthesis.{name}.magnitude_ema"] = np.asarray(layer["magnitude_ema"])
+
+    assert is_stylegan3(sd)
+    cfg2 = infer_sg3_config(sd)
+    assert cfg2.img_resolution == CFG.img_resolution
+    assert cfg2.num_layers == CFG.num_layers
+    assert cfg2.conv_kernel == CFG.conv_kernel
+
+    params = sg3_params_from_state_dict(sd, CFG)
+    z = jax.random.normal(jax.random.PRNGKey(4), (2, CFG.z_dim))
+    ref = sg3.synthesis(src, sg3.mapping(src, z, CFG), CFG)
+    out = sg3.synthesis(params, sg3.mapping(params, z, CFG), CFG)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
