@@ -93,10 +93,12 @@ class StyleGAN3Patch(MauaPatch):
         from ...gan.wrappers import get_z_latents as _gz
 
         super().__init__(audio_file, fps, offset, duration)
-        cfg = stylegan_kwargs.pop("cfg", None) or SG3Config(img_resolution=max(output_size))
-        self.stylegan3 = StyleGAN3(cfg=cfg, **stylegan_kwargs)
-        self.stylegan3.z_dim = cfg.z_dim
-        self.stylegan3.get_z_latents = lambda seeds: _gz(seeds, cfg.z_dim)
+        if model_file is not None and model_file != "None":
+            self.stylegan3 = StyleGAN3(model_file=model_file, **stylegan_kwargs)
+        else:
+            cfg = stylegan_kwargs.pop("cfg", None) or SG3Config(img_resolution=max(output_size))
+            self.stylegan3 = StyleGAN3(cfg=cfg, **stylegan_kwargs)
+        self.stylegan3.get_z_latents = lambda seeds: _gz(seeds, self.stylegan3.cfg.z_dim)
         self.mapper = self.stylegan3.mapper
         self.synthesizer = self.stylegan3.synthesizer
         self.synthesizer_output_size = output_size

@@ -288,12 +288,20 @@ class StyleGAN3:
     """Facade mirroring the reference wrapper surface
     (`wrappers/stylegan3.py:26-133`)."""
 
-    def __init__(self, cfg: Optional[SG3Config] = None, params: Optional[Dict] = None, key=None):
-        self.cfg = cfg or SG3Config()
-        key = key if key is not None else jax.random.PRNGKey(0)
-        self.params = params if params is not None else init_params(key, self.cfg)
+    def __init__(self, cfg: Optional[SG3Config] = None, params: Optional[Dict] = None, key=None,
+                 model_file: Optional[str] = None):
+        if model_file is not None and model_file != "None":
+            from .load import load_network
+
+            self.params, self.cfg = load_network(model_file)
+            assert isinstance(self.cfg, SG3Config), f"{model_file} is not an alias-free checkpoint"
+        else:
+            self.cfg = cfg or SG3Config()
+            key = key if key is not None else jax.random.PRNGKey(0)
+            self.params = params if params is not None else init_params(key, self.cfg)
         self.num_ws = self.cfg.num_ws
         self.w_dim = self.cfg.w_dim
+        self.z_dim = self.cfg.z_dim
 
     def mapper(self, z, truncation: float = 1.0):
         return mapping(self.params, jnp.asarray(z), self.cfg, truncation)

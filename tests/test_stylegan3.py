@@ -160,3 +160,41 @@ def test_sg3_state_dict_roundtrip():
     ref = sg3.synthesis(src, sg3.mapping(src, z, CFG), CFG)
     out = sg3.synthesis(params, sg3.mapping(params, z, CFG), CFG)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
+
+
+def test_sg3_facade_loads_pt_file(tmp_path):
+    """StyleGAN3(model_file=...) end-to-end: torch-saved alias-free
+    state dict routes through load_network's SG3 branch."""
+    import numpy as np
+    import torch
+
+    src = sg3.init_params(jax.random.PRNGKey(5), CFG)
+    _, _, _, _, sizes, channels = CFG.layer_plan()
+    sd = {}
+    for i in range(CFG.mapping_layers):
+        sd[f"mapping.fc{i}.weight"] = torch.from_numpy(np.asarray(src["mapping"][f"fc{i}"]["w"]).T.copy())
+        sd[f"mapping.fc{i}.bias"] = torch.from_numpy(np.asarray(src["mapping"][f"fc{i}"]["b"]).copy())
+    sd["mapping.w_avg"] = torch.from_numpy(np.asarray(src["mapping"]["w_avg"]).copy())
+    sd["synthesis.input.freqs"] = torch.from_numpy(np.asarray(src["input"]["freqs"]).copy())
+    sd["synthesis.input.phases"] = torch.from_numpy(np.asarray(src["input"]["phases"]).copy())
+    sd["synthesis.input.affine.weight"] = torch.from_numpy(np.asarray(src["input"]["affine"]["w"]).T.copy())
+    sd["synthesis.input.affine.bias"] = torch.from_numpy(np.asarray(src["input"]["affine"]["b"]).copy())
+    sd["synthesis.input.weight"] = torch.from_numpy(np.asarray(src["input"]["weight"])[0, 0].T.copy())
+    sd["synthesis.input.transform"] = torch.from_numpy(np.asarray(src["input"]["transform"]).copy())
+    for i, layer in enumerate(src["layers"]):
+        name = f"L{i}_{int(sizes[i + 1])}_{int(channels[i + 1])}"
+        sd[f"synthesis.{name}.weight"] = torch.from_numpy(
+            np.transpose(np.asarray(layer["weight"]), (3, 2, 0, 1)).copy())
+        sd[f"synthesis.{name}.bias"] = torch.from_numpy(np.asarray(layer["bias"]).copy())
+        sd[f"synthesis.{name}.affine.weight"] = torch.from_numpy(np.asarray(layer["affine"]["w"]).T.copy())
+        sd[f"synthesis.{name}.affine.bias"] = torch.from_numpy(np.asarray(layer["affine"]["b"]).copy())
+        sd[f"synthesis.{name}.magnitude_ema"] = torch.from_numpy(np.asarray(layer["magnitude_ema"]).copy())
+
+    path = str(tmp_path / "sg3.pt")
+    torch.save(sd, path)
+    g = sg3.StyleGAN3(model_file=path)
+    assert g.cfg.img_resolution == CFG.img_resolution
+    z = np.random.RandomState(0).randn(1, g.cfg.z_dim).astype(np.float32)
+    img = g(z)
+    assert img.shape[-3:] == (CFG.img_resolution, CFG.img_resolution, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
