@@ -21,18 +21,26 @@ import numpy as np
 from ..ops.image import destitch, restitch
 from ..ops.io import load_image, tensor2img
 from ..utility import MODELZOO
-from .models import rrdbnet
+from .models import rrdbnet, swinir, waifu
 
 # model name -> (architecture kind, config); mirrors the reference's
-# registry surface (`single.py:18-41`). SwinIR/BSRGAN/waifu2x entries
-# resolve to the closest available TPU-native architecture until their
-# dedicated ports land.
+# full registry surface (`single.py:18-41`): RealESRGAN (rrdb/srvgg),
+# SwinIR M/L, waifu2x UpConv_7 + CARN, BSRGAN/RealSR (rrdb), and the
+# diffusion-based "latent-diffusion" upscaler.
 MODEL_REGISTRY = {
+    "latent-diffusion": ("ldm", None),
     "RealESRGAN-x4plus": ("rrdb", rrdbnet.RRDBConfig()),
     "RealESRGAN-x4plus-anime": ("rrdb", rrdbnet.RRDBConfig(num_block=6)),
     "RealESRGAN-xsx4-animevideo": ("srvgg", rrdbnet.SRVGGConfig()),
     "RealESRGAN-pbaylies-wikiart": ("rrdb", rrdbnet.RRDBConfig()),
     "RealESRGAN-pbaylies-hr-paintings": ("rrdb", rrdbnet.RRDBConfig()),
+    "SwinIR-L-DFOWMFC-GAN": ("swinir", swinir.SWINIR_L),
+    "SwinIR-L-DFOWMFC-PSNR": ("swinir", swinir.SWINIR_L),
+    "SwinIR-M-DFO-GAN": ("swinir", swinir.SWINIR_M),
+    "SwinIR-M-DFO-PSNR": ("swinir", swinir.SWINIR_M),
+    **{f"waifu2x-{w}-noise{n}": ("upconv7", waifu.UpConv7Config())
+       for w in ("anime", "photo") for n in range(4)},
+    "CARN": ("carn", waifu.CARNConfig()),
     "BSRGAN": ("rrdb", rrdbnet.RRDBConfig()),
     "RealSR": ("rrdb", rrdbnet.RRDBConfig()),
 }
@@ -44,8 +52,30 @@ _CHECKPOINT_FILES = {
     "RealESRGAN-xsx4-animevideo": "RealESRGANv2-animevideo-xsx4.pth",
     "RealESRGAN-pbaylies-wikiart": "wikiart_g.pth",
     "RealESRGAN-pbaylies-hr-paintings": "hr-paintings_g.pth",
+    "SwinIR-L-DFOWMFC-GAN": "SwinIR-L-DFOWMFC-GAN.pth",
+    "SwinIR-L-DFOWMFC-PSNR": "SwinIR-L-DFOWMFC-PSNR.pth",
+    "SwinIR-M-DFO-GAN": "SwinIR-M-DFO-GAN.pth",
+    "SwinIR-M-DFO-PSNR": "SwinIR-M-DFO-PSNR.pth",
+    **{f"waifu2x-{w}-noise{n}": f"waifu2x/{w}/noise{n}_scale2.0x_model.json"
+       for w in ("anime", "photo") for n in range(4)},
+    "CARN": "CARN_model_checkpoint.pt",
     "BSRGAN": "BSRGAN.pth",
     "RealSR": "RealSR.pth",
+}
+
+_INIT_FNS = {
+    "rrdb": lambda key, cfg: rrdbnet.init_params(key, cfg),
+    "srvgg": lambda key, cfg: rrdbnet.init_srvgg_params(key, cfg),
+    "swinir": lambda key, cfg: swinir.init_params(key, cfg),
+    "upconv7": lambda key, cfg: waifu.init_upconv7_params(key),
+    "carn": lambda key, cfg: waifu.init_carn_params(key, cfg),
+}
+_FWD_FNS = {
+    "rrdb": rrdbnet.forward,
+    "srvgg": rrdbnet.srvgg_forward,
+    "swinir": swinir.forward,
+    "upconv7": waifu.upconv7_forward,
+    "carn": waifu.carn_forward,
 }
 
 
@@ -56,21 +86,24 @@ class Upscaler:
         self.kind, self.cfg = MODEL_REGISTRY[model_name]
         self.tile = tile
         self.tile_overlap = tile_overlap
+        if self.kind == "ldm":
+            self._ldm = _LDMUpscale(key=key)
+            return
         ckpt = os.path.join(MODELZOO, _CHECKPOINT_FILES.get(model_name, ""))
         params = None
         if os.path.exists(ckpt):
             params = self._load_checkpoint(ckpt)
         if params is None:
             key = key if key is not None else jax.random.PRNGKey(0)
-            params = (
-                rrdbnet.init_params(key, self.cfg) if self.kind == "rrdb" else rrdbnet.init_srvgg_params(key, self.cfg)
-            )
+            params = _INIT_FNS[self.kind](key, self.cfg)
         self.params = params
-        fwd = rrdbnet.forward if self.kind == "rrdb" else rrdbnet.srvgg_forward
+        fwd = _FWD_FNS[self.kind]
         self._fwd = jax.jit(lambda p, x: fwd(p, x, self.cfg))
 
     def _load_checkpoint(self, path: str):
         try:
+            if self.kind == "upconv7" and path.endswith(".json"):
+                return waifu.upconv7_params_from_json(path)
             import torch
 
             obj = torch.load(path, map_location="cpu", weights_only=False)
@@ -78,23 +111,67 @@ class Upscaler:
             sd = {k: v.float().numpy() for k, v in sd.items()}
             if self.kind == "rrdb":
                 return rrdbnet.params_from_torch(sd, self.cfg)
+            if self.kind == "swinir":
+                return swinir.params_from_torch(sd, self.cfg)
+            if self.kind == "upconv7":
+                return waifu.upconv7_params_from_torch(sd)
         except Exception as e:  # tolerant cascade like GAN/load.py:192-207
             print(f"checkpoint load failed ({e}); using random init")
         return None
 
     @property
     def scale(self) -> int:
-        return self.cfg.scale if self.kind == "rrdb" else self.cfg.upscale
+        if self.kind == "ldm":
+            return 4
+        if self.kind in ("srvgg", "swinir"):
+            return self.cfg.upscale
+        return self.cfg.scale  # rrdb / upconv7 / carn
+
+    def _run(self, img: jax.Array) -> jax.Array:
+        if self.kind != "swinir":
+            return self._fwd(self.params, img)
+        # mirror-pad to the window multiple, crop after (swinir.py:73-81)
+        ws = self.cfg.window_size
+        h, w = img.shape[1], img.shape[2]
+        hp, wp = (-h) % ws, (-w) % ws
+        if hp or wp:
+            img = jnp.concatenate([img, img[:, ::-1]], 1)[:, : h + hp]
+            img = jnp.concatenate([img, img[:, :, ::-1]], 2)[:, :, : w + wp]
+        out = self._fwd(self.params, img)
+        return out[:, : h * self.scale, : w * self.scale]
 
     def __call__(self, img: jax.Array) -> jax.Array:
         """img (B, H, W, C) in [0, 1] -> upscaled in [0, 1]."""
         img = jnp.asarray(img, jnp.float32)
+        if self.kind == "ldm":
+            return self._ldm(img)
         if self.tile and min(img.shape[1:3]) > self.tile:
             h, w = img.shape[1], img.shape[2]
             tiles = destitch(img, tile_size=self.tile)
-            up_tiles = self._fwd(self.params, tiles)
+            up_tiles = self._run(tiles)
             return jnp.clip(restitch(up_tiles, h * self.scale, w * self.scale), 0, 1)
-        return jnp.clip(self._fwd(self.params, img), 0, 1)
+        return jnp.clip(self._run(img), 0, 1)
+
+
+class _LDMUpscale:
+    """Diffusion-based 4x upscaling (the reference's `latent-diffusion`
+    registry entry, `super/image/models/latent_diffusion.py`): lanczos
+    4x up, then a partial denoise through the LatentDiffusion processor
+    refines the upsampled image (img2img in latent space)."""
+
+    def __init__(self, t_start: float = 0.65, timesteps: int = 25, key=None):
+        from ..diffusion.processors.latent import LatentDiffusion
+        from ..ops.image import resample
+
+        self._resample = resample
+        self.t_start = t_start
+        self.proc = LatentDiffusion(sampler="ddim", timesteps=timesteps, cfg_scale=1.0, key=key)
+
+    def __call__(self, img: jax.Array) -> jax.Array:
+        b, h, w, c = img.shape
+        up = self._resample(jnp.asarray(img, jnp.float32), (h * 4, w * 4))
+        out = self.proc(up * 2 - 1, [], t_start=self.t_start)
+        return jnp.clip((out + 1) / 2, 0, 1)
 
 
 def load_model(model_name: str = "RealESRGAN-x4plus", **kw) -> Upscaler:
