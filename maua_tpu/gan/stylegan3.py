@@ -188,14 +188,25 @@ _CHUNK_TMP_ELEMS = 1_600_000_000
 
 
 def _filtered_lrelu(x: jax.Array, up_f, down_f, up: int, down: int) -> jax.Array:
-    """Row-banded filtered nonlinearity: identical output to the direct
-    path (verified in tests), but the oversampled tmp grid only ever
-    exists band-by-band — SG3's peak-memory bottleneck (a
-    B x 2H x 2W x C bf16 tensor per layer) shrinks by the band count,
-    unlocking larger frame batches per chip."""
+    """Filtered nonlinearity dispatch. On TPU, big layers run the fused
+    Pallas polyphase kernel (`kernels/filtered_lrelu.py`): the
+    2x-oversampled tmp grid never exists, one HBM read + one write,
+    ~4-10x faster than the XLA path at the 1024^2 tail. Small layers
+    (and non-TPU backends) use the XLA path, row-banded only as an OOM
+    escape valve."""
     import os
 
     b, hi, wi, c = x.shape
+    use_pallas = os.environ.get("MAUA_SG3_PALLAS", "1") != "0"
+    # up4 (transition) layers measure faster on the XLA path (the
+    # stacked-phase W-down costs ~4x the up2 case per point); the fused
+    # kernel wins on the same-rate layers, which dominate at the tail
+    if (use_pallas and up == 2 and down == 2 and up_f is not None
+            and down_f is not None and min(hi, wi) >= 512
+            and jax.default_backend() == "tpu"):
+        from ..kernels.filtered_lrelu import filtered_lrelu_pallas
+
+        return filtered_lrelu_pallas(x, up_f, down_f, up, down)
     tmp_elems = b * hi * up * wi * up * c
     bands = int(os.environ.get("MAUA_SG3_BANDS", "0"))
     if bands == 0:
