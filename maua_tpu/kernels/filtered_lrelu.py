@@ -208,9 +208,11 @@ def _flrelu_bchw(x, up_f: tuple, down_f: tuple, up: int, down: int, interpret: b
 
     b, c, h, w = x.shape
     # band height: bounded by a ~6 MB VMEM plane budget
+    import os
+
     n_planes = 2 + up + 2 * r + r * r
     P = -(-w // 128) * 128
-    budget = 6_000_000
+    budget = int(float(os.environ.get("MAUA_FLRELU_BUDGET", "6e6")))
     R = max(32, min(256, budget // (n_planes * P * 4) // 32 * 32, h + (-h % 32)))
     assert R > x_halo
     hp = -h % R
