@@ -100,6 +100,26 @@ def get_flow_model(which: Sequence[str] = ("farneback",)) -> Callable:
             fns.append(farneback_flow)
         elif name in ("hs", "jax", "unflow"):
             fns.append(lambda a, b: np.asarray(jax_flow(a, b)))
+        elif name in ("raft", "gma", "raft_large"):
+            # TPU-native RAFT (flow/raft.py); weights convert from
+            # torchvision raft_large when present in modelzoo/
+            from . import raft as raft_mod
+            import os
+
+            from ..utility import MODELZOO
+
+            params = None
+            ckpt = os.path.join(MODELZOO, "raft_large.pth")
+            if os.path.exists(ckpt):
+                try:
+                    import torch
+
+                    sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+                    sd = {k: v.float().numpy() for k, v in sd.items()}
+                    params = raft_mod.params_from_torch(sd)
+                except Exception as e:
+                    print(f"raft checkpoint load failed ({e}); using random init")
+            fns.append(lambda a, b, _p=params: raft_mod.raft_flow(a, b, params=_p))
         else:
             print(f"flow model {name} unavailable in this build; using farneback")
             fns.append(farneback_flow)
