@@ -52,7 +52,7 @@ def transfer(
         video_file, get_flow_model(flow_models), max_frames=max_frames
     )
     n = len(frames)
-    (styles,) = load_images([list(style_imgs)])
+    (styles,) = load_images(list(style_imgs))
     styles = [resample(jnp.asarray(im) * 2 - 1, size) for im in styles]
 
     percept = load_perceptor(perceptor)()
