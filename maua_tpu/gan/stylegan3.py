@@ -44,6 +44,10 @@ class SG3Config:
     mapping_layers: int = 2
     conv_kernel: int = 3
     dtype: str = "float32"
+    # run the final torgb conv in bf16 too (f32 accumulation): ~10 ms
+    # per batch-8 1024^2 step; output SNR ~48 dB vs the f32 path, above
+    # the 40 dB parity bar but off by default to keep full margin
+    torgb_bf16: bool = False
 
     def layer_plan(self):
         """Per-layer (cutoff, stopband, sampling rate, size, channels)
@@ -183,8 +187,9 @@ def _filtered_lrelu_direct(x: jax.Array, up_f, down_f, up: int, down: int) -> ja
 # approach the HBM ceiling (banding costs ~28% throughput from halo
 # recompute + lost fusion, so it is purely an OOM escape valve;
 # measured: batch 8 unchunked 18.4 fps vs chunked 13.3 fps, batch 16
-# OOMs unchunked at an 11.7 GB tmp tensor)
-_CHUNK_TMP_ELEMS = 1_600_000_000
+# OOMs unchunked at an 11.7 GB tmp tensor; the batch-8 layer-9 tmp
+# (2.9e9 elems, 5.9 GB bf16) runs direct at 82 ms vs 91 ms banded)
+_CHUNK_TMP_ELEMS = 3_200_000_000
 
 
 def _filtered_lrelu(x: jax.Array, up_f, down_f, up: int, down: int) -> jax.Array:
@@ -242,7 +247,7 @@ def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[j
         is_torgb = i == cfg.num_layers - 1
         # bf16 through the resample-heavy trunk (the oversampled
         # intermediate grids dominate HBM); torgb stays f32
-        x = x.astype(jnp.float32 if is_torgb else compute_dtype)
+        x = x.astype(compute_dtype if (not is_torgb or cfg.torgb_bf16) else jnp.float32)
         in_rate, out_rate = float(srates[i]), float(srates[i + 1])
         in_size, out_size = int(sizes[i]), int(sizes[i + 1])
         in_cut, out_cut = float(cutoffs[i]), float(cutoffs[i + 1])

@@ -198,3 +198,18 @@ def test_sg3_facade_loads_pt_file(tmp_path):
     img = g(z)
     assert img.shape[-3:] == (CFG.img_resolution, CFG.img_resolution, 3)
     assert np.all(np.isfinite(np.asarray(img)))
+
+def test_torgb_bf16_psnr(gen):
+    """torgb_bf16 keeps output within the 40 dB parity bar of the f32
+    torgb path (both on the bf16 trunk config)."""
+    import dataclasses
+
+    cfg16 = dataclasses.replace(CFG, dtype="bfloat16")
+    cfg16_rgb = dataclasses.replace(cfg16, torgb_bf16=True)
+    ws = jnp.asarray(np.random.RandomState(1).randn(1, CFG.num_ws, 32), jnp.float32)
+    ref = np.asarray(sg3.synthesis(gen.params, ws, cfg16))
+    out = np.asarray(sg3.synthesis(gen.params, ws, cfg16_rgb))
+    mse = float(np.mean((ref - out) ** 2))
+    peak = float(ref.max() - ref.min()) or 1.0
+    psnr = 10 * np.log10(peak * peak / max(mse, 1e-20))
+    assert psnr >= 40.0, psnr
