@@ -239,16 +239,16 @@ def main(args=None):
     parser.add_argument("--diffusion", default="stable", type=str)
     parser.add_argument("--timesteps", default=50, type=int)
     parser.add_argument("--sampler", default="lms", type=str)
-    parser.add_argument("--guidance-speed", default="fast", type=str)
-    parser.add_argument("--clip-scale", default=0.0, type=float)
-    parser.add_argument("--lpips-scale", default=0.0, type=float)
-    parser.add_argument("--style-scale", default=0.0, type=float)
-    parser.add_argument("--color-match-scale", default=0.0, type=float)
-    parser.add_argument("--cfg-scale", default=5.0, type=float)
-    parser.add_argument("--super-res", default=None, type=str)
-    parser.add_argument("--tile-size", default=None, type=int)
-    parser.add_argument("--max-batch", default=4, type=int)
-    parser.add_argument("--out-dir", default="output/", type=str)
+    parser.add_argument("--guidance_speed", default="fast", type=str)
+    parser.add_argument("--clip_scale", default=0.0, type=float)
+    parser.add_argument("--lpips_scale", default=0.0, type=float)
+    parser.add_argument("--style_scale", default=0.0, type=float)
+    parser.add_argument("--color_match_scale", default=0.0, type=float)
+    parser.add_argument("--cfg_scale", default=5.0, type=float)
+    parser.add_argument("--super_res", default=None, type=str)
+    parser.add_argument("--tile_size", default=None, type=int)
+    parser.add_argument("--max_batch", default=4, type=int)
+    parser.add_argument("--out_dir", default="output/", type=str)
     args = parser.parse_args(args)
     # fmt: on
 
