@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .convert import fourier_tempo_frequencies, power_to_db, tempo_frequencies
+from . import spectral as _spectral
 from .spectral import hann_window, melspectrogram
 
 
@@ -48,8 +49,18 @@ def onset_strength(
 
 
 def autocorrelate(y: jax.Array, max_size: Optional[int] = None) -> jax.Array:
-    """Bounded-lag autocorrelation via FFT (librosa.autocorrelate)."""
+    """Bounded-lag autocorrelation (librosa.autocorrelate): FFT on CPU;
+    on TPU a direct shifted-dot — complex FFT is unavailable on the
+    relay, the callers bound max_size to a few hundred lags, and the
+    O(n*max_size) matmul is cheap there while the FFT path's
+    (n_freq, n_pad) DFT basis for a full track would be GBs."""
     n = y.shape[-1]
+    if _spectral.use_real_dft():
+        lags = n if max_size is None else min(max_size, n)
+        yp = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, lags)])
+        idx = jnp.arange(lags)[:, None] + jnp.arange(n)[None, :]
+        shifted = yp[..., idx]  # (..., lags, n)
+        return jnp.einsum("...ln,...n->...l", shifted, y)
     n_pad = int(2 ** np.ceil(np.log2(2 * n - 1)))
     f = jnp.fft.rfft(y, n=n_pad, axis=-1)
     ac = jnp.fft.irfft(f * jnp.conj(f), n=n_pad, axis=-1)[..., :n]
@@ -72,8 +83,15 @@ def tempogram(
     w = hann_window(win_length)[:, None]
     fw = frames * w
     n_pad = int(2 ** np.ceil(np.log2(2 * win_length - 1)))
-    f = jnp.fft.rfft(fw, n=n_pad, axis=0)
-    ac = jnp.fft.irfft(f * jnp.conj(f), n=n_pad, axis=0)[:win_length]
+    if _spectral.use_real_dft():
+        f = _spectral.rfft_real(fw, n=n_pad, axis=0)
+        power = f.re * f.re + f.im * f.im
+        ac = _spectral.irfft_real(
+            _spectral.RISpec(power, jnp.zeros_like(power)), n_pad, axis=0
+        )[:win_length]
+    else:
+        f = jnp.fft.rfft(fw, n=n_pad, axis=0)
+        ac = jnp.fft.irfft(f * jnp.conj(f), n=n_pad, axis=0)[:win_length]
     norm = jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(ac), axis=0, keepdims=True)), 1e-10)
     return ac / norm
 
@@ -88,6 +106,8 @@ def fourier_tempogram(
     n_frames = onset_envelope.shape[0] if center else oe.shape[0] - win_length + 1
     idx = jnp.arange(n_frames)[None, :] + jnp.arange(win_length)[:, None]
     frames = oe[idx] * hann_window(win_length)[:, None]
+    if _spectral.use_real_dft():
+        return _spectral.rfft_real(frames, axis=0)
     return jnp.fft.rfft(frames, axis=0)
 
 
@@ -110,18 +130,21 @@ def plp(
         mask &= tempo_frequencies_ >= tempo_min
     if tempo_max is not None:
         mask &= tempo_frequencies_ <= tempo_max
-    mag = jnp.abs(ftgram)
+    mag = _spectral.spec_abs(ftgram)
     if prior is not None:
         mag = mag * jnp.asarray(prior)[:, None]
     mag = jnp.where(jnp.asarray(mask)[:, None], mag, -jnp.inf)
     peaks = jnp.argmax(mag, axis=0)
     keep = jax.nn.one_hot(peaks, ftgram.shape[0], axis=0)
-    ftgram_kept = ftgram * keep
+    ftgram_kept = _spectral.spec_mul_real(ftgram, keep)
     # normalize each frame's peak to unit magnitude
-    peak_vals = jnp.max(jnp.abs(ftgram_kept), axis=0, keepdims=True)
-    ftgram_kept = ftgram_kept / jnp.maximum(peak_vals, 1e-10)
+    peak_vals = jnp.max(_spectral.spec_abs(ftgram_kept), axis=0, keepdims=True)
+    ftgram_kept = _spectral.spec_mul_real(ftgram_kept, 1.0 / jnp.maximum(peak_vals, 1e-10))
     # inverse short-time FT (overlap-add)
-    frames = jnp.fft.irfft(ftgram_kept, n=win_length, axis=0) * hann_window(win_length)[:, None]
+    if isinstance(ftgram_kept, _spectral.RISpec):
+        frames = _spectral.irfft_real(ftgram_kept, win_length, axis=0) * hann_window(win_length)[:, None]
+    else:
+        frames = jnp.fft.irfft(ftgram_kept, n=win_length, axis=0) * hann_window(win_length)[:, None]
     n_frames = frames.shape[1]
     out_len = win_length + (n_frames - 1)
     idx = (jnp.arange(win_length)[:, None] + jnp.arange(n_frames)[None, :]).reshape(-1)

@@ -16,7 +16,7 @@ import numpy as np
 
 from .constantq import cqt
 from .convert import chroma_filterbank, cq_to_chroma, note_to_hz
-from .spectral import stft
+from .spectral import spec_abs, stft
 
 
 def _normalize_cols(x: jax.Array, norm: float = jnp.inf, axis: int = 0) -> jax.Array:
@@ -34,7 +34,7 @@ def chroma_stft(
 ) -> jax.Array:
     """STFT-based chromagram (librosa.feature.chroma_stft).
     Returns (n_chroma, T)."""
-    S = jnp.abs(stft(y, n_fft=n_fft, hop_length=hop_length)) ** 2
+    S = spec_abs(stft(y, n_fft=n_fft, hop_length=hop_length)) ** 2
     fb = jnp.asarray(chroma_filterbank(sr, n_fft, n_chroma=n_chroma, tuning=tuning))
     raw = fb @ S
     return _normalize_cols(raw)
@@ -53,7 +53,7 @@ def chroma_cqt(
     if fmin is None:
         fmin = note_to_hz("C1")
     n_bins = n_octaves * bins_per_octave
-    C = jnp.abs(
+    C = spec_abs(
         cqt(y, sr=sr, hop_length=hop_length, fmin=fmin, n_bins=n_bins, bins_per_octave=bins_per_octave)
     )
     proj = jnp.asarray(cq_to_chroma(n_bins, bins_per_octave=bins_per_octave, n_chroma=n_chroma, fmin=fmin))

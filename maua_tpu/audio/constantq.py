@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .convert import cqt_frequencies, note_to_hz
-from .spectral import stft
+from .spectral import spec_abs, spec_concat, spec_matmul, spec_mul_real, stft
 
 
 def _lowpass_kernel(numtaps: int = 64, cutoff: float = 0.5) -> np.ndarray:
@@ -99,7 +99,7 @@ def vqt(
         f_oct = freqs[lo:hi]
         basis, lengths, n_fft = wavelet_basis(f_oct, msr, Q, gamma=gamma, alpha=alpha)
         D = stft(my, n_fft=n_fft, hop_length=mhop, window=jnp.ones(n_fft), pad_mode="reflect")
-        resp = jnp.asarray(basis) @ D  # (bins_in_octave, T)
+        resp = spec_matmul(basis, D)  # (bins_in_octave, T)
         responses.append((resp, np.asarray(lengths)))
         if mhop % 2 == 0 and octv < n_octaves - 1 and my.shape[-1] >= 2 * n_fft:
             my = decimate2(my) * np.sqrt(2.0)
@@ -107,12 +107,12 @@ def vqt(
             mhop //= 2
     # align frame counts and stack low->high
     min_t = min(r.shape[-1] for r, _ in responses)
-    C = jnp.concatenate([r[:, :min_t] for r, _ in reversed(responses)], axis=0)[-n_bins:]
+    C = spec_concat([r[:, :min_t] for r, _ in reversed(responses)], axis=0)[-n_bins:]
     all_lengths = np.concatenate([l for _, l in reversed(responses)])[-n_bins:]
     if scale:
         # amplitude normalization: divide by sqrt(filter length at the
         # rate each octave was analyzed (librosa scale=True))
-        C = C / jnp.sqrt(jnp.asarray(all_lengths))[:, None]
+        C = spec_mul_real(C, 1.0 / jnp.sqrt(jnp.asarray(all_lengths))[:, None])
     return C
 
 
@@ -150,5 +150,5 @@ def pseudo_cqt(
     Q = 1.0 / alpha
     basis, lengths, n_fft = wavelet_basis(freqs, sr, Q)
     mag_basis = jnp.abs(jnp.asarray(basis))
-    D = jnp.abs(stft(y, n_fft=n_fft, hop_length=hop_length))
+    D = spec_abs(stft(y, n_fft=n_fft, hop_length=hop_length))
     return mag_basis @ D

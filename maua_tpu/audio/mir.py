@@ -25,7 +25,7 @@ from . import chroma as _chroma
 from . import pitch as _pitch
 from . import segment as _segment
 from .spectral import harmonic as _harmonic
-from .spectral import melspectrogram, percussive as _percussive, rms as _rms, stft
+from .spectral import melspectrogram, percussive as _percussive, rms as _rms, spec_abs, spec_angle, stft
 
 
 # ----------------------------------------------------- onset ensemble
@@ -54,8 +54,8 @@ def onset_ensemble(y: jax.Array, sr: float, n_fft: int = 2048, hop_length: int =
     """Mean of five normalized onset detection functions (replacement
     for the madmom ensemble, `audioreactive/mir.py:36-57`)."""
     D = stft(y, n_fft=n_fft, hop_length=hop_length)
-    mag = jnp.abs(D)
-    phase = jnp.angle(D)
+    mag = spec_abs(D)
+    phase = spec_angle(D)
     fb = jnp.asarray(_log_filterbank(sr, n_fft))
     filt = (fb @ mag).T  # (T, bands)
     log_filt = jnp.log10(1.0 + 5.0 * filt)
@@ -75,11 +75,14 @@ def onset_ensemble(y: jax.Array, sr: float, n_fft: int = 2048, hop_length: int =
     superflux = jnp.sum(hwr(log_filt[2:] - maxfilt[:-2]), axis=1)
     superflux = jnp.concatenate([superflux[:1], superflux])
     # 4. complex flux: complex-domain deviation from phase prediction
+    # (computed on real parts only — complex dtypes are unavailable on
+    # the TPU relay: |m2 e^{i p2} - m1 e^{i tp}| expanded via cos/sin)
     mag_t = mag.T
     phase_t = phase.T
     target_phase = 2 * phase_t[1:-1] - phase_t[:-2]
-    target = mag_t[1:-1] * jnp.exp(1j * target_phase)
-    cdev = jnp.abs(mag_t[2:] * jnp.exp(1j * phase_t[2:]) - target)
+    d_re = mag_t[2:] * jnp.cos(phase_t[2:]) - mag_t[1:-1] * jnp.cos(target_phase)
+    d_im = mag_t[2:] * jnp.sin(phase_t[2:]) - mag_t[1:-1] * jnp.sin(target_phase)
+    cdev = jnp.sqrt(d_re * d_re + d_im * d_im)
     complex_flux = (fb @ cdev.T).T.sum(axis=1)
     complex_flux = jnp.concatenate([complex_flux[:1], complex_flux])
     # 5. modified Kullback-Leibler divergence between successive frames

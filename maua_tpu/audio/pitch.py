@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .spectral import stft
+from .spectral import spec_abs, stft
 
 
 def piptrack(
@@ -27,7 +27,7 @@ def piptrack(
     """Parabolic-interpolated instantaneous pitches of spectral peaks
     (`rosa/pitch.py:40-96`). Returns (pitches, magnitudes), both
     (1 + n_fft//2, T)."""
-    S = jnp.abs(stft(y, n_fft=n_fft, hop_length=hop_length))
+    S = spec_abs(stft(y, n_fft=n_fft, hop_length=hop_length))
     fft_freqs = jnp.asarray(np.linspace(0, sr / 2, 1 + n_fft // 2, dtype=np.float32))
 
     # parabolic interpolation around each bin

@@ -18,7 +18,7 @@ import numpy as np
 from .beat import onset_strength, tempo
 from .constantq import cqt
 from .convert import amplitude_to_db
-from .spectral import _median_filter_axis, mfcc
+from .spectral import _median_filter_axis, mfcc, spec_abs
 
 
 def recurrence_matrix(
@@ -117,7 +117,7 @@ def laplacian_segmentation(
     CQT -> beat-sync -> recurrence + path affinities -> normalized
     laplacian eigenvectors -> k-means -> (boundary times, labels)."""
     BPO, N_OCT = 12 * 3, 7
-    C = amplitude_to_db(jnp.abs(cqt(y, sr=sr, hop_length=hop_length, n_bins=N_OCT * BPO, bins_per_octave=BPO)))
+    C = amplitude_to_db(spec_abs(cqt(y, sr=sr, hop_length=hop_length, n_bins=N_OCT * BPO, bins_per_octave=BPO)))
 
     # lightweight beat proxy: pick evenly spaced "beats" from onset peaks
     oe = onset_strength(y, sr=sr, hop_length=hop_length)

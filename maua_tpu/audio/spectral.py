@@ -10,9 +10,11 @@ kernels are verified against.
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +47,136 @@ def frame(y: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
     return y[..., idx]
 
 
+# --------------------------------------------------------- real-DFT seam
+# The axon TPU relay implements neither complex dtypes nor FFT ops
+# (jnp.fft.* and complex64 arithmetic fail with UNIMPLEMENTED, and a
+# failed call poisons the runtime, so probing is unsafe). The fused mel
+# kernel (`kernels/spectrogram.py`) already established DFT-by-matmul
+# is *faster* than gather/FFT formulations at audio sizes on the MXU,
+# so on TPU backends `stft` returns an `RISpec` (re, im) pair computed
+# by cos/sin matmuls, and every in-package consumer goes through the
+# `spec_*` helpers, which accept both complex arrays and RISpec.
+# Override with MAUA_AUDIO_FFT={complex,real}; CPU defaults to the
+# complex path (bit-compatible with the original librosa-parity tests).
+
+
+class RISpec(NamedTuple):
+    """A complex spectrum as separate real/imag float arrays."""
+
+    re: jax.Array
+    im: jax.Array
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def ndim(self):
+        return self.re.ndim
+
+    def __getitem__(self, idx):
+        return RISpec(self.re[idx], self.im[idx])
+
+
+SpecLike = Union[jax.Array, RISpec]
+
+
+def use_real_dft() -> bool:
+    mode = os.environ.get("MAUA_AUDIO_FFT", "auto")
+    if mode == "real":
+        return True
+    if mode == "complex":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_bases(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """np.fft.rfft as matmuls: re = x @ C.T, im = x @ S.T (sign matches
+    X[k] = sum_t x[t] e^{-2i pi k t / n})."""
+    k = np.arange(1 + n // 2)[:, None]
+    t = np.arange(n)[None, :]
+    ang = 2.0 * np.pi * k * t / n
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _irdft_bases(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """np.fft.irfft as matmuls: x = re @ Cw + im @ Sw, using hermitian
+    symmetry (interior bins doubled; DC and nyquist not)."""
+    n_freq = 1 + n // 2
+    k = np.arange(n_freq)[:, None]
+    t = np.arange(n)[None, :]
+    ang = 2.0 * np.pi * k * t / n
+    w = np.full((n_freq, 1), 2.0 / n)
+    w[0] = 1.0 / n
+    if n % 2 == 0:
+        w[-1] = 1.0 / n
+    return (np.cos(ang) * w).astype(np.float32), (-np.sin(ang) * w).astype(np.float32)
+
+
+def rfft_real(x: jax.Array, n: Optional[int] = None, axis: int = -1) -> RISpec:
+    """Matmul rfft of a real array along `axis` (zero-pads to n)."""
+    length = x.shape[axis]
+    if n is not None and n != length:
+        pads = [(0, 0)] * x.ndim
+        pads[axis % x.ndim] = (0, n - length)
+        x = jnp.pad(x, pads)
+    else:
+        n = length
+    C, S = _rdft_bases(n)
+    re = jnp.moveaxis(jnp.tensordot(x, jnp.asarray(C), axes=[[axis % x.ndim], [1]]), -1, axis)
+    im = jnp.moveaxis(jnp.tensordot(x, jnp.asarray(S), axes=[[axis % x.ndim], [1]]), -1, axis)
+    return RISpec(re, im)
+
+
+def irfft_real(spec: RISpec, n: int, axis: int = -1) -> jax.Array:
+    """Matmul irfft (inverse of rfft_real / np.fft.rfft) along `axis`."""
+    Cw, Sw = _irdft_bases(n)
+    ax = axis % spec.re.ndim
+    x = jnp.tensordot(spec.re, jnp.asarray(Cw), axes=[[ax], [0]]) + jnp.tensordot(
+        spec.im, jnp.asarray(Sw), axes=[[ax], [0]]
+    )
+    return jnp.moveaxis(x, -1, axis)
+
+
+def spec_abs(D: SpecLike) -> jax.Array:
+    if isinstance(D, RISpec):
+        return jnp.sqrt(D.re * D.re + D.im * D.im)
+    return jnp.abs(D)
+
+
+def spec_angle(D: SpecLike) -> jax.Array:
+    if isinstance(D, RISpec):
+        return jnp.arctan2(D.im, D.re)
+    return jnp.angle(D)
+
+
+def spec_mul_real(D: SpecLike, r: jax.Array) -> SpecLike:
+    """Scale a spectrum by a real array (masking, normalization)."""
+    if isinstance(D, RISpec):
+        return RISpec(D.re * r, D.im * r)
+    return D * r
+
+
+def spec_concat(specs, axis: int = 0) -> SpecLike:
+    if isinstance(specs[0], RISpec):
+        return RISpec(
+            jnp.concatenate([s.re for s in specs], axis=axis),
+            jnp.concatenate([s.im for s in specs], axis=axis),
+        )
+    return jnp.concatenate(specs, axis=axis)
+
+
+def spec_matmul(B: np.ndarray, D: SpecLike) -> SpecLike:
+    """Left-multiply a spectrum by a (possibly complex) numpy basis."""
+    if isinstance(D, RISpec):
+        Br = jnp.asarray(np.ascontiguousarray(B.real.astype(np.float32)))
+        Bi = jnp.asarray(np.ascontiguousarray(B.imag.astype(np.float32)))
+        return RISpec(Br @ D.re - Bi @ D.im, Br @ D.im + Bi @ D.re)
+    return jnp.asarray(B) @ D
+
+
 def stft(
     y: jax.Array,
     n_fft: int = 2048,
@@ -52,9 +184,10 @@ def stft(
     center: bool = True,
     window: Optional[jax.Array] = None,
     pad_mode: str = "reflect",
-) -> jax.Array:
-    """Complex STFT, shape (..., 1 + n_fft//2, n_frames)
-    (`rosa/spectral.py:10-21`, torch.stft semantics)."""
+) -> SpecLike:
+    """STFT, shape (..., 1 + n_fft//2, n_frames)
+    (`rosa/spectral.py:10-21`, torch.stft semantics). Complex on CPU;
+    an RISpec (re, im) pair on TPU backends (see real-DFT seam above)."""
     if window is None:
         window = hann_window(n_fft)
     if center:
@@ -62,6 +195,8 @@ def stft(
         y = jnp.pad(y, pads, mode=pad_mode)
     frames = frame(y, n_fft, hop_length)  # (..., n_fft, T)
     frames = frames * window[:, None]
+    if use_real_dft():
+        return rfft_real(frames, axis=-2)
     return jnp.fft.rfft(frames, axis=-2)
 
 
@@ -77,7 +212,10 @@ def istft(
     (`rosa/spectral.py:24-33`, torch.istft semantics)."""
     if window is None:
         window = hann_window(n_fft)
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-2) * window[:, None]  # (..., n_fft, T)
+    if isinstance(spec, RISpec):
+        frames = irfft_real(spec, n_fft, axis=-2) * window[:, None]
+    else:
+        frames = jnp.fft.irfft(spec, n=n_fft, axis=-2) * window[:, None]  # (..., n_fft, T)
     n_frames = frames.shape[-1]
     out_len = n_fft + hop_length * (n_frames - 1)
 
@@ -96,15 +234,29 @@ def istft(
     return y
 
 
+@functools.lru_cache(maxsize=None)
+def _dct2_basis(n: int) -> np.ndarray:
+    """Direct DCT-II matrix: V[k] = 2 * sum_t x[t] cos(pi k (2t+1) / 2n)."""
+    k = np.arange(n)[:, None]
+    t = np.arange(n)[None, :]
+    return (2.0 * np.cos(np.pi * k * (2 * t + 1) / (2 * n))).astype(np.float32).T
+
+
 def dct(x: jax.Array, norm: Optional[str] = None) -> jax.Array:
-    """DCT-II along the last axis via FFT (`rosa/spectral.py:35-56`)."""
+    """DCT-II along the last axis (`rosa/spectral.py:35-56`): FFT-based
+    on CPU, direct cosine matmul on TPU (no complex FFT on the relay,
+    and n is small — n_mels-scale — so the matmul is the faster form
+    anyway)."""
     shape = x.shape
     N = shape[-1]
     x2 = x.reshape(-1, N)
-    v = jnp.concatenate([x2[:, ::2], x2[:, 1::2][:, ::-1]], axis=1)
-    Vc = jnp.fft.fft(v, axis=1)
-    k = -jnp.arange(N, dtype=x.dtype)[None, :] * np.pi / (2 * N)
-    V = Vc.real * jnp.cos(k) - Vc.imag * jnp.sin(k)
+    if use_real_dft():
+        V = 0.5 * (x2 @ jnp.asarray(_dct2_basis(N)))
+    else:
+        v = jnp.concatenate([x2[:, ::2], x2[:, 1::2][:, ::-1]], axis=1)
+        Vc = jnp.fft.fft(v, axis=1)
+        k = -jnp.arange(N, dtype=x.dtype)[None, :] * np.pi / (2 * N)
+        V = Vc.real * jnp.cos(k) - Vc.imag * jnp.sin(k)
     if norm == "ortho":
         scale = jnp.full((N,), 1.0 / (math.sqrt(N / 2) * 2))
         scale = scale.at[0].set(1.0 / (math.sqrt(N) * 2))
@@ -124,7 +276,7 @@ def spectrogram(
     the final STFT frame (`rosa/spectral.py:59-62` slices [:, :-1])."""
     S = stft(y, n_fft=n_fft, hop_length=hop_length, center=center, pad_mode=pad_mode)
     S = S[..., :-1]
-    return jnp.abs(S) ** power
+    return spec_abs(S) ** power
 
 
 def melspectrogram(
@@ -143,8 +295,11 @@ def melspectrogram(
     return basis @ S
 
 
-def magphase(D: jax.Array, power: float = 1.0) -> Tuple[jax.Array, jax.Array]:
+def magphase(D: SpecLike, power: float = 1.0) -> Tuple[jax.Array, SpecLike]:
     """(`rosa/spectral.py:113-120`)"""
+    if isinstance(D, RISpec):
+        mag1 = jnp.maximum(spec_abs(D), 1e-20)
+        return mag1**power, RISpec(D.re / mag1, D.im / mag1)
     mag = jnp.abs(D) ** power
     phase = jnp.exp(1.0j * jnp.angle(D))
     return mag, phase
@@ -215,7 +370,7 @@ def harmonic(y: jax.Array, margin: float = 8.0, n_fft: int = 2048, hop_length: i
     D = stft(y, n_fft=n_fft, hop_length=hop_length)
     mag, phase = magphase(D)
     mask_h, _ = hpss(mag, mask=True, margin=margin)
-    return istft(D * mask_h, n_fft=n_fft, hop_length=hop_length, length=y.shape[-1])
+    return istft(spec_mul_real(D, mask_h), n_fft=n_fft, hop_length=hop_length, length=y.shape[-1])
 
 
 def percussive(y: jax.Array, margin: float = 8.0, n_fft: int = 2048, hop_length: int = 512) -> jax.Array:
@@ -223,7 +378,7 @@ def percussive(y: jax.Array, margin: float = 8.0, n_fft: int = 2048, hop_length:
     D = stft(y, n_fft=n_fft, hop_length=hop_length)
     mag, phase = magphase(D)
     _, mask_p = hpss(mag, mask=True, margin=margin)
-    return istft(D * mask_p, n_fft=n_fft, hop_length=hop_length, length=y.shape[-1])
+    return istft(spec_mul_real(D, mask_p), n_fft=n_fft, hop_length=hop_length, length=y.shape[-1])
 
 
 def rms(y: jax.Array, frame_length: int = 2048, hop_length: int = 512, center: bool = True) -> jax.Array:
@@ -256,7 +411,7 @@ def spectral_contrast(
     quantile: float = 0.02,
 ) -> jax.Array:
     """librosa.feature.spectral_contrast (valley/peak per octave band)."""
-    S = jnp.abs(stft(y, n_fft=n_fft, hop_length=hop_length))
+    S = spec_abs(stft(y, n_fft=n_fft, hop_length=hop_length))
     freqs = np.linspace(0, sr / 2, 1 + n_fft // 2)
     octa = np.zeros(n_bands + 2)
     octa[1:] = fmin * (2.0 ** np.arange(0, n_bands + 1))
@@ -277,7 +432,7 @@ def spectral_contrast(
 
 def spectral_flatness(y: jax.Array, n_fft: int = 2048, hop_length: int = 512, power: float = 2.0) -> jax.Array:
     """librosa.feature.spectral_flatness: geometric/arithmetic mean."""
-    S = jnp.abs(stft(y, n_fft=n_fft, hop_length=hop_length)) ** power
+    S = spec_abs(stft(y, n_fft=n_fft, hop_length=hop_length)) ** power
     S = jnp.maximum(S, 1e-10)
     gmean = jnp.exp(jnp.mean(jnp.log(S), axis=-2))
     amean = jnp.mean(S, axis=-2)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import importlib
 import importlib.util
 import inspect
+from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
@@ -116,8 +117,12 @@ class StyleGAN3Patch(MauaPatch):
 def get_patch_from_file(filepath: str, class_name: Optional[str] = None):
     """Load a MauaPatch subclass from a user .py file
     (`patches/base/__init__.py:28-44`)."""
-    spec = importlib.util.spec_from_file_location("user_patch", filepath)
+    import sys
+
+    name = "maua_user_patch_" + Path(filepath).stem
+    spec = importlib.util.spec_from_file_location(name, filepath)
     module = importlib.util.module_from_spec(spec)
+    sys.modules[name] = module  # let the patch file import dataclasses/pickle-safe
     spec.loader.exec_module(module)
     for _, cls in inspect.getmembers(module, inspect.isclass):
         if issubclass(cls, MauaPatch) and cls not in (MauaPatch, StyleGAN2Patch, StyleGAN3Patch):

@@ -13,10 +13,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ... import audioreactive as ar
-from ....ops.noise import perlin_noise
-from ....ops.warp import rotate
-from ..base import StyleGAN2Patch
+from maua_tpu.audiovisual import audioreactive as ar
+from maua_tpu.ops.noise import perlin_noise
+from maua_tpu.ops.warp import rotate
+from maua_tpu.audiovisual.patches.base import StyleGAN2Patch
 
 
 def circular_mask(h, w, radius=None):

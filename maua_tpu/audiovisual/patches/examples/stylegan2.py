@@ -11,8 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ... import audioreactive as ar
-from ..base import StyleGAN2Patch
+from maua_tpu.audiovisual import audioreactive as ar
+from maua_tpu.audiovisual.patches.base import StyleGAN2Patch
 
 
 class ExampleSG2Patch(StyleGAN2Patch):

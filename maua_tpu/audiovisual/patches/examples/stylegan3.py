@@ -10,8 +10,8 @@ transform (zeros here, the hook the reference exposes).
 import jax.numpy as jnp
 import numpy as np
 
-from ... import audioreactive as ar
-from ..base import StyleGAN3Patch
+from maua_tpu.audiovisual import audioreactive as ar
+from maua_tpu.audiovisual.patches.base import StyleGAN3Patch
 
 
 class ExampleSG3Patch(StyleGAN3Patch):

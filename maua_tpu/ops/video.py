@@ -10,6 +10,7 @@ copies from the render loop.
 
 from __future__ import annotations
 
+import os
 import queue
 import shutil
 import subprocess
@@ -40,6 +41,8 @@ class WriteWorker(threading.Thread):
     ):
         super().__init__(daemon=True)
         self.q: "queue.Queue[Optional[bytes]]" = queue.Queue(maxsize=64)
+        parent = os.path.dirname(os.path.abspath(output_file))
+        os.makedirs(parent, exist_ok=True)
         w, h = output_size
         cmd = ["ffmpeg", "-y", "-v", "warning"]
         cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-r", str(fps), "-i", "-"]
@@ -54,12 +57,21 @@ class WriteWorker(threading.Thread):
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
 
     def run(self):
+        broken = False
         while True:
             item = self.q.get()
             if item is None:
                 break
-            self.proc.stdin.write(item)
-        self.proc.stdin.close()
+            if broken:
+                continue  # keep draining so writers don't block
+            try:
+                self.proc.stdin.write(item)
+            except (BrokenPipeError, OSError):
+                broken = True
+        try:
+            self.proc.stdin.close()
+        except (BrokenPipeError, OSError):
+            pass
         self.proc.wait()
 
     def write(self, frame_bytes: bytes):
@@ -68,6 +80,8 @@ class WriteWorker(threading.Thread):
     def close(self):
         self.q.put(None)
         self.join()
+        if self.proc.returncode not in (0, None):
+            raise RuntimeError(f"ffmpeg exited with code {self.proc.returncode}")
 
 
 class _CV2Worker:
@@ -79,6 +93,7 @@ class _CV2Worker:
 
         self.cv2 = cv2
         self.size = output_size
+        os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
         fourcc = cv2.VideoWriter_fourcc(*"mp4v")
         self.writer = cv2.VideoWriter(output_file, fourcc, fps, output_size)
 

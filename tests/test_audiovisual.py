@@ -229,3 +229,23 @@ def test_noise_parameterization_patch(wav_file):
     frames = list(patch.stylegan2.render(si["latent_w_plus"], noises=noises, batch_size=2))
     assert len(frames) == patch.n_frames
     assert np.all(np.isfinite(np.stack(frames)))
+
+def test_example_patch_files_load_dynamically(tmp_path):
+    """The shipped example patches must load through the user-file
+    path (`get_patch_from_file`), including from a copy outside the
+    package tree — this is the CLI flow and requires absolute imports
+    inside the patch files (regression: relative imports broke it)."""
+    import shutil
+
+    from maua_tpu.audiovisual.patches.base import get_patch_from_file
+
+    src_dir = os.path.join(os.path.dirname(__file__), "..", "maua_tpu", "audiovisual", "patches", "examples")
+    for name in ["stylegan2.py", "stylegan3.py", "noise_parameterization.py"]:
+        # in-tree path
+        cls = get_patch_from_file(os.path.join(src_dir, name))
+        assert cls is not None
+        # user-copied path outside the package
+        dst = tmp_path / ("user_" + name)
+        shutil.copy(os.path.join(src_dir, name), dst)
+        cls2 = get_patch_from_file(str(dst))
+        assert cls2.__name__ == cls.__name__
