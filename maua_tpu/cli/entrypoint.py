@@ -1,4 +1,4 @@
-"""CLI tree: `python -m maua_tpu {diffusion,super,style,audiovisual,gan,nca}`.
+"""CLI tree: `python -m maua_tpu {diffusion,super,style,audiovisual,gan,autoregressive}`.
 
 Rebuild of `maua/cli/entrypoint.py:6-33` (argparse tree dispatching to
 subcommand mains; subparsers in `maua/cli/{autoregressive,diffusion,
@@ -14,12 +14,15 @@ import sys
 COMMANDS = {
     "diffusion": {
         "image": ("maua_tpu.diffusion.image", "Multi-resolution (guided) diffusion image synthesis"),
+        "video": ("maua_tpu.diffusion.video", "Flow-warped diffusion video stylization"),
     },
     "super": {
         "image": ("maua_tpu.super.image", "Image super-resolution (RealESRGAN-class models)"),
+        "video": ("maua_tpu.super.video", "Video super-resolution / RIFE frame interpolation"),
     },
     "style": {
         "image": ("maua_tpu.style.cli", "Neural style transfer"),
+        "video": ("maua_tpu.style.video", "Flow-consistent video style transfer"),
     },
     "audiovisual": {
         "generate": ("maua_tpu.audiovisual.generate", "Audio-reactive GAN video synthesis"),

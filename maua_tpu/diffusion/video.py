@@ -164,3 +164,51 @@ def video_sample(
     os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
     write_video(video, out_file, fps=fps)
     return out_file
+
+
+def main(args=None):
+    """CLI (reference `maua/diffusion/video.py` __main__ block)."""
+    import argparse
+
+    from .image import get_diffusion_model
+
+    # fmt: off
+    parser = argparse.ArgumentParser(description="flow-warped diffusion video stylization")
+    parser.add_argument("--video_file", required=True, type=str)
+    parser.add_argument("--text", default=None, type=str)
+    parser.add_argument("--image", default=None, type=str)
+    parser.add_argument("--style", default=None, type=str)
+    parser.add_argument("--init_type", default="content", choices=["content", "random"])
+    parser.add_argument("--diffusion", default="stable", type=str)
+    parser.add_argument("--timesteps", default=25, type=int)
+    parser.add_argument("--sampler", default="lms", type=str)
+    parser.add_argument("--size", default="256,256", type=str)
+    parser.add_argument("--t_start", default=0.4, type=float)
+    parser.add_argument("--blend", default=1.0, type=float)
+    parser.add_argument("--consistency_trust", default=0.75, type=float)
+    parser.add_argument("--noise_injection", default=0.02, type=float)
+    parser.add_argument("--loop_fade", default=0.0, type=float)
+    parser.add_argument("--constant_seed", default=None, type=int)
+    parser.add_argument("--max_frames", default=None, type=int)
+    parser.add_argument("--fps", default=24, type=float)
+    parser.add_argument("--out_file", default=None, type=str)
+    args = parser.parse_args(args)
+    # fmt: on
+
+    diffusion = get_diffusion_model(args.diffusion, timesteps=args.timesteps, sampler=args.sampler)
+    out = video_sample(
+        diffusion, args.video_file, out_file=args.out_file, fps=args.fps,
+        init_type=args.init_type, text=args.text, image=args.image, style=args.style,
+        size=tuple(int(s) for s in args.size.split(",")), t_start=args.t_start,
+        blend=args.blend, consistency_trust=args.consistency_trust,
+        noise_injection=args.noise_injection, loop_fade=args.loop_fade,
+        constant_seed=args.constant_seed, max_frames=args.max_frames,
+    )
+    print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -122,3 +122,49 @@ def transfer(
             print(f"pass {pass_n + 1}/{n_passes} done")
 
     return np.concatenate([np.asarray(o) for o in outputs])
+
+
+def main(args=None):
+    """CLI (reference `maua/style/video.py` argparse block)."""
+    import argparse
+    from pathlib import Path
+
+    from ..ops.video import write_video
+
+    # fmt: off
+    parser = argparse.ArgumentParser(description="flow-consistent video style transfer")
+    parser.add_argument("--video_file", required=True, type=str)
+    parser.add_argument("--styles", required=True, nargs="+", type=str)
+    parser.add_argument("--size", default=256, type=int)
+    parser.add_argument("--n_passes", default=4, type=int)
+    parser.add_argument("--n_iters", default=64, type=int)
+    parser.add_argument("--temporal_weight", default=50.0, type=float)
+    parser.add_argument("--content_weight", default=1.0, type=float)
+    parser.add_argument("--style_weight", default=50.0, type=float)
+    parser.add_argument("--tv_weight", default=10.0, type=float)
+    parser.add_argument("--perceptor", default="kbc-vgg19", type=str)
+    parser.add_argument("--optimizer", default="adam", type=str)
+    parser.add_argument("--lr", default=0.05, type=float)
+    parser.add_argument("--max_frames", default=None, type=int)
+    parser.add_argument("--fps", default=24, type=float)
+    parser.add_argument("--out_dir", default="output/", type=str)
+    args = parser.parse_args(args)
+    # fmt: on
+
+    video = transfer(
+        args.video_file, args.styles, size=args.size, n_passes=args.n_passes,
+        n_iters=args.n_iters, temporal_weight=args.temporal_weight,
+        content_weight=args.content_weight, style_weight=args.style_weight,
+        tv_weight=args.tv_weight, perceptor=args.perceptor,
+        optimizer=args.optimizer, lr=args.lr, max_frames=args.max_frames,
+    )
+    out_file = f"{args.out_dir}/{Path(args.video_file).stem}_{Path(args.styles[0]).stem}.mp4"
+    write_video(video, out_file, fps=args.fps)
+    print(out_file)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

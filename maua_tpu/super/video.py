@@ -53,3 +53,34 @@ def interpolate_video(
         for frame in rife.interpolate(frames, factor=factor, params=params, cfg=cfg):
             writer.write(frame)
     return out_file
+
+
+def main(args=None):
+    """CLI (reference `maua/super/video` drivers)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description="video super-resolution / frame interpolation")
+    parser.add_argument("video_file", type=str)
+    parser.add_argument("--mode", default="upscale", choices=["upscale", "interpolate"])
+    parser.add_argument("--model_name", default="RealESRGAN-x4plus", type=str)
+    parser.add_argument("--factor", default=2, type=int, help="framerate multiplier (interpolate mode)")
+    parser.add_argument("--batch_size", default=4, type=int)
+    parser.add_argument("--max_frames", default=None, type=int)
+    parser.add_argument("--output_file", default=None, type=str)
+    args = parser.parse_args(args)
+
+    if args.mode == "upscale":
+        out = upscale_video(args.video_file, output_file=args.output_file,
+                            model_name=args.model_name, batch_size=args.batch_size,
+                            max_frames=args.max_frames)
+    else:
+        out = interpolate_video(args.video_file, output_file=args.output_file,
+                                factor=args.factor, max_frames=args.max_frames)
+    print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
