@@ -40,11 +40,12 @@ def main():
     n_frames = int(24 * 60 * minutes)
 
     def extract(y):
+        y = jnp.asarray(y)  # ONE host->device upload; features share it
         feats = {
             "onsets": ar.onsets(y, sr, n_frames),
             "rms": ar.rms(y, sr, n_frames),
             "chroma": ar.chroma(y, sr, n_frames),
-            "mel": melspectrogram_mxu(jnp.asarray(y), sr=sr),
+            "mel": melspectrogram_mxu(y, sr=sr),
         }
         return feats
 
