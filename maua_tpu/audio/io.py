@@ -76,7 +76,11 @@ def load_audio(
     stem = Path(audio_file.replace("/", "_")).stem
     cache_file = os.path.join(
         cache_dir,
-        stem + ("" if duration == -1 else f"_length{duration}") + ("" if offset == 0 else f"_start{offset}") + ".npz",
+        stem
+        + ("" if duration == -1 else f"_length{duration}")
+        + ("" if offset == 0 else f"_start{offset}")
+        + ("" if sr is None else f"_sr{sr}")
+        + ".npz",
     )
     if cache and os.path.exists(cache_file):
         with np.load(cache_file) as z:

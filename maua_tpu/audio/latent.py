@@ -56,16 +56,21 @@ def eerp(a, b, t):
 
 
 def slerp(a: jax.Array, b: jax.Array, t: jax.Array) -> jax.Array:
-    """Spherical interpolation (`latent.py:57-66`).
+    """Spherical interpolation (`latent.py:57-66`): the standard
+    sin((1-t)w)/sin(w) * a + sin(tw)/sin(w) * b on the RAW vectors, so
+    latent magnitudes are preserved (at t=0 the output is exactly a —
+    StyleGAN w vectors are not unit-norm).
     a, b: (K, L, D); t: (T,) -> (T, K, L, D)."""
-    a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
-    b = b / jnp.linalg.norm(b, axis=-1, keepdims=True)
-    d = jnp.sum(a * b, axis=-1, keepdims=True)  # (K, L, 1)
-    p = t[:, None, None, None] * jnp.arccos(jnp.clip(d, -1.0, 1.0))[None]  # (T, K, L, 1)
-    c = b - d * a
-    c = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-10)
-    out = a[None] * jnp.cos(p) + c[None] * jnp.sin(p)
-    return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+    an = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
+    bn = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+    d = jnp.clip(jnp.sum(an * bn, axis=-1, keepdims=True), -1.0, 1.0)  # (K, L, 1)
+    omega = jnp.arccos(d)[None]  # (1, K, L, 1)
+    so = jnp.sin(omega)
+    tt = t[:, None, None, None]
+    safe = jnp.maximum(so, 1e-6)
+    slerped = (jnp.sin((1.0 - tt) * omega) / safe) * a[None] + (jnp.sin(tt * omega) / safe) * b[None]
+    lerped = (1.0 - tt) * a[None] + tt * b[None]
+    return jnp.where(so < 1e-6, lerped, slerped)
 
 
 def slerp_loops(y: jax.Array, size: int, n_loops: int) -> jax.Array:

@@ -197,7 +197,13 @@ def tempo(audio, sr, prior: str = "uniform", type: str = "mm", prepercussive: in
     ac = _beat.autocorrelate(onset_env, max_size=512)
     ac = ac / jnp.maximum(jnp.max(jnp.abs(ac)), 1e-10)
     ac_np = np.asarray(ac)
-    peaks = np.argsort(-ac_np)[:10]
+    # local maxima of the autocorrelation (librosa-style peak picking);
+    # a plain top-k would return the ~10 samples around the single
+    # global maximum instead of distinct tempo candidates
+    is_peak = np.zeros(len(ac_np), bool)
+    is_peak[1:-1] = (ac_np[1:-1] >= ac_np[:-2]) & (ac_np[1:-1] >= ac_np[2:])
+    cand = np.where(is_peak)[0]
+    peaks = cand[np.argsort(-ac_np[cand])][:10]
     peaks = peaks[(peaks > 3) & (peaks < len(ac_np))]
     from .convert import tempo_frequencies
 

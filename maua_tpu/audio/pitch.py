@@ -69,7 +69,7 @@ def estimate_tuning(
     pitches, mags = piptrack(y, sr=sr, n_fft=n_fft, **kwargs)
     # weight: only count pitches with mag above median of positive mags
     pos = pitches > 0
-    mag_med = jnp.median(jnp.where(pos, mags, jnp.nan))
+    mag_med = jnp.nanmedian(jnp.where(pos, mags, jnp.nan))
     sel = pos & (mags >= jnp.nan_to_num(mag_med))
     return pitch_tuning(jnp.where(sel, pitches, 0.0), resolution=resolution)
 

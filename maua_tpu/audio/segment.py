@@ -64,14 +64,10 @@ def timelag_median_filter(R: jax.Array, size: int = 7) -> jax.Array:
     t = R.shape[0]
     rows = jnp.arange(t)[:, None]
     cols = jnp.arange(t)[None, :]
-    lag_idx = (cols - rows) % t
     # skew: L[i, lag] = R[i, (i + lag) % t]
     L = R[rows, (rows + jnp.arange(t)[None, :]) % t]
     Lf = _median_filter_axis(L, size, axis=0)
-    # unskew
-    out = jnp.zeros_like(R)
-    out = Lf[rows, (cols - rows) % t]
-    return out
+    return Lf[rows, (cols - rows) % t]  # unskew
 
 
 def kmeans(X: jax.Array, k: int, n_iter: int = 50, key=None) -> Tuple[jax.Array, jax.Array]:

@@ -53,6 +53,9 @@ class WriteWorker(threading.Thread):
             if audio_duration is not None:
                 cmd += ["-t", str(audio_duration)]
             cmd += ["-map", "0:v", "-map", "1:a", "-c:a", "aac", "-shortest"]
+        # yuv420p requires even dimensions; pad odd inputs by one
+        # black row/column instead of failing at encode time
+        cmd += ["-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2"]
         cmd += ["-c:v", "libx264", "-preset", ffmpeg_preset, "-crf", str(crf), "-pix_fmt", "yuv420p", output_file]
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
 
@@ -88,9 +91,11 @@ class _CV2Worker:
     """Fallback writer when no ffmpeg binary exists (mp4v via OpenCV;
     no audio muxing)."""
 
-    def __init__(self, output_file: str, output_size: Tuple[int, int], fps: float, **_):
+    def __init__(self, output_file: str, output_size: Tuple[int, int], fps: float, audio_file=None, **_):
         import cv2
 
+        if audio_file is not None:
+            print(f"warning: no ffmpeg binary found — writing {output_file} WITHOUT the audio track {audio_file}")
         self.cv2 = cv2
         self.size = output_size
         os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
@@ -174,6 +179,8 @@ def read_video(path: str, max_frames: Optional[int] = None) -> Tuple[np.ndarray,
     the reference, `super/video/frame_by_frame.py:22-34`; cv2 here)."""
     import cv2
 
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
     cap = cv2.VideoCapture(path)
     fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
     frames = []
@@ -183,4 +190,6 @@ def read_video(path: str, max_frames: Optional[int] = None) -> Tuple[np.ndarray,
             break
         frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
     cap.release()
+    if not frames:
+        raise ValueError(f"could not decode any frames from {path!r}")
     return np.stack(frames).astype(np.float32) / 255.0, fps
