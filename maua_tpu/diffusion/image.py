@@ -125,7 +125,6 @@ class MultiResolutionDiffusionProcessor:
 
         key, sub = jax.random.split(key)
         img = initialize_image(init, shapes[0], sub)
-        content_kwargs = dict(img=np.asarray(img)) if content is None else dict(path=content)
 
         for scale, t_start in enumerate(t_starts):
             if verbose:
@@ -144,6 +143,12 @@ class MultiResolutionDiffusionProcessor:
             if needs_stitching:
                 img = destitch(img, tile_size=tile_size)
 
+            # content target: the CURRENT image at the CURRENT scale
+            # (ImagePrompt expects [0, 1] input and maps to [-1, 1])
+            if content is not None:
+                content_kwargs = dict(path=content)
+            else:
+                content_kwargs = dict(img=np.asarray((img + 1.0) / 2.0))
             prompts = [ContentPrompt(**content_kwargs)] if not needs_stitching else []
             if style is not None:
                 prompts.append(StylePrompt(path=style, size=shapes[scale]))

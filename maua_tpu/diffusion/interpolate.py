@@ -37,8 +37,20 @@ def interpolate_latents(
     ])  # (K, h, w, 4)
     k, h, w, c = latents.shape
     flat = latents.reshape(k, 1, h * w * c)
-    interp = spline_loops if method == "spline" else slerp_loops
-    path = interp(flat, n_frames, 1 if loop else 1).reshape(n_frames, h, w, c)
+    if loop:
+        interp = spline_loops if method == "spline" else slerp_loops
+        path = interp(flat, n_frames, 1)
+    else:
+        # open path A -> B -> ... -> K (no wrap back to the first image)
+        from ..audio.latent import slerp
+
+        n_seg = k - 1
+        t = jnp.linspace(0.0, n_seg, n_frames)
+        seg = jnp.clip(t.astype(jnp.int32), 0, n_seg - 1)
+        frac = t - seg
+        segments = [slerp(flat[i : i + 1], flat[i + 1 : i + 2], frac)[:, 0] for i in range(n_seg)]
+        path = jnp.stack([segments[int(s)][j] for j, s in enumerate(np.asarray(seg))])
+    path = path.reshape(n_frames, h, w, c)
 
     frames = []
     for i in range(0, n_frames, batch_size):

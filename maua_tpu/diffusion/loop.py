@@ -48,6 +48,14 @@ def loop_video(
     (n_frames, H, W, 3) in [-1, 1]."""
     key = key if key is not None else jax.random.PRNGKey(0)
     k_noise, k_run = jax.random.split(key)
+
+    cache_path = None
+    if cache_name:
+        os.makedirs(WORKSPACE, exist_ok=True)
+        cache_path = os.path.join(WORKSPACE, f"{cache_name}_loop.npy")
+        if os.path.exists(cache_path):
+            return np.load(cache_path)
+
     init_img = jnp.asarray(init_img)
     prompts = [TextPrompt(text)] if text else []
 
@@ -59,13 +67,6 @@ def loop_video(
         z0 = init_img
         noise = looped_noise(k_noise, n_frames, init_img.shape[1:], sigma=noise_sigma)
         latent_mode = False
-
-    cache_path = None
-    if cache_name:
-        os.makedirs(WORKSPACE, exist_ok=True)
-        cache_path = os.path.join(WORKSPACE, f"{cache_name}_loop.npy")
-        if os.path.exists(cache_path):
-            return np.load(cache_path)
 
     frames = []
     sigma0 = None

@@ -87,7 +87,9 @@ class GLIDE(BaseDiffusionProcessor):
             ctx = jnp.broadcast_to(cond, (b,) + cond.shape[1:])
             return unet_mod.forward(unet_params, xc, t.astype(jnp.float32), unet_cfg, ctx)[..., : x_t.shape[-1]]
 
-        _, pred = ddim_sample_loop(eps_model, x, steps, self.alphas_cumprod, eta=0.0, key=key)
+        # image-space model -> clip_denoised like the reference
+        _, pred = ddim_sample_loop(eps_model, x, steps, self.alphas_cumprod, eta=0.0, key=key,
+                                   clip_denoised=True)
         return pred
 
     def forward(self, img, prompts, t_start, t_end=1.0, verbose=True, key=None):
@@ -111,9 +113,16 @@ class GLIDE(BaseDiffusionProcessor):
             x = jax.random.normal(k1, low.shape)
         base_out = self._sample(self.base_params, self.base_cfg, x, steps, ctx, key=k2, guided=True)
 
-        # upsampler stage to image_size, conditioned on the base output
+        # upsampler stage to image_size, conditioned on the base output;
+        # for partial-denoise calls start from the noised upsampled
+        # output so the state matches the marginal at steps[0] (pure
+        # N(0,1) only when running the full schedule)
         up_low = jax.image.resize(base_out, (b, self.image_size, self.image_size, 3), "bicubic")
-        x_up = jax.random.normal(k3, up_low.shape)
+        if t_start > 0:
+            x_up = q_sample(up_low, jnp.full((b,), self.alphas_cumprod[steps[0]], jnp.float32),
+                            jax.random.normal(k3, up_low.shape))
+        else:
+            x_up = jax.random.normal(k3, up_low.shape)
         up_out = self._sample(self.up_params, self.up_cfg, x_up, steps, ctx, extra=up_low, key=k4,
                               guided=False)
         return up_out.astype(jnp.float32)
@@ -130,13 +139,11 @@ class GLID3XL(BaseDiffusionProcessor):
         from .latent import LatentDiffusion
 
         self._ld = LatentDiffusion(cfg_scale=cfg_scale, sampler=sampler, timesteps=timesteps,
-                                   image_size=image_size, key=key, **kw)
-        self.grad_modules = [gm for gm in grad_modules if getattr(gm, "scale", 1) != 0]
+                                   image_size=image_size, key=key, grad_modules=grad_modules, **kw)
+        self.grad_modules = self._ld.grad_modules
         self.image_size = image_size
 
     def forward(self, img, prompts, t_start, t_end=1.0, verbose=True, key=None):
-        for gm in self.grad_modules:
-            gm.set_targets(prompts)
-        # latent grad conditioning folds into the decode-side guidance
-        # of the shared machinery; the sampling core is LatentDiffusion
+        # latent grad conditioning lives inside LatentDiffusion's
+        # guided eps model (set_targets is called there per forward)
         return self._ld.forward(img, prompts, t_start, t_end, verbose=verbose, key=key)

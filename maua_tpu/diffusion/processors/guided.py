@@ -116,7 +116,10 @@ class GuidedDiffusion(BaseDiffusionProcessor):
         k_noise, k_sample = jax.random.split(key)
         img = jnp.asarray(img)
         n_map = len(self.timestep_map)
-        start_step = round(t_start * (n_map - 1))
+        # t_start is the skipped fraction (0 -> full generation from
+        # max noise), matching stable.get_sigmas / latent / glide —
+        # timestep_map is ascending, so index from the top
+        start_step = round((1.0 - t_start) * (n_map - 1))
         n_steps = round((t_end - t_start) * (n_map - 1))
         if n_steps <= 0:
             return img
@@ -140,9 +143,12 @@ class GuidedDiffusion(BaseDiffusionProcessor):
                 eps = eps - sqrt_1mac * grad
             return eps
 
+        # image-space model: clamp pred_x0 each step like
+        # guided-diffusion's clip_denoised=True default
         if self.sampler == "plms":
-            _, pred = plms_sample_loop(eps_model, x, steps, self.alphas_cumprod)
+            _, pred = plms_sample_loop(eps_model, x, steps, self.alphas_cumprod, clip_denoised=True)
         else:
             eta = self.ddim_eta if self.sampler == "ddim" else 1.0
-            _, pred = ddim_sample_loop(eps_model, x, steps, self.alphas_cumprod, eta=eta, key=k_sample)
+            _, pred = ddim_sample_loop(eps_model, x, steps, self.alphas_cumprod, eta=eta, key=k_sample,
+                                       clip_denoised=True)
         return pred.astype(jnp.float32)

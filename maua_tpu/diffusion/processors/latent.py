@@ -32,6 +32,7 @@ class LatentDiffusion(BaseDiffusionProcessor):
         timesteps: int = 50,
         ddim_eta: float = 0.0,
         image_size: int = 256,
+        grad_modules=(),
         unet_params=None,
         unet_cfg: unet_mod.UNetConfig = unet_mod.SD1_UNET,
         vae_params=None,
@@ -54,6 +55,7 @@ class LatentDiffusion(BaseDiffusionProcessor):
         self.ddim_eta = ddim_eta
         self.cfg_scale = cfg_scale
         self.image_size = image_size
+        self.grad_modules = [gm for gm in grad_modules if getattr(gm, "scale", 1) != 0]
         self.timestep_map = np.linspace(0, 999, timesteps).round().astype(int)
 
     def conditioning(self, prompts):
@@ -104,6 +106,28 @@ class LatentDiffusion(BaseDiffusionProcessor):
             eps = unet_mod.forward(self.unet_params, x_in, t_in, self.unet_cfg, ctx)
             un, co = eps[:b], eps[b:]
             return un + (co - un) * self.cfg_scale
+
+        if self.grad_modules:
+            # latent grad conditioning (`glid3xl.py:105-150` role):
+            # decode the eps-implied x0 prediction, take the guidance
+            # gradient in image space, pull it back through the VAE
+            # decoder to the latent and fold it into eps
+            for gm in self.grad_modules:
+                gm.set_targets(prompts)
+            base_eps_model = eps_model
+            acp = jnp.asarray(self.alphas_cumprod, jnp.float32)
+
+            def eps_model(x_t, t):  # noqa: F811
+                eps = base_eps_model(x_t, t)
+                a_t = acp[t.astype(jnp.int32)].reshape((-1,) + (1,) * (x_t.ndim - 1))
+                pred_x0 = (x_t - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+                imgd, vjp_dec = jax.vjp(self.decode, pred_x0)
+                img_grad = jnp.zeros_like(imgd)
+                for gm in self.grad_modules:
+                    img_grad = img_grad + gm(imgd, t)
+                (x0_grad,) = vjp_dec(img_grad)
+                # descend the guidance loss in pred-x0 space
+                return eps + jnp.sqrt(1.0 - a_t) / jnp.sqrt(a_t) * jax.lax.stop_gradient(x0_grad)
 
         if self.sampler == "plms":
             _, pred = plms_sample_loop(eps_model, x, steps, self.alphas_cumprod)

@@ -67,10 +67,8 @@ class StableDiffusion(BaseDiffusionProcessor):
         self.sample_fn = get_sampler(sampler)
         self.sampler_name = sampler
         self.cfg_scale = cfg_scale
-        self.scale_factor = vae_cfg.scale_factor
         self.image_size = image_size
         self.grad_modules = [gm for gm in grad_modules if getattr(gm, "scale", 1) != 0]
-        self.timestep_map = np.linspace(0, len(self.alphas_cumprod), timesteps + 1).round().astype(int)
 
     # ------------------------------------------------------ conditioning
     def conditioning(self, prompts):

@@ -285,9 +285,12 @@ def ddim_sample_loop(
     alphas_cumprod: np.ndarray,
     eta: float = 0.0,
     key=None,
+    clip_denoised: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """DDIM (Song et al. 2020; guided_diffusion ddim_sample as used at
-    `processors/guided.py:305-308`). Returns (x, pred_x0)."""
+    `processors/guided.py:305-308`). Returns (x, pred_x0).
+    clip_denoised clamps pred_x0 to [-1, 1] each step (guided-diffusion
+    default for image-space models) and re-derives eps from it."""
     if key is None:
         key = jax.random.PRNGKey(0)
     ac = jnp.asarray(alphas_cumprod, jnp.float32)
@@ -302,6 +305,9 @@ def ddim_sample_loop(
         a_next = ac_next[i]
         eps = eps_model(x, t)
         pred_x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        if clip_denoised:
+            pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            eps = (x - jnp.sqrt(a_t) * pred_x0) / jnp.sqrt(1 - a_t)
         sigma = (
             eta * jnp.sqrt((1 - a_next) / (1 - a_t)) * jnp.sqrt(1 - a_t / jnp.maximum(a_next, 1e-10))
         )
@@ -318,6 +324,7 @@ def plms_sample_loop(
     x: jax.Array,
     timesteps: np.ndarray,
     alphas_cumprod: np.ndarray,
+    clip_denoised: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """PLMS / PNDM (Liu et al. 2022) 4th-order linear multistep on eps
     (`processors/guided.py:309-311` plms_sample)."""
@@ -327,6 +334,9 @@ def plms_sample_loop(
 
     def transfer(x, eps, a_t, a_next):
         pred_x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        if clip_denoised:
+            pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+            eps = (x - jnp.sqrt(a_t) * pred_x0) / jnp.sqrt(1 - a_t)
         return jnp.sqrt(a_next) * pred_x0 + jnp.sqrt(1 - a_next) * eps, pred_x0
 
     def step(carry, i):

@@ -150,3 +150,36 @@ def test_multires_tiling():
         tile_size=64, max_batch=2, verbose=False,
     )
     assert out.shape == (1, 128, 128, 3)
+
+
+def test_guided_t_start_convention():
+    """t_start is the skipped fraction across ALL processors: higher
+    t_start means less noise is added and the input is better
+    preserved (regression: guided had the convention inverted)."""
+    gd = GuidedDiffusion(sampler="ddim", timesteps=6, unet_cfg=TINY_GUIDED, image_size=32)
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32) * 2 - 1
+    near_clean = np.asarray(gd(img, [], t_start=0.9, key=jax.random.PRNGKey(1)))
+    full_gen = np.asarray(gd(img, [], t_start=0.0, key=jax.random.PRNGKey(1)))
+    d_clean = float(np.mean(np.abs(near_clean - img)))
+    d_full = float(np.mean(np.abs(full_gen - img)))
+    assert d_clean < d_full, (d_clean, d_full)
+
+
+def test_latent_grad_guidance_changes_output():
+    """GLID3XL-role latent grad conditioning is live: a color-match
+    grad module must alter the sample (regression: guidance was a
+    silent no-op)."""
+    from maua_tpu.diffusion.processors.glide import GLID3XL
+    from maua_tpu.grad import ColorMatchGrads
+
+    base = dict(timesteps=3, unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfg=TINY_TEXT, image_size=64)
+    plain = GLID3XL(sampler="ddim", **base, key=jax.random.PRNGKey(5))
+    guided = GLID3XL(grad_modules=[ColorMatchGrads(scale=5000.0)], sampler="ddim", **base,
+                     key=jax.random.PRNGKey(5))
+    img = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32) * 2 - 1
+    style = np.ones((1, 16, 16, 3), np.float32) * 0.5
+    prompts = [TextPrompt("x"), StylePrompt(img=(style + 1) / 2)]
+    a = np.asarray(plain(img, prompts, 0.4, key=jax.random.PRNGKey(2)))
+    b = np.asarray(guided(img, prompts, 0.4, key=jax.random.PRNGKey(2)))
+    assert np.all(np.isfinite(b))
+    assert not np.allclose(a, b)
