@@ -88,6 +88,8 @@ class StyleGAN3Patch(MauaPatch):
         offset: float = 0,
         duration: float = -1,
         output_size: Tuple[int, int] = (1024, 1024),
+        resize_strategy: str = "stretch",  # SG3 output resize happens in
+        resize_layer: int = 0,  # process_outputs (no layer hooks in alias-free nets)
         **stylegan_kwargs,
     ):
         from ...gan.stylegan3 import SG3Config, StyleGAN3

@@ -54,7 +54,7 @@ def pitch_track_latents(pitch_track: jax.Array, latent_selection: jax.Array) -> 
     """(`primitives/latents.py:79-96`)"""
     low = jnp.percentile(pitch_track, 25)
     high = jnp.percentile(pitch_track, 75)
-    pt = (pitch_track - low) / jnp.maximum(high, 1e-10)
+    pt = (pitch_track - low) / jnp.maximum(high - low, 1e-10)
     pt = pt * latent_selection.shape[0]
     idx = jnp.round(pt).astype(jnp.int32) % latent_selection.shape[0]
     return latent_selection[idx]

@@ -76,7 +76,7 @@ def latent_patch(
             sequence = jnp.einsum("TN,NWL->TWL", feature, palette[selection])
     else:  # loop
         selection = permutation[: int(segments)]
-        n_loops = max(t / fps / 60 / max(tempo, 1e-3) / 4 / loop_bars, 0.25)
+        n_loops = max(t / fps * max(tempo, 1e-3) / 60 / 4 / loop_bars, 0.25)
         sequence = spline_loop_latents(palette[selection], t, n_loops=n_loops)
     sequence = gaussian_filter(sequence, 1.0)
 

@@ -135,7 +135,7 @@ def noise_patch(
         elif patch_type == "multiply":
             new_noise = Multiply(sub, len(feature), noise[n].size, feature)
         else:  # loop
-            n_loops = max(len(feature) / fps / 60 / max(tempo, 1e-3) / 4 / loop_bars, 0.25)
+            n_loops = max(len(feature) / fps * max(tempo, 1e-3) / 60 / 4 / loop_bars, 0.25)
             new_noise = Loop(sub, len(feature), noise[n].size, n_loops=n_loops)
 
         if merge_type == "average":

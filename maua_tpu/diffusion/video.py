@@ -110,8 +110,11 @@ class VideoFlowDiffusionProcessor:
             if prev is None:
                 init_img = content if init_type == "content" else jax.random.normal(key, content.shape)
             else:
-                # warp previous output forward by the flow into this frame
-                warp_map = flow_warp_map(fit(forward[f_i - 1][None])[0] * jnp.asarray([w / forward.shape[2], h / forward.shape[1]]))
+                # warp previous output into this frame: pull-sampling
+                # needs flow_model(cur, prev) = backward[f_i - 1]
+                # (`maua/diffusion/video.py:146` builds the same
+                # cur->prev flow for its warp)
+                warp_map = flow_warp_map(fit(backward[f_i - 1][None])[0] * jnp.asarray([w / backward.shape[2], h / backward.shape[1]]))
                 warped = grid_sample(prev, warp_map, padding_mode="border")
                 mask = fit(np.asarray(reliable[f_i - 1])[None, :, :, None])
                 mask = jnp.clip(mask, 0, 1) * consistency_trust + (1 - consistency_trust)

@@ -319,7 +319,9 @@ class StyleGAN3:
         self.w_dim = self.cfg.w_dim
         self.z_dim = self.cfg.z_dim
 
-    def mapper(self, z, truncation: float = 1.0):
+    def mapper(self, z=None, truncation: float = 1.0, latent_z=None):
+        if z is None:
+            z = latent_z  # patch pipelines pass the reference kwarg name
         return mapping(self.params, jnp.asarray(z), self.cfg, truncation)
 
     def synthesizer(self, latents, translation=None, rotation=None):
@@ -354,5 +356,7 @@ class StyleGAN3:
             imgs = fn(ws, m)
             if postprocess is not None:
                 imgs = postprocess(imgs)
-            for f in np.asarray(jnp.clip(imgs, -1, 1)):
+            # uint8 HWC frames, same contract as the SG2 wrapper render
+            imgs8 = jnp.clip((jnp.clip(imgs, -1, 1) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+            for f in np.asarray(imgs8):
                 yield f

@@ -111,7 +111,14 @@ def transfer(
         order = range(n) if forward_dir else range(n - 1, -1, -1)
         for f_i in order:
             prev_i = (f_i - 1) % n if forward_dir else (f_i + 1) % n
-            flow = forward[prev_i] if forward_dir else backward[f_i]
+            # pull-warping prev into the current frame needs the flow
+            # sampled AT the current frame pointing to prev, i.e.
+            # flow_model(cur, prev): backward[prev_i] on the forward
+            # pass, forward[f_i] on the backward pass (verified
+            # empirically against a known-translation clip; the
+            # reference's video diffusion builds exactly this flow,
+            # maua/diffusion/video.py:146)
+            flow = backward[prev_i] if forward_dir else forward[f_i]
             rel = reliable[prev_i] if forward_dir else reliable[f_i]
             warp = flow_warp_map(fit_flow(flow))
             warped_prev = grid_sample(outputs[prev_i], warp, padding_mode="border")

@@ -115,6 +115,9 @@ class Upscaler:
                 return swinir.params_from_torch(sd, self.cfg)
             if self.kind == "upconv7":
                 return waifu.upconv7_params_from_torch(sd)
+            if self.kind == "srvgg":
+                return rrdbnet.srvgg_params_from_torch(sd, self.cfg)
+            print(f"warning: no checkpoint converter for kind {self.kind!r} — running RANDOM-INIT weights")
         except Exception as e:  # tolerant cascade like GAN/load.py:192-207
             print(f"checkpoint load failed ({e}); using random init")
         return None
@@ -147,9 +150,9 @@ class Upscaler:
             return self._ldm(img)
         if self.tile and min(img.shape[1:3]) > self.tile:
             h, w = img.shape[1], img.shape[2]
-            tiles = destitch(img, tile_size=self.tile)
+            tiles = destitch(img, tile_size=self.tile, overtile=self.tile_overlap)
             up_tiles = self._run(tiles)
-            return jnp.clip(restitch(up_tiles, h * self.scale, w * self.scale), 0, 1)
+            return jnp.clip(restitch(up_tiles, h * self.scale, w * self.scale, overtile=self.tile_overlap), 0, 1)
         return jnp.clip(self._run(img), 0, 1)
 
 

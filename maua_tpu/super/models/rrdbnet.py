@@ -171,3 +171,24 @@ def srvgg_forward(params: Dict, img: jax.Array, cfg: SRVGGConfig = SRVGGConfig()
     x = x.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * r, w * r, cfg.num_out_ch)
     base = jax.image.resize(img, (b, h * r, w * r, img.shape[-1]), method="nearest")
     return x + base
+
+
+def srvgg_params_from_torch(sd: Dict[str, np.ndarray], cfg: SRVGGConfig = SRVGGConfig()) -> Dict:
+    """realesrgan SRVGGNetCompact state dict -> pytree. The torch body
+    is a flat Sequential of alternating conv/prelu with a final conv
+    (to out_ch * scale^2) before the parameter-free pixel shuffle."""
+    idxs = sorted({int(k.split(".")[1]) for k in sd if k.startswith("body.")})
+    convs, prelus = [], []
+    last = None
+    for i in idxs:
+        w = sd[f"body.{i}.weight"]
+        if w.ndim == 4:
+            entry = {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0))), "b": jnp.asarray(sd[f"body.{i}.bias"])}
+            last = entry
+            convs.append(entry)
+        else:  # prelu slope
+            prelus.append(jnp.asarray(w))
+    convs = convs[:-1]  # final conv is conv_last, not part of the pairs
+    if len(convs) != len(prelus):
+        raise ValueError(f"unexpected SRVGG body layout: {len(convs)} convs vs {len(prelus)} prelus")
+    return {"convs": convs, "prelu": prelus, "conv_last": last}

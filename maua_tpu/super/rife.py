@@ -105,12 +105,16 @@ def midpoint(params: Dict, frame0: jax.Array, frame1: jax.Array, cfg: RIFEConfig
     return jnp.clip(w0 * mask + w1 * (1 - mask), 0.0, 1.0)
 
 
-def recursive_inference(params, frame0, frame1, n: int, cfg: RIFEConfig = RIFEConfig()) -> List[jax.Array]:
-    """2^n - 1 intermediate frames (`rife.py:93-102`)."""
+def recursive_inference(params, frame0, frame1, n: int, cfg: RIFEConfig = RIFEConfig(),
+                        mid_fn=None) -> List[jax.Array]:
+    """2^n - 1 intermediate frames (`rife.py:93-102`). Pass a jitted
+    `mid_fn(params, a, b)` to avoid eager per-op dispatch."""
     if n == 0:
         return []
-    mid = midpoint(params, frame0, frame1, cfg)
-    return recursive_inference(params, frame0, mid, n - 1, cfg) + [mid] + recursive_inference(params, mid, frame1, n - 1, cfg)
+    fn = mid_fn if mid_fn is not None else (lambda p, a, b: midpoint(p, a, b, cfg))
+    mid = fn(params, frame0, frame1)
+    return (recursive_inference(params, frame0, mid, n - 1, cfg, fn) + [mid]
+            + recursive_inference(params, mid, frame1, n - 1, cfg, fn))
 
 
 def interpolate(frames: np.ndarray, factor: int = 2, params=None, cfg: RIFEConfig = RIFEConfig(),
@@ -127,6 +131,6 @@ def interpolate(frames: np.ndarray, factor: int = 2, params=None, cfg: RIFEConfi
         if n == 1:
             yield np.asarray(mids_fn(params, f0, f1)[0])
         elif n > 1:
-            for m in recursive_inference(params, f0, f1, n, cfg):
+            for m in recursive_inference(params, f0, f1, n, cfg, mid_fn=mids_fn):
                 yield np.asarray(m[0])
     yield np.asarray(frames[-1])

@@ -213,3 +213,16 @@ def test_torgb_bf16_psnr(gen):
     peak = float(ref.max() - ref.min()) or 1.0
     psnr = 10 * np.log10(peak * peak / max(mse, 1e-20))
     assert psnr >= 40.0, psnr
+
+
+def test_sg3_patch_pipeline_mapper_contract(tmp_path, gen):
+    """The audiovisual driver calls patch.mapper(**{'latent_z': ...})
+    (reference kwarg name); StyleGAN3.mapper must accept it
+    (regression: TypeError crashed every SG3 audiovisual run)."""
+    z = np.random.RandomState(0).randn(2, 32).astype(np.float32)
+    ws = gen.mapper(latent_z=z)
+    assert ws.shape == (2, CFG.num_ws, 32)
+    # render yields uint8 frames like the SG2 wrapper (regression:
+    # float frames desynced the rawvideo pipe)
+    frame = next(gen.render(ws[:1]))
+    assert frame.dtype == np.uint8 and frame.shape[-1] == 3

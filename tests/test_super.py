@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from maua_tpu.super import rife
 from maua_tpu.super.image import MODEL_NAMES, Upscaler, upscale_image
@@ -129,3 +130,32 @@ def test_video_upscale_and_interpolate(monkeypatch, tmp_path):
     interp_frames, fps2 = read_video(out2)
     assert interp_frames.shape[0] >= 6
     assert abs(fps2 - 16) < 1.0
+
+
+def test_srvgg_converter_roundtrip():
+    """SRVGGNetCompact torch state dict -> pytree (regression: srvgg
+    checkpoints were silently ignored, running random-init)."""
+    import torch
+
+    from maua_tpu.super.models import rrdbnet
+
+    cfg = rrdbnet.SRVGGConfig(num_feat=8, num_conv=2, upscale=2)
+    rng = np.random.RandomState(0)
+    sd = {}
+    chans = [(3, 8), (8, 8), (8, 8)]
+    i = 0
+    for ci, co in chans:
+        sd[f"body.{i}.weight"] = torch.from_numpy(rng.randn(co, ci, 3, 3).astype(np.float32))
+        sd[f"body.{i}.bias"] = torch.from_numpy(rng.randn(co).astype(np.float32))
+        i += 1
+        sd[f"body.{i}.weight"] = torch.from_numpy(rng.randn(co).astype(np.float32))
+        i += 1
+    sd[f"body.{i}.weight"] = torch.from_numpy(rng.randn(3 * 4, 8, 3, 3).astype(np.float32))
+    sd[f"body.{i}.bias"] = torch.from_numpy(rng.randn(3 * 4).astype(np.float32))
+
+    params = rrdbnet.srvgg_params_from_torch({k: v.numpy() for k, v in sd.items()}, cfg)
+    assert len(params["convs"]) == 3 and len(params["prelu"]) == 3
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 12, 12, 3).astype(np.float32))
+    y = rrdbnet.srvgg_forward(params, x, cfg)
+    assert y.shape == (1, 24, 24, 3)
+    assert np.all(np.isfinite(np.asarray(y)))
