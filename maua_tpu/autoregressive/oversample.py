@@ -83,19 +83,34 @@ def oversample_generate(
     rows, cols = cfg.image_rows, cfg.image_cols
     assert target_cols >= cols
     grid = None
-    col0 = 0
     while True:
         key, sub = jax.random.split(key)
-        toks = generate_tokens(params, text_tokens, cfg, sub, temperature=temperature, top_k=top_k)
+        if grid is None:
+            toks = generate_tokens(params, text_tokens, cfg, sub, temperature=temperature, top_k=top_k)
+        else:
+            # teacher-force the first `overlap` columns of this window
+            # with the previous window's last columns so the freshly
+            # sampled columns are conditioned on the shared strip
+            # (`ru_dalle/generate.py:124-172` oversampled decode)
+            import jax.numpy as jnp
+
+            forced = np.zeros((grid.shape[0], rows * cols), np.int32)
+            mask = np.zeros((rows * cols,), bool)
+            shared = grid[:, :, -overlap:]  # (B, rows, overlap)
+            for r in range(rows):
+                for c in range(overlap):
+                    idx = r * cols + c
+                    forced[:, idx] = shared[:, r, c]
+                    mask[idx] = True
+            toks = generate_tokens(params, text_tokens, cfg, sub, temperature=temperature,
+                                   top_k=top_k, forced_tokens=jnp.asarray(forced),
+                                   forced_mask=jnp.asarray(mask))
         window = np.asarray(toks).reshape(-1, rows, cols)
         if grid is None:
             grid = window
         else:
-            # blend: keep already-generated overlap columns, append new
-            new_cols = window[:, :, overlap:]
-            grid = np.concatenate([grid, new_cols], axis=2)
-        col0 = grid.shape[2]
-        if col0 >= target_cols:
+            grid = np.concatenate([grid, window[:, :, overlap:]], axis=2)
+        if grid.shape[2] >= target_cols:
             grid = grid[:, :, :target_cols]
             break
     if decode_fn is not None:

@@ -153,9 +153,16 @@ def generate_tokens(
     top_k: int = 64,
     top_p: float = 0.0,
     n_image_tokens: Optional[int] = None,
+    forced_tokens: Optional[jax.Array] = None,  # (B, n_img) image-vocab ids
+    forced_mask: Optional[jax.Array] = None,  # (n_img,) bool: teacher-force
 ) -> jax.Array:
     """Sample image tokens autoregressively via lax.scan (the hot loop
     of ru-dalle/minDALLE generation, `ru_dalle/generate.py:41-121`).
+
+    `forced_tokens`/`forced_mask` teacher-force known positions (the
+    oversampled-decode overlap columns, `ru_dalle/generate.py:124-172`
+    attention-mask role): forced positions keep their given token but
+    still condition every later sample.
 
     NOTE: recomputes the prefix each step (O(T^2) per token) — the
     KV-cache path is `generate_tokens_cached`."""
@@ -172,6 +179,8 @@ def generate_tokens(
         logits = forward(params, tokens, cfg)
         step_logits = logits[:, cfg.text_length + i - 1, cfg.text_vocab_size:]
         nxt = _sample_logits(sub, step_logits, temperature, top_k, top_p) + cfg.text_vocab_size
+        if forced_tokens is not None and forced_mask is not None:
+            nxt = jnp.where(forced_mask[i], forced_tokens[:, i] + cfg.text_vocab_size, nxt)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None].astype(jnp.int32),
                                               (0, cfg.text_length + i))
         return (tokens, k), None

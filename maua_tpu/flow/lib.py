@@ -83,11 +83,13 @@ def preprocess_optical_flow(video_file: str, flow_model, consistency: str = "ful
     from ..ops.video import read_video
 
     stem = Path(video_file).stem
+    if max_frames is not None:
+        stem += f"_n{max_frames}"  # cache keyed on frame count too
     os.makedirs(WORKSPACE, exist_ok=True)
     frf = f"{WORKSPACE}/{stem}_content.npy"
     fwf = f"{WORKSPACE}/{stem}_forward_flow.npy"
     bkf = f"{WORKSPACE}/{stem}_backward_flow.npy"
-    rlf = f"{WORKSPACE}/{stem}_reliable_flow.npy"
+    rlf = f"{WORKSPACE}/{stem}_reliable_{consistency}_flow.npy"
 
     if not (os.path.exists(frf) and os.path.exists(fwf) and os.path.exists(bkf)):
         frames, _ = read_video(video_file, max_frames=max_frames)

@@ -64,6 +64,10 @@ def _norm_init(c):
 
 
 def _instance_norm(p, x):
+    if "frozen" in p:
+        # folded frozen BatchNorm (running stats baked into g/b by the
+        # torchvision converter) — a pure affine, no spatial stats
+        return x * p["g"] + p["b"]
     mu = x.mean((1, 2), keepdims=True)
     var = x.var((1, 2), keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["g"] + p["b"]
@@ -265,6 +269,12 @@ def params_from_torch(sd: Dict[str, np.ndarray], cfg: RAFTConfig = RAFTConfig())
                 "b": jnp.asarray(sd.get(f"{name}.bias", np.zeros(sd[f"{name}.weight"].shape[0], np.float32)))}
 
     def nrm(name, c):
+        if f"{name}.running_mean" in sd:
+            # frozen BatchNorm2d (torchvision raft_large context
+            # encoder): fold running stats into an affine
+            g = sd[f"{name}.weight"] / np.sqrt(sd[f"{name}.running_var"] + 1e-5)
+            b = sd[f"{name}.bias"] - sd[f"{name}.running_mean"] * g
+            return {"g": jnp.asarray(g), "b": jnp.asarray(b), "frozen": jnp.ones(())}
         if f"{name}.weight" in sd:
             return {"g": jnp.asarray(sd[f"{name}.weight"]), "b": jnp.asarray(sd[f"{name}.bias"])}
         return {"g": jnp.ones((c,)), "b": jnp.zeros((c,))}

@@ -362,17 +362,21 @@ def infer_sg3_config(sd: Dict[str, np.ndarray], dtype: str = "float32"):
     mapping_layers = len([k for k in sd if re.match(r"mapping\.fc\d+\.weight$", k)])
     cmax = max(v[1] for v in layers.values())
     observed = [layers[i][1] for i in sorted(layers)]
-    # search the channel_base whose layer plan reproduces the observed
-    # per-layer channel counts (the -T/-R configs differ here)
+    observed_sizes = [layers[i][0] for i in sorted(layers)]
+    # search (channel_base, margin_size) whose layer plan reproduces
+    # BOTH the observed channel counts and canvas sizes encoded in the
+    # layer names (the -T/-R configs differ in channels; margin_size
+    # sets every intermediate canvas)
     for cb in (32768, 65536, 16384, 8192, 4096, 2048, 1024, 512):
-        cand = SG3Config(
-            z_dim=z_dim, w_dim=w_dim, img_resolution=img_resolution, num_layers=n,
-            mapping_layers=mapping_layers, conv_kernel=conv_kernel,
-            channel_base=cb, channel_max=cmax, dtype=dtype,
-        )
-        planned = [int(c) for c in cand.layer_plan()[5][1:]]
-        if planned == observed:
-            return cand
+        for margin in (10, 4, 6, 8, 12, 16, 2):
+            cand = SG3Config(
+                z_dim=z_dim, w_dim=w_dim, img_resolution=img_resolution, num_layers=n,
+                mapping_layers=mapping_layers, conv_kernel=conv_kernel,
+                channel_base=cb, channel_max=cmax, margin_size=margin, dtype=dtype,
+            )
+            _, _, _, _, sizes_p, chans_p = cand.layer_plan()
+            if [int(c) for c in chans_p[1:]] == observed and [int(s) for s in sizes_p[1:]] == observed_sizes:
+                return cand
     raise ValueError(
         f"could not infer SG3 channel_base for observed channels {observed}; "
         "pass an explicit SG3Config to sg3_params_from_state_dict"
@@ -404,8 +408,12 @@ def sg3_params_from_state_dict(sd: Dict[str, np.ndarray], cfg=None):
         "freqs": jnp.asarray(inp["synthesis.input.freqs"]),
         "phases": jnp.asarray(inp["synthesis.input.phases"]),
         "affine": fc("synthesis.input.affine"),
-        # NVIDIA stores the 1x1 mixing conv as (co, ci); ours is HWIO
-        "weight": jnp.asarray(inp["synthesis.input.weight"].T[None, None]),
+        # NVIDIA stores the 1x1 mixing conv as (co, ci) RAW and divides
+        # by sqrt(channels) at runtime; our forward applies no gain, so
+        # bake the division in here (init_params pre-bakes it the same
+        # way)
+        "weight": jnp.asarray(inp["synthesis.input.weight"].T[None, None]
+                              / np.sqrt(inp["synthesis.input.weight"].shape[1])),
         "transform": jnp.asarray(inp.get("synthesis.input.transform", np.eye(3, dtype=np.float32))),
     }
 

@@ -340,10 +340,11 @@ def generator(
     truncation_cutoff: Optional[int] = None,
     noise_mode: str = "const",
     noises: Optional[Dict] = None,
+    noise_key=None,
 ) -> jax.Array:
     """Full generator forward (`inference/stylegan2.py:462-472`)."""
     ws = mapping(params, z, cfg, c, truncation_psi, truncation_cutoff)
-    return synthesis(params, ws, cfg, noise_mode=noise_mode, noises=noises)
+    return synthesis(params, ws, cfg, noise_mode=noise_mode, noises=noises, noise_key=noise_key)
 
 
 class Generator:

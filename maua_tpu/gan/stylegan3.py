@@ -254,9 +254,15 @@ def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[j
         in_hw, out_hw = float(half_widths[i]), float(half_widths[i + 1])
 
         styles = fc_forward(layer["affine"], ws[:, i + 1])
+        w = layer["weight"]
         if is_torgb:
+            # NVIDIA applies the fan-in gain exactly once for torgb,
+            # via the styles (networks_stylegan3 SynthesisLayer); the
+            # static w gain below is a no-op only for demodulated
+            # layers, so it must NOT also apply here
             styles = styles * (1.0 / math.sqrt(int(channels[i])))
-        w = layer["weight"] * (1.0 / math.sqrt(np.prod(layer["weight"].shape[:3])))
+        else:
+            w = w * (1.0 / math.sqrt(np.prod(layer["weight"].shape[:3])))
         w = w / jnp.maximum(jnp.sqrt(layer["magnitude_ema"]), 1e-8)
         x = ops.modulated_conv2d(x, w.astype(x.dtype), styles, padding=w.shape[0] // 2, demodulate=not is_torgb)
         x = x + layer["bias"].astype(x.dtype)
@@ -349,7 +355,11 @@ class StyleGAN3:
             mats = jnp.stack([make_transform_mat((float(tr[i, 0]), float(tr[i, 1])), float(ro[i]))
                               for i in range(t)])
 
-        fn = jax.jit(lambda ws, m: synthesis(self.params, ws, self.cfg, m))
+        # cache the jitted synthesis on the instance: a fresh jit per
+        # render() call would recompile the full graph every invocation
+        if not hasattr(self, "_render_fn"):
+            self._render_fn = jax.jit(lambda params, ws, m: synthesis(params, ws, self.cfg, m))
+        fn = lambda ws, m: self._render_fn(self.params, ws, m)
         for s0 in range(0, t, batch_size):
             ws = latent_w_plus[s0 : s0 + batch_size]
             m = mats[s0 : s0 + batch_size] if mats is not None else None

@@ -137,7 +137,7 @@ def train_step(
     # ---- D update
     def d_loss(d_params):
         z = jax.random.normal(kz_d, (batch, g_cfg.z_dim))
-        fake = sg2.generator(state["g_params"], z, g_cfg, noise_mode="random")
+        fake = sg2.generator(state["g_params"], z, g_cfg, noise_mode="random", noise_key=kn_d)
         fake_logits = discriminator(d_params, jax.lax.stop_gradient(fake), d_cfg)
         real_logits = discriminator(d_params, real, d_cfg)
         loss = d_loss_fn(real_logits, fake_logits)

@@ -25,8 +25,8 @@ class Parameterization:
         self.ema = ema
         self.decay = decay
         if ema:
-            self.biased = jnp.zeros_like(tensor)
-            self.average = jnp.zeros_like(tensor)
+            self.biased = jax.tree_util.tree_map(jnp.zeros_like, tensor)
+            self.average = jax.tree_util.tree_map(jnp.zeros_like, tensor)
             self.accum = jnp.ones(())
             self.update_ema()
 
@@ -46,13 +46,14 @@ class Parameterization:
     def update_ema(self):
         if self.ema:
             self.accum = self.accum * self.decay
-            self.biased = self.biased * self.decay + (1 - self.decay) * self.tensor
-            self.average = self.biased / (1 - self.accum)
+            self.biased = jax.tree_util.tree_map(
+                lambda b, t: b * self.decay + (1 - self.decay) * t, self.biased, self.tensor)
+            self.average = jax.tree_util.tree_map(lambda b: b / (1 - self.accum), self.biased)
 
     def reset_ema(self):
         if self.ema:
-            self.biased = jnp.zeros_like(self.biased)
-            self.average = jnp.zeros_like(self.average)
+            self.biased = jax.tree_util.tree_map(jnp.zeros_like, self.biased)
+            self.average = jax.tree_util.tree_map(jnp.zeros_like, self.average)
             self.accum = jnp.ones(())
             self.update_ema()
 

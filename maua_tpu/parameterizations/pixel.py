@@ -19,10 +19,9 @@ class Pixel(Parameterization):
         logits = jax.random.normal(k1, (1, height, width, n_colors)) * 0.1
         palette = jax.random.uniform(k2, (n_colors, 3))
         params = {"logits": logits, "palette": palette}
-        super().__init__(height, width, params, ema=False)
+        super().__init__(height, width, params, ema=ema)
         self.n_colors = n_colors
         self.hard = hard
-        self.ema = ema
         if tensor is not None:
             self.encode(tensor)
 

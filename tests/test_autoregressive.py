@@ -87,3 +87,22 @@ def test_tp_sharded_generation(params):
     # matches unsharded generation exactly
     ref = transformer.generate_tokens(params, text, CFG, jax.random.PRNGKey(4), top_k=8)
     assert np.array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_generate_tokens_teacher_forcing():
+    """forced_tokens/forced_mask pin known positions (the oversampled
+    decode overlap; regression: overlap columns never conditioned the
+    next window)."""
+    import jax.numpy as jnp
+
+    cfg = CFG
+    params = transformer.init_params(jax.random.PRNGKey(0), cfg)
+    text = jnp.zeros((1, cfg.text_length), jnp.int32)
+    n_img = cfg.image_length
+    forced = jnp.asarray(np.arange(n_img, dtype=np.int32).reshape(1, -1) % (cfg.vocab_size - cfg.text_vocab_size))
+    mask = np.zeros((n_img,), bool)
+    mask[: n_img // 2] = True
+    toks = transformer.generate_tokens(params, text, cfg, jax.random.PRNGKey(1),
+                                       forced_tokens=forced, forced_mask=jnp.asarray(mask))
+    out = np.asarray(toks)[0]
+    assert np.array_equal(out[: n_img // 2], np.asarray(forced)[0, : n_img // 2])

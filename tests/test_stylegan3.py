@@ -139,7 +139,7 @@ def test_sg3_state_dict_roundtrip():
     sd["synthesis.input.phases"] = np.asarray(src["input"]["phases"])
     sd["synthesis.input.affine.weight"] = np.asarray(src["input"]["affine"]["w"]).T
     sd["synthesis.input.affine.bias"] = np.asarray(src["input"]["affine"]["b"])
-    sd["synthesis.input.weight"] = np.asarray(src["input"]["weight"])[0, 0].T
+    sd["synthesis.input.weight"] = np.asarray(src["input"]["weight"])[0, 0].T * np.sqrt(src["input"]["weight"].shape[-2])  # NVIDIA stores raw
     sd["synthesis.input.transform"] = np.asarray(src["input"]["transform"])
     for i, layer in enumerate(src["layers"]):
         name = f"L{i}_{int(sizes[i + 1])}_{int(channels[i + 1])}"
@@ -179,7 +179,7 @@ def test_sg3_facade_loads_pt_file(tmp_path):
     sd["synthesis.input.phases"] = torch.from_numpy(np.asarray(src["input"]["phases"]).copy())
     sd["synthesis.input.affine.weight"] = torch.from_numpy(np.asarray(src["input"]["affine"]["w"]).T.copy())
     sd["synthesis.input.affine.bias"] = torch.from_numpy(np.asarray(src["input"]["affine"]["b"]).copy())
-    sd["synthesis.input.weight"] = torch.from_numpy(np.asarray(src["input"]["weight"])[0, 0].T.copy())
+    sd["synthesis.input.weight"] = torch.from_numpy((np.asarray(src["input"]["weight"])[0, 0].T * np.sqrt(src["input"]["weight"].shape[-2])).copy())  # NVIDIA stores raw
     sd["synthesis.input.transform"] = torch.from_numpy(np.asarray(src["input"]["transform"]).copy())
     for i, layer in enumerate(src["layers"]):
         name = f"L{i}_{int(sizes[i + 1])}_{int(channels[i + 1])}"
@@ -194,10 +194,15 @@ def test_sg3_facade_loads_pt_file(tmp_path):
     torch.save(sd, path)
     g = sg3.StyleGAN3(model_file=path)
     assert g.cfg.img_resolution == CFG.img_resolution
+    assert g.cfg.margin_size == CFG.margin_size  # inferred from layer-name sizes
     z = np.random.RandomState(0).randn(1, g.cfg.z_dim).astype(np.float32)
-    img = g(z)
+    img = np.asarray(g(z))
     assert img.shape[-3:] == (CFG.img_resolution, CFG.img_resolution, 3)
-    assert np.all(np.isfinite(np.asarray(img)))
+    # value parity: the NVIDIA-format dict must reproduce the source
+    # params exactly (regression: input-weight and torgb gains were
+    # applied twice/none, and margin_size was not inferred)
+    ref = np.asarray(sg3.synthesis(src, sg3.mapping(src, jnp.asarray(z), CFG), CFG))
+    assert np.max(np.abs(img - ref)) < 1e-4, np.max(np.abs(img - ref))
 
 def test_torgb_bf16_psnr(gen):
     """torgb_bf16 keeps output within the 40 dB parity bar of the f32
