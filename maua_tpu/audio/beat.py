@@ -57,6 +57,14 @@ def autocorrelate(y: jax.Array, max_size: Optional[int] = None) -> jax.Array:
     n = y.shape[-1]
     if _spectral.use_real_dft():
         lags = n if max_size is None else min(max_size, n)
+        # the gather below materializes (..., lags, n) floats; with an
+        # unbounded max_size on a full track that is O(n^2) — fail loudly
+        # instead of OOMing the relay
+        if lags * n > 2**28:
+            raise ValueError(
+                f"autocorrelate real-DFT path needs lags*n <= 2**28 floats "
+                f"(got lags={lags}, n={n}); pass a bounded max_size"
+            )
         yp = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, lags)])
         idx = jnp.arange(lags)[:, None] + jnp.arange(n)[None, :]
         shifted = yp[..., idx]  # (..., lags, n)

@@ -125,6 +125,10 @@ class MultiResolutionDiffusionProcessor:
 
         key, sub = jax.random.split(key)
         img = initialize_image(init, shapes[0], sub)
+        # reference anchors content guidance to the scale-0 init image at
+        # every scale (maua/diffusion/image.py:191-197), not to the
+        # previous scale's output — capture it once, resize per scale
+        init_content = np.asarray((img + 1.0) / 2.0)
 
         for scale, t_start in enumerate(t_starts):
             if verbose:
@@ -143,12 +147,14 @@ class MultiResolutionDiffusionProcessor:
             if needs_stitching:
                 img = destitch(img, tile_size=tile_size)
 
-            # content target: the CURRENT image at the CURRENT scale
-            # (ImagePrompt expects [0, 1] input and maps to [-1, 1])
+            # content target: the ORIGINAL init image resized to the
+            # current scale (ImagePrompt expects [0, 1] input)
             if content is not None:
                 content_kwargs = dict(path=content)
             else:
-                content_kwargs = dict(img=np.asarray((img + 1.0) / 2.0))
+                content_kwargs = dict(
+                    img=np.asarray(resample(jnp.asarray(init_content), shapes[scale]))
+                )
             prompts = [ContentPrompt(**content_kwargs)] if not needs_stitching else []
             if style is not None:
                 prompts.append(StylePrompt(path=style, size=shapes[scale]))

@@ -120,8 +120,8 @@ class GuidedDiffusion(BaseDiffusionProcessor):
         # max noise), matching stable.get_sigmas / latent / glide —
         # timestep_map is ascending, so index from the top
         start_step = round((1.0 - t_start) * (n_map - 1))
-        n_steps = round((t_end - t_start) * (n_map - 1))
-        if n_steps <= 0:
+        end_step = round((1.0 - t_end) * (n_map - 1))
+        if t_end <= t_start or start_step < end_step:
             return img
 
         noise = jax.random.normal(k_noise, img.shape)
@@ -130,8 +130,10 @@ class GuidedDiffusion(BaseDiffusionProcessor):
         t0 = self.timestep_map[start_step]
         x = q_sample(img, jnp.full((img.shape[0],), self.alphas_cumprod[t0], jnp.float32), noise)
 
-        # descending original timesteps for the run
-        steps = np.asarray(self.timestep_map[max(start_step - n_steps + 1, 0) : start_step + 1][::-1])
+        # descending original timesteps for the run; a full run
+        # (t_start=0, t_end=1) covers index 0 so every requested
+        # denoise step executes (reference runs the full schedule)
+        steps = np.asarray(self.timestep_map[end_step : start_step + 1][::-1])
 
         guided = len(self.conditioning.grad_modules) > 0
 

@@ -146,14 +146,16 @@ class Upscaler:
     def __call__(self, img: jax.Array) -> jax.Array:
         """img (B, H, W, C) in [0, 1] -> upscaled in [0, 1]."""
         img = jnp.asarray(img, jnp.float32)
-        if self.kind == "ldm":
-            return self._ldm(img)
+        # LDM tiles are valid img2img inputs, so it shares the
+        # destitch/restitch branch instead of silently processing the
+        # whole image when tiling was requested
+        run = self._ldm if self.kind == "ldm" else self._run
         if self.tile and min(img.shape[1:3]) > self.tile:
             h, w = img.shape[1], img.shape[2]
             tiles = destitch(img, tile_size=self.tile, overtile=self.tile_overlap)
-            up_tiles = self._run(tiles)
+            up_tiles = run(tiles)
             return jnp.clip(restitch(up_tiles, h * self.scale, w * self.scale, overtile=self.tile_overlap), 0, 1)
-        return jnp.clip(self._run(img), 0, 1)
+        return jnp.clip(run(img), 0, 1)
 
 
 class _LDMUpscale:
