@@ -3,11 +3,11 @@ extractors.
 
 Rebuild of `maua/GAN/metrics/` (clean-resize pipeline `compute.py:95+`,
 Newton-Schulz sqrtm + frechet_distance `frechet.py:4-61`,
-kernel_distance `kernel.py:4`, prdc `prdc.py:40`, extractors
-`extractors/inception.py:26-35` / in-tree SwAV ResNet-50
-`swav.py:142-354`). Extractors here are functional JAX nets (a
-ResNet-50 trunk standing in for both Inception and SwAV roles —
-converted weights slot in when available).
+kernel_distance `kernel.py:4`, prdc `prdc.py:40`). The real extractors
+— FID InceptionV3 (`extractors/inception.py:26-35`) and SwAV ResNet-50
+(`swav.py:142-354`) — live in `gan/extractors.py` with torch
+state-dict converters; `ResNetExtractor` below remains only as a tiny
+fast stand-in for unit tests of the metric math itself.
 """
 
 from __future__ import annotations
@@ -126,9 +126,9 @@ def clean_resize(img: jax.Array, size: int = 299) -> jax.Array:
 
 
 class ResNetExtractor:
-    """Compact ResNet feature trunk standing in for the reference's
-    TorchScript InceptionV3 / in-tree SwAV ResNet-50 extractors
-    (converted weights slot into the same structure)."""
+    """Tiny random-init ResNet trunk — a fast stand-in used by metric
+    unit tests only; real FID/KID runs should pass extractor="swav" or
+    "inception" (see `gan/extractors.py`)."""
 
     def __init__(self, width: int = 32, depth: Tuple[int, ...] = (2, 2, 2, 2), feat_dim: int = 512, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -187,7 +187,16 @@ def compute_metrics(
     batch: int = 32,
     nearest_k: int = 5,
 ) -> Dict[str, float]:
-    """Full metric suite over image batches (`metrics/compute.py:95+`)."""
+    """Full metric suite over image batches (`metrics/compute.py:95+`).
+
+    `extractor` may be a callable, or a name: "swav" (reference default,
+    `compute.py:100`) / "inception" — the real architectures in
+    `gan/extractors.py` (checkpoints slot in via
+    `extractors.get_extractor(name, checkpoint)`)."""
+    if isinstance(extractor, str):
+        from .extractors import get_extractor
+
+        extractor = get_extractor(extractor)
     extractor = extractor or ResNetExtractor()
 
     def extract(images):
