@@ -35,6 +35,7 @@ class ARConfig:
     layers: int = 4
     heads: int = 8
     dtype: str = "float32"
+    max_frames: int = 8  # temporal positions for video token grids
 
     @property
     def image_length(self) -> int:
@@ -58,6 +59,10 @@ def init_params(key, cfg: ARConfig) -> Dict:
         "pos_emb": jax.random.normal(nk(), (cfg.total_length, w)) * 0.01,
         "row_emb": jax.random.normal(nk(), (cfg.image_rows, w)) * 0.01,
         "col_emb": jax.random.normal(nk(), (cfg.image_cols, w)) * 0.01,
+        # temporal position of each video frame's token grid — the pjit
+        # analog of CogVideo's per-frame position-id blocks
+        # (`cog/video/infinite.py:68-77`)
+        "frame_emb": jax.random.normal(nk(), (cfg.max_frames, w)) * 0.01,
         "ln_f": {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))},
         "head": {"w": jax.random.normal(nk(), (w, cfg.total_vocab)) * 0.02},
         "blocks": [],
@@ -91,24 +96,50 @@ def forward(
     tokens: jax.Array,  # (B, T)
     cfg: ARConfig,
     mask: Optional[jax.Array] = None,  # (T, T) attention mask override
+    frame_ids: Optional[jax.Array] = None,  # (T,) temporal frame per position, -1 = text
+    remat: bool = False,  # gradient-checkpoint each block (finetuning)
 ) -> jax.Array:
-    """Full-sequence logits (training / scoring path)."""
+    """Full-sequence logits (training / scoring path).
+
+    `frame_ids` gives each position's temporal frame for multi-frame
+    video sequences (text positions are -1): image positions are then
+    embedded as frame_emb[f] + row/col within the frame's grid — the
+    role of CogVideo's per-frame position-id blocks
+    (`cog/video/generate.py:43-61`, `infinite.py:68-77`), which is what
+    lets stage 2 present keyframes at temporal slots 0/2/4 and generate
+    slots 1/3 in between."""
     b, t = tokens.shape
     x = params["tok_emb"][tokens]
-    pos = params["pos_emb"][:t]
-    # add 2D row/col structure on the image segment
-    img_idx = jnp.arange(t) - cfg.text_length
-    in_img = img_idx >= 0
-    rows = jnp.clip(img_idx // cfg.image_cols, 0, cfg.image_rows - 1)
-    cols = jnp.clip(img_idx % cfg.image_cols, 0, cfg.image_cols - 1)
-    pos = pos + jnp.where(in_img[:, None], params["row_emb"][rows] + params["col_emb"][cols], 0.0)
+    if frame_ids is None:
+        pos = params["pos_emb"][:t]
+        # add 2D row/col structure on the image segment
+        img_idx = jnp.arange(t) - cfg.text_length
+        in_img = img_idx >= 0
+        rows = jnp.clip(img_idx // cfg.image_cols, 0, cfg.image_rows - 1)
+        cols = jnp.clip(img_idx % cfg.image_cols, 0, cfg.image_cols - 1)
+        pos = pos + jnp.where(in_img[:, None], params["row_emb"][rows] + params["col_emb"][cols], 0.0)
+    else:
+        frame_ids = jnp.asarray(frame_ids)
+        in_img = frame_ids >= 0
+        # in-frame offset: position within this frame's token grid
+        img_pos = jnp.cumsum(in_img) - 1
+        off = jnp.where(in_img, img_pos % cfg.image_length, 0)
+        rows = jnp.clip(off // cfg.image_cols, 0, cfg.image_rows - 1)
+        cols = jnp.clip(off % cfg.image_cols, 0, cfg.image_cols - 1)
+        fe = params["frame_emb"][jnp.clip(frame_ids, 0, cfg.max_frames - 1)]
+        text_pos = jnp.clip(jnp.arange(t), 0, cfg.text_length - 1)
+        pos = jnp.where(
+            in_img[:, None],
+            fe + params["row_emb"][rows] + params["col_emb"][cols],
+            params["pos_emb"][text_pos],
+        )
     x = x + pos[None]
 
     if mask is None:
         mask = jnp.tril(jnp.ones((t, t), bool))
     neg = jnp.asarray(-1e9, jnp.float32)
 
-    for blk in params["blocks"]:
+    def block(blk, x):
         h = _ln(blk["ln1"], x)
         qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -122,7 +153,15 @@ def forward(
         att = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, t, cfg.width)
         x = x + att @ blk["proj"]["w"] + blk["proj"]["b"]
         h = _ln(blk["ln2"], x)
-        x = x + jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
+        return x + jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
+
+    if remat:
+        # rematerialize each block's activations on the backward pass —
+        # the jax.checkpoint analog of the reference's
+        # checkpoint_sequential (`ru_dalle/finetune.py:259-261`)
+        block = jax.checkpoint(block)
+    for blk in params["blocks"]:
+        x = block(blk, x)
 
     x = _ln(params["ln_f"], x)
     return x @ params["head"]["w"]

@@ -1,0 +1,82 @@
+"""VQ image-token decoder: token grids -> pixels.
+
+The reference decodes CogVideo/ru-dalle image tokens through icetk /
+VQGAN decoders living in stripped submodules (used at
+`cog/video/generate.py:716-721` `tokenizer.decode(image_ids=...)`).
+Here the decoder is the package's own AutoencoderKL decoder
+(`diffusion/models/vae.py`, taming-style resblock+upsample stack) fed
+by a codebook embed — so converted taming/CompVis VQGAN weights slot
+straight in via `diffusion.load.vae_params_from_compvis` plus the
+`quantize.embedding.weight` codebook.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.models import vae as vae_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class VQConfig:
+    codebook_size: int = 8192
+    z_channels: int = 4
+    base_channels: int = 32
+    channel_mult: tuple = (1, 2, 4)
+    num_res_blocks: int = 1
+
+    @property
+    def vae_cfg(self) -> vae_mod.VAEConfig:
+        return vae_mod.VAEConfig(
+            base_channels=self.base_channels,
+            channel_mult=self.channel_mult,
+            num_res_blocks=self.num_res_blocks,
+            z_channels=self.z_channels,
+            scale_factor=1.0,
+        )
+
+    @property
+    def upscale(self) -> int:
+        return self.vae_cfg.downscale
+
+
+def init_params(key, cfg: VQConfig) -> Dict:
+    k_code, k_vae = jax.random.split(key)
+    return {
+        "codebook": jax.random.normal(k_code, (cfg.codebook_size, cfg.z_channels)) * 0.1,
+        "vae": vae_mod.init_params(k_vae, cfg.vae_cfg),
+    }
+
+
+def params_from_torch(sd, cfg: VQConfig) -> Dict:
+    """Taming-VQGAN state dict -> VQ decoder params: codebook from
+    `quantize.embedding.weight`, decoder via the CompVis VAE converter
+    (both share the resblock+upsample decoder structure)."""
+    from ..diffusion.load import vae_params_from_compvis
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    return {
+        "codebook": jnp.asarray(sd["quantize.embedding.weight"], jnp.float32),
+        "vae": vae_params_from_compvis(sd, cfg.vae_cfg),
+    }
+
+
+def decode_tokens(params: Dict, tokens: jax.Array, cfg: VQConfig, rows: int, cols: int) -> jax.Array:
+    """tokens (B, rows*cols) image-vocab ids -> (B, rows*U, cols*U, 3)
+    in [-1, 1]."""
+    z = params["codebook"][tokens].reshape(tokens.shape[0], rows, cols, cfg.z_channels)
+    return jnp.clip(vae_mod.decode(params["vae"], z, cfg.vae_cfg), -1.0, 1.0)
+
+
+def decode_video_tokens(params: Dict, tokens: jax.Array, cfg: VQConfig, rows: int, cols: int) -> jax.Array:
+    """tokens (F, B, rows*cols) -> (F, B, H, W, 3): frames fold into the
+    batch for one big MXU-friendly decode, like the reference's
+    per-frame `tokenizer.decode` loop collapsed into a single call."""
+    f, b, l = tokens.shape
+    imgs = decode_tokens(params, tokens.reshape(f * b, l), cfg, rows, cols)
+    return imgs.reshape(f, b, *imgs.shape[1:])
