@@ -96,15 +96,35 @@ def laplacian_segmentation(audio, sr, k: int = 5):
     return _mir.laplacian_segmentation(audio, sr, k=k)
 
 
-def separate_sources(audio, sr, device=None) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """(vocals, drums, bass, other) source separation.
+def separate_sources(
+    audio, sr, device=None, params=None, checkpoint=None, neural: Optional[bool] = None
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(vocals, drums, bass, other) source separation — the `unmix`
+    role (`audioreactive/audio.py:51-76`, openunmix + Wiener niter=3).
 
-    The reference uses the openunmix neural separator
-    (`audioreactive/audio.py:51-76`); that model isn't available in
-    this stack, so this is a DSP stand-in: HPSS splits
+    Neural path: the umx-style spectrogram-mask BLSTM in
+    `audio/separate.py` (pass converted openunmix weights via `params`
+    or a `checkpoint` dir of per-target torch state dicts). DSP
+    fallback (neural=False, or no weights given): HPSS splits
     percussive (drums) from harmonic, the harmonic part is band-split
-    into bass (<250 Hz), vocals (250-4k), other (rest). Swap in a
-    neural separator by overriding `separate_sources`."""
+    into bass (<250 Hz), vocals (250-4k), other (rest)."""
+    if neural or params is not None or checkpoint is not None:
+        from ..audio import separate as umx
+
+        cfg = umx.UMXConfig()
+        if params is None and checkpoint is not None:
+            import os
+
+            import torch
+
+            sds = {
+                t: torch.load(os.path.join(checkpoint, f"{t}.pth"), map_location="cpu", weights_only=False)
+                for t in umx.TARGETS
+            }
+            params = umx.params_from_torch(
+                {t: {k: v.numpy() for k, v in sd.items()} for t, sd in sds.items()}, cfg
+            )
+        return umx.separate(audio, sr, params=params, cfg=cfg)
     y = jnp.asarray(audio)
     harm = _harmonic(y, margin=3.0)
     perc = _percussive(y, margin=3.0)
