@@ -211,4 +211,87 @@ class ContentGrads(GradModule):
         return jax.grad(loss)(img) * self.scale
 
 
-LPIPSGrads = ContentGrads
+class LPIPSGrads(GradModule):
+    """LPIPS perceptual content guidance with learned linear
+    calibration (`maua/grad.py:179-196`): both images resampled to 256
+    and scored by the lpips-vgg metric (`perceptors/lpips.py`); pass
+    converted lin+vgg weights via `params` for literature-comparable
+    behavior."""
+
+    def __init__(self, scale: float = 1.0, params=None, key=None):
+        super().__init__(scale)
+        from .perceptors.lpips import init_params as _lpips_init, lpips as _lpips
+
+        self._lpips = _lpips
+        self.params = params if params is not None else _lpips_init(key)
+        self.target = None
+
+    def set_targets(self, prompts):
+        for p in prompts:
+            if isinstance(p, ContentPrompt):
+                self.target = jnp.asarray(p.img)  # [-1, 1]
+
+    def __call__(self, img, t):
+        if self.target is None:
+            return jnp.zeros_like(img)
+        from .ops.image import resample
+
+        tgt = resample(self.target, (256, 256))
+
+        def loss(im):
+            return jnp.sum(self._lpips(self.params, resample(im, (256, 256)), tgt))
+
+        return jax.grad(loss)(img) * self.scale
+
+
+def ssim(x: jax.Array, y: jax.Array, data_range: float = 10.0, win_size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Mean SSIM over (B, H, W, C) with a gaussian window (the
+    pytorch_msssim.SSIM role, `maua/grad.py:199-206`)."""
+    half = win_size // 2
+    g = jnp.exp(-0.5 * ((jnp.arange(win_size) - half) / sigma) ** 2)
+    g = g / g.sum()
+
+    def blur(im):
+        c = im.shape[-1]
+        kh = jnp.tile(g.reshape(win_size, 1, 1, 1), (1, 1, 1, c))
+        kw = jnp.tile(g.reshape(1, win_size, 1, 1), (1, 1, 1, c))
+        dn = ("NHWC", "HWIO", "NHWC")
+        im = jax.lax.conv_general_dilated(im, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+        return jax.lax.conv_general_dilated(im, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mx, my = blur(x), blur(y)
+    mxx, myy, mxy = blur(x * x), blur(y * y), blur(x * y)
+    vx = mxx - mx * mx
+    vy = myy - my * my
+    cov = mxy - mx * my
+    s = ((2 * mx * my + c1) * (2 * cov + c2)) / ((mx * mx + my * my + c1) * (vx + vy + c2))
+    return jnp.mean(s)
+
+
+class LatentSSIMGrads(GradModule):
+    """Structural-similarity content guidance in LATENT space
+    (`maua/grad.py:199-217`): the content image is VAE-encoded once and
+    the running latent x is pulled toward it by 1 - SSIM (data_range 10,
+    4 channels). `encode_fn` is the model's first-stage encoder."""
+
+    def __init__(self, scale: float = 1.0, encode_fn: Callable = None):
+        super().__init__(scale)
+        self.encode_fn = encode_fn
+        self.target = None
+
+    def set_targets(self, prompts):
+        for p in prompts:
+            if isinstance(p, ContentPrompt):
+                img = jnp.asarray(p.img)
+                self.target = self.encode_fn(img) if self.encode_fn is not None else None
+
+    def __call__(self, x, t):
+        if self.target is None:
+            return jnp.zeros_like(x)
+
+        def loss(lat):
+            return 1.0 - ssim(lat, self.target, data_range=10.0)
+
+        return jax.grad(loss)(x) * self.scale

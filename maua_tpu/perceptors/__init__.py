@@ -51,7 +51,18 @@ def load_perceptor(name: str):
         from .clip import CLIPPerceptor
 
         return CLIPPerceptor
-    if "vgg" in name or name.split("-")[0] in ("kbc", "pgg"):
+    if name.startswith("pgg") or name in ("nin", "sod", "fcn32s", "nyud", "prune", "pruned"):
+        from functools import partial
+
+        from .pgg import PGGPerceptor
+
+        model = name[4:] if name.startswith("pgg-") else (name if name != "pgg" else "vgg19")
+        return partial(PGGPerceptor, model_name=model)
+    if name.startswith("lpips"):
+        from .lpips import LPIPSPerceptor
+
+        return LPIPSPerceptor
+    if "vgg" in name or name.split("-")[0] == "kbc":
         from .vgg import VGGPerceptor
 
         return VGGPerceptor
