@@ -135,9 +135,18 @@ class MultiResolutionDiffusionProcessor:
                 print(f"Current size: {shapes[scale][1]}x{shapes[scale][0]}")
             if scale != 0:
                 if super_res_model:
+                    from ..oom import is_oom_error
                     from ..super.image import upscale_image
 
-                    img = upscale_image((img + 1) / 2, model_name=super_res_model) * 2 - 1
+                    try:
+                        img = upscale_image((img + 1) / 2, model_name=super_res_model) * 2 - 1
+                    except Exception as e:
+                        # skip the SR pass on device OOM; the lanczos
+                        # resize below still reaches the target shape
+                        # (`maua/diffusion/image.py:171-177`)
+                        if not is_oom_error(e):
+                            raise
+                        print("device OOM during super-resolution; continuing without it")
                 img = resample(img, shapes[scale])
 
             if pre_hook:
@@ -165,10 +174,23 @@ class MultiResolutionDiffusionProcessor:
 
             key, sub = jax.random.split(key)
             if img.shape[0] > max_batch:
+                from ..oom import is_oom_error
+
                 outs = []
-                for i in range(0, img.shape[0], max_batch):
-                    outs.append(diffusion(img[i : i + max_batch], prompts, t_start, verbose=False,
-                                          key=jax.random.fold_in(sub, i)))
+                i = 0
+                while i < img.shape[0]:
+                    try:
+                        outs.append(diffusion(img[i : i + max_batch], prompts, t_start, verbose=False,
+                                              key=jax.random.fold_in(sub, i)))
+                    except Exception as e:
+                        # halve the tile batch on device OOM and retry
+                        # (`maua/diffusion/image.py:199-205` max_batch role)
+                        if not is_oom_error(e) or max_batch <= 1:
+                            raise
+                        max_batch = max(max_batch // 2, 1)
+                        print(f"device OOM during tile batch; retrying with max_batch={max_batch}")
+                        continue
+                    i += max_batch
                 img = jnp.concatenate(outs)
             else:
                 img = diffusion(img, prompts, t_start, verbose=verbose, key=sub)

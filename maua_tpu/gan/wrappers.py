@@ -382,9 +382,10 @@ class StyleGAN2:
                 x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
             )
         T = latents.shape[0]
-        n_batches = math.ceil(T / batch_size)
-        for b in range(n_batches):
-            lo, hi = b * batch_size, min((b + 1) * batch_size, T)
+        min_batch = mesh.shape["data"] if mesh is not None else 1
+        lo = 0
+        while lo < T:
+            hi = min(lo + batch_size, T)
             pad = batch_size - (hi - lo)
 
             def take(arr):
@@ -397,20 +398,36 @@ class StyleGAN2:
                     sl = sharding(sl)
                 return sl
 
-            batch_noises = None if noises is None else {k: take(v) for k, v in noises.items()}
-            imgs = self.synthesizer(
-                take(latents),
-                translation=take(translation),
-                zoom=take(zoom),
-                rotation=take(rotation),
-                noises=batch_noises,
-            )
+            def synth():
+                batch_noises = None if noises is None else {k: take(v) for k, v in noises.items()}
+                return self.synthesizer(
+                    take(latents),
+                    translation=take(translation),
+                    zoom=take(zoom),
+                    rotation=take(rotation),
+                    noises=batch_noises,
+                )
+
+            try:
+                imgs = synth()
+            except Exception as e:
+                # halve the render chunk on device OOM and keep going
+                # (`wrappers/stylegan2.py:204-211` role); batch stays a
+                # multiple of the mesh data axis
+                from ..oom import is_oom_error
+
+                if not is_oom_error(e) or batch_size <= min_batch:
+                    raise
+                batch_size = max(batch_size // 2, min_batch)
+                print(f"device OOM during render; retrying with batch_size={batch_size}")
+                continue
             if postprocess is not None:
                 imgs = postprocess(imgs)
             imgs = jnp.clip((imgs + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
             imgs = np.asarray(imgs)
             for i in range(hi - lo):
                 yield imgs[i]
+            lo = hi
 
 
 def get_generator_class(architecture: str):

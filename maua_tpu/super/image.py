@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..oom import run_with_oom_fallback
 from ..ops.image import destitch, restitch
 from ..ops.io import load_image, tensor2img
 from ..utility import MODELZOO
@@ -144,18 +145,42 @@ class Upscaler:
         return out[:, : h * self.scale, : w * self.scale]
 
     def __call__(self, img: jax.Array) -> jax.Array:
-        """img (B, H, W, C) in [0, 1] -> upscaled in [0, 1]."""
+        """img (B, H, W, C) in [0, 1] -> upscaled in [0, 1].
+
+        Survives device OOM by walking a ladder of smaller tiles and,
+        as the last rung, returning a lanczos upscale without the model
+        (the `single.py:91-96` copy-original role)."""
         img = jnp.asarray(img, jnp.float32)
         # LDM tiles are valid img2img inputs, so it shares the
         # destitch/restitch branch instead of silently processing the
         # whole image when tiling was requested
         run = self._ldm if self.kind == "ldm" else self._run
-        if self.tile and min(img.shape[1:3]) > self.tile:
-            h, w = img.shape[1], img.shape[2]
-            tiles = destitch(img, tile_size=self.tile, overtile=self.tile_overlap)
-            up_tiles = run(tiles)
-            return jnp.clip(restitch(up_tiles, h * self.scale, w * self.scale, overtile=self.tile_overlap), 0, 1)
-        return jnp.clip(run(img), 0, 1)
+        h, w = img.shape[1], img.shape[2]
+
+        def tiled(tile):
+            def thunk():
+                tiles = destitch(img, tile_size=tile, overtile=self.tile_overlap)
+                return jnp.clip(
+                    restitch(run(tiles), h * self.scale, w * self.scale, overtile=self.tile_overlap), 0, 1
+                )
+
+            return thunk
+
+        if self.tile and min(h, w) > self.tile:
+            attempts = [(f"tile {self.tile}", tiled(self.tile))]
+            t = self.tile // 2
+        else:
+            attempts = [("full image", lambda: jnp.clip(run(img), 0, 1))]
+            t = min(h, w) // 2
+        while t >= 64:
+            attempts.append((f"tile {t}", tiled(t)))
+            t //= 2
+        from ..ops.image import resample
+
+        attempts.append(
+            ("lanczos-only fallback", lambda: jnp.clip(resample(img, (h * self.scale, w * self.scale)), 0, 1))
+        )
+        return run_with_oom_fallback(attempts)
 
 
 class _LDMUpscale:
