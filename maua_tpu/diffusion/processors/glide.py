@@ -129,19 +129,42 @@ class GLIDE(BaseDiffusionProcessor):
 
 
 class GLID3XL(BaseDiffusionProcessor):
-    """LDM-space guided diffusion with a text encoder
+    """LDM-space guided diffusion with a BERT text encoder
     (`maua/diffusion/processors/glid3xl.py:152-270`): structurally the
     LatentDiffusion processor with guided-diffusion-style latent grad
-    conditioning (:105-150)."""
+    conditioning (:105-150), but conditioned through the
+    latent-diffusion BERTEmbedder (`text/bert.py`) exactly like the
+    reference's `bert.encode` context (:243-246) — real glid-3-xl
+    bert.pt checkpoints convert via `text.bert.params_from_torch`."""
 
     def __init__(self, grad_modules: Sequence = (), cfg_scale: float = 5.0, sampler: str = "plms",
-                 timesteps: int = 50, image_size: int = 256, key=None, **kw):
+                 timesteps: int = 50, image_size: int = 256, key=None,
+                 bert=None, bert_checkpoint=None, bert_vocab=None, bert_cfg=None, **kw):
+        from ...text.bert import BERTConfig, BERTEmbedder
         from .latent import LatentDiffusion
 
         self._ld = LatentDiffusion(cfg_scale=cfg_scale, sampler=sampler, timesteps=timesteps,
                                    image_size=image_size, key=key, grad_modules=grad_modules, **kw)
+        if bert is None:
+            cfg = bert_cfg or BERTConfig(
+                width=self._ld.unet_cfg.context_dim, layers=2, heads=4,
+                max_len=self._ld.text_cfg.context_length,
+            )
+            bert = BERTEmbedder(cfg, checkpoint=bert_checkpoint, vocab_path=bert_vocab, key=key)
+        self.bert = bert
+        # swap the CLIP-tower conditioning for BERT context embeddings
+        # (instance attribute shadows the LatentDiffusion method)
+        self._ld.conditioning = self._bert_conditioning
         self.grad_modules = self._ld.grad_modules
         self.image_size = image_size
+
+    def _bert_conditioning(self, prompts):
+        from ...prompt import TextPrompt
+
+        texts = [p.text for p in prompts if isinstance(p, TextPrompt)]
+        cond = self.bert([" ".join(texts) or ""])
+        uncond = self.bert([""])  # negative prompt slot (`glid3xl.py:242`)
+        return cond, uncond
 
     def forward(self, img, prompts, t_start, t_end=1.0, verbose=True, key=None):
         # latent grad conditioning lives inside LatentDiffusion's
