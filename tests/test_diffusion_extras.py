@@ -77,9 +77,45 @@ def test_finetune_reduces_loss(sd):
     images = rs.rand(4, 32, 32, 3).astype(np.float32) * 2 - 1
     captions = ["a", "b", "c", "d"]
     before = jax.tree_util.tree_leaves(sd.unet_params)[0]
-    finetune(sd, images, captions, n_steps=3, batch_size=2, verbose=False)
+    params, ema = finetune(sd, images, captions, n_steps=3, batch_size=2, verbose=False)
     after = jax.tree_util.tree_leaves(sd.unet_params)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+    # processor holds the EMA weights; raw params moved further
+    np.testing.assert_array_equal(np.asarray(after), np.asarray(jax.tree_util.tree_leaves(ema)[0]))
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(params)[0]), np.asarray(jax.tree_util.tree_leaves(ema)[0])
+    )
+
+
+def test_finetune_resume_and_sample_hook(sd, tmp_path):
+    """Resumable two-epoch toy run with a validation sample hook
+    (`finetune_stable.py:114-276` parity: EMA + ckpt/resume + logger)."""
+    from maua_tpu.diffusion.finetune import finetune
+
+    rs = np.random.RandomState(4)
+    images = rs.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+    captions = ["x", "y"]
+    samples = []
+
+    # epoch 1: steps 0-1, checkpoint saved
+    finetune(sd, images, captions, n_steps=2, batch_size=2, verbose=False,
+             checkpoint_dir=str(tmp_path), save_every=1,
+             sample_every=2, sample_hook=lambda s, im: samples.append((s, im.shape)))
+    assert samples and samples[0][0] == 2
+    assert (tmp_path / "finetune_last").exists()
+
+    # epoch 2: resume continues from step 2 to 4
+    params, ema = finetune(sd, images, captions, n_steps=4, batch_size=2, verbose=False,
+                           checkpoint_dir=str(tmp_path), resume=True)
+    from maua_tpu.diffusion.finetune import load_checkpoint
+    import jax as _jax
+
+    like = {"params": params, "ema": ema, "opt": None, "step": jnp.zeros((), jnp.int32)}
+    # saved step advanced to 4 after the resumed run
+    import orbax.checkpoint as ocp
+
+    restored_step = ocp.StandardCheckpointer().restore(str(tmp_path / "finetune_last"))["step"]
+    assert int(np.asarray(restored_step)) == 4
 
 
 def test_unet_converter_from_synthetic_compvis():
