@@ -48,21 +48,21 @@ def test_interactive_session():
     sr = 22050
     t = np.arange(sr * 3) / sr
     audio = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
-    sess = InteractiveSession(audio, sr, n_sections=2)
-    assert len(sess.patches) >= 1
-    msg = sess.apply("more", 0)
-    assert "more intense" in msg
-    msg = sess.apply("style", 0)
-    assert "style" in msg
-    palette = jax.random.normal(jax.random.PRNGKey(0), (8, 18, 32))
-    seq = sess.realize(palette)
-    assert seq.ndim == 3 and seq.shape[1:] == (18, 32)
+    sess = InteractiveSession(audio, sr, segmentation={0.0: 0, 1.5: 1}, seed=1,
+                              palette_size=6, latent_dim=16)
+    assert set(sess.patches) == {0, 1}
+    msg = sess.apply("more_intense", 0)
+    assert "more_intense" in msg
+    msg = sess.apply("different_style_motion", 0)
+    assert "style_motion" in msg
+    lats, noises = sess.preview(0, noise_sizes=[4])
+    assert lats.ndim == 3
 
-    # scripted REPL
-    script = iter(["more 0", "show", "quit"])
+    # scripted REPL (section 0: two commands then next; section 1: quit)
+    script = iter(["more_intense", "next", "quit"])
     outputs = []
     sess.repl(input_fn=lambda _: next(script), print_fn=outputs.append)
-    assert any("intense" in str(o) for o in outputs)
+    assert any("more_intense" in str(o) for o in outputs)
 
 
 def test_realtime_module():
