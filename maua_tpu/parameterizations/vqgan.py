@@ -19,7 +19,8 @@ from . import Parameterization
 
 class VQGAN(Parameterization):
     def __init__(self, height, width, tensor=None, codebook: Optional[jax.Array] = None,
-                 decode_fn: Optional[Callable] = None, ema: bool = False, key=None):
+                 decode_fn: Optional[Callable] = None, encode_fn: Optional[Callable] = None,
+                 ema: bool = False, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)
         if decode_fn is None:
             from ..diffusion.models import vae as vae_mod
@@ -27,11 +28,14 @@ class VQGAN(Parameterization):
             cfg = vae_mod.VAEConfig(base_channels=32, channel_mult=(1, 2, 4), num_res_blocks=1)
             params = vae_mod.init_params(key, cfg)
             decode_fn = lambda z: vae_mod.decode(params, z, cfg)
+            if encode_fn is None:
+                encode_fn = lambda im: vae_mod.encode(params, im, cfg)
             downscale = cfg.downscale
             z_ch = cfg.z_channels
         else:
             downscale, z_ch = 8, 4
         self.decode_fn = decode_fn
+        self.encode_fn = encode_fn
         zh, zw = height // downscale, width // downscale
         if tensor is None:
             tensor = jax.random.normal(jax.random.fold_in(key, 1), (1, zh, zw, z_ch)) * 0.1
@@ -58,4 +62,13 @@ class VQGAN(Parameterization):
         return jnp.clip(self.decode_fn(self.quantize(z)), -1.0, 1.0)
 
     def encode(self, img):
-        raise NotImplementedError("VQGAN parameterization requires an encoder; initialize from z instead")
+        """Initialize z-space from an image through the encoder +
+        quantizer (`maua/parameterizations/vqgan.py:120-129`). `img`
+        (B, H, W, 3) in [-1, 1]."""
+        if self.encode_fn is None:
+            raise NotImplementedError(
+                "this VQGAN was built with a custom decode_fn and no encode_fn; pass encode_fn="
+            )
+        z = self.encode_fn(jnp.asarray(img))
+        self.tensor = self.quantize(z)
+        return self.tensor

@@ -50,7 +50,8 @@ def test_pixel_parameterization():
     p = P(8, 8, n_colors=4)
     img = np.asarray(p.decode())
     assert img.shape == (1, 8, 8, 3)
-    assert float(p.palette_loss()) >= 0
+    # PalletLoss's anticorrelation term can go negative; just finite
+    assert np.isfinite(float(p.palette_loss()))
 
 
 def test_vqgan_parameterization_quantize():
@@ -124,3 +125,49 @@ def test_video_vit_style_transfer():
     assert out.shape == content.shape
     assert np.all(np.isfinite(out))
     assert not np.allclose(out, content)
+
+
+def test_pixel_full_design():
+    """PyTTI-style Pixel: value/tensor/pallet params, losses, lock,
+    straight-through decode (`maua/parameterizations/pixel.py:49-333`)."""
+    from maua_tpu.parameterizations.pixel import Pixel
+
+    p = Pixel(16, 16, n_colors=5, n_pallets=3, scale=2, hdr_weight=0.5)
+    img = np.asarray(p.decode())
+    assert img.shape == (1, 16, 16, 3)
+    assert float(p.palette_loss()) == float(p.palette_loss())  # finite, deterministic
+    assert float(p.hdr_loss()) >= 0
+    assert float(p.image_loss()) == pytest.approx(float(p.palette_loss()) + float(p.hdr_loss()), rel=1e-5)
+
+    # encode an image and reconstruct roughly
+    rng = np.random.RandomState(0)
+    target = (rng.rand(1, 16, 16, 3) * 2 - 1).astype(np.float32)
+    p.encode(jnp.asarray(target))
+    rec = np.asarray(p.decode())
+    assert rec.shape == (1, 16, 16, 3)
+    assert np.isfinite(rec).all()
+
+    # pallet lock freezes the decoded palette
+    p.lock_pallet(True)
+    locked = np.asarray(p._sorted_pallet())
+    p.tensor = {**p.tensor, "pallet": p.tensor["pallet"] + 1.0}
+    np.testing.assert_array_equal(np.asarray(p._sorted_pallet()), locked)
+    p.lock_pallet(False)
+    assert not np.array_equal(np.asarray(p._sorted_pallet()), locked)
+
+    # gradients flow through the straight-through decode
+    g = jax.grad(lambda t: jnp.sum(jnp.square(Pixel(16, 16, n_colors=5, n_pallets=3, scale=2).decode(t))))(p.tensor)
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))
+
+
+def test_vqgan_encode_from_image():
+    from maua_tpu.parameterizations.vqgan import VQGAN
+
+    v = VQGAN(32, 32)
+    rng = np.random.RandomState(1)
+    img = (rng.rand(1, 32, 32, 3) * 2 - 1).astype(np.float32)
+    z = v.encode(jnp.asarray(img))
+    assert z.shape == v.tensor.shape
+    rec = np.asarray(v.decode())
+    assert rec.shape[1:3] == (32, 32)
+    assert np.isfinite(rec).all()
