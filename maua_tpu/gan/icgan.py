@@ -25,10 +25,32 @@ def load_icgan(
     instance_dim: int = 256,
     resolution: int = 128,
     cfg: Optional[sg2.SG2Config] = None,
+    backbone: str = "stylegan2",
+    biggan_cfg=None,
     key=None,
 ):
     """Build/load an instance-conditioned generator
-    (`icgan/generate.py:90`)."""
+    (`icgan/generate.py:90`).
+
+    backbone="biggan" gives the reference's actual IC-GAN backbone
+    (`gan/biggan.py` — BigGAN with hierarchical z + ccbn conditioned on
+    embedded SwAV features); real ic_gan checkpoints convert via
+    `biggan.params_from_torch` with spectral norm folded. The
+    StyleGAN2 c_dim path remains as this package's own
+    instance-conditioned variant."""
+    if backbone == "biggan":
+        from . import biggan
+
+        bcfg = biggan_cfg or biggan.BigGANConfig(resolution=resolution)
+        if model_file:
+            import torch
+
+            sd = torch.load(model_file, map_location="cpu", weights_only=False)
+            sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+            params = biggan.params_from_torch({k: v.numpy() for k, v in sd.items()}, bcfg)
+        else:
+            params = biggan.init_params(key if key is not None else jax.random.PRNGKey(0), bcfg)
+        return BigGANWrapper(params, bcfg)
     if cfg is None:
         cfg = sg2.SG2Config(img_resolution=resolution, c_dim=instance_dim, num_fp16_res=0)
     if model_file:
@@ -41,13 +63,33 @@ def load_icgan(
     return gen
 
 
-def instance_features(images, extractor: Optional[Callable] = None, dim: int = 256) -> jax.Array:
-    """Feature-extractor embeddings of conditioning images (the SwAV
-    role in the reference)."""
-    if extractor is None:
-        from .metrics import ResNetExtractor
+class BigGANWrapper:
+    """Minimal generator facade for the BigGAN backbone."""
 
-        extractor = ResNetExtractor(feat_dim=dim)
+    def __init__(self, params, cfg):
+        from . import biggan
+
+        self.params, self.cfg = params, cfg
+        self._fwd = jax.jit(lambda p, z, f: biggan.generator(p, z, cfg, features=f))
+
+    def __call__(self, z, features=None):
+        return self._fwd(self.params, z, features)
+
+
+def instance_features(images, extractor: Optional[Callable] = None, dim: int = 256) -> jax.Array:
+    """Feature-extractor embeddings of conditioning images. With no
+    extractor given, uses the SwAV ResNet-50 (`gan/extractors.py`) —
+    the reference's actual IC-GAN instance-feature tower — when
+    dim == 2048, else the small test extractor."""
+    if extractor is None:
+        if dim == 2048:
+            from .extractors import load_swav
+
+            extractor = load_swav()
+        else:
+            from .metrics import ResNetExtractor
+
+            extractor = ResNetExtractor(feat_dim=dim)
     feats = extractor(jnp.asarray(images))
     return feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-8)
 
