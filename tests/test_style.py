@@ -171,3 +171,65 @@ def test_vqgan_encode_from_image():
     rec = np.asarray(v.decode())
     assert rec.shape[1:3] == (32, 32)
     assert np.isfinite(rec).all()
+
+
+def test_exotic_optimizers_descend():
+    """Each newly implemented registry entry reduces a quadratic
+    (`maua/optimizers.py:8-47` parity names)."""
+    import optax
+    from maua_tpu import optimizers as opt_mod
+
+    target = jnp.asarray(np.linspace(-1, 1, 8), jnp.float32)
+
+    def loss_fn(p):
+        return jnp.sum(jnp.square(p["x"] - target))
+
+    lrs = {"pid": 0.002}  # high PID gains need a small base lr
+    for name in ("accsgd", "adabound", "adamod", "adamp", "sgdp", "aggmo", "diffgrad",
+                 "pid", "qhadam", "qhm", "swats", "shampoo", "fusedadam", "nvnovograd"):
+        opt, _ = opt_mod.load_optimizer(name, lr=lrs.get(name, 0.05))
+        params = {"x": jnp.zeros(8)}
+        state = opt.init(params)
+        l0 = float(loss_fn(params))
+        for _ in range(60):
+            g = jax.grad(loss_fn)(params)
+            updates, state = opt.update(g, state, params)
+            params = optax.apply_updates(params, updates)
+        assert float(loss_fn(params)) < l0 * 0.8, name
+
+
+def test_shampoo_matrix_preconditioner():
+    import optax
+    from maua_tpu.optimizers import shampoo
+
+    rng = np.random.RandomState(0)
+    A = jnp.asarray(rng.rand(4, 4).astype(np.float32))
+
+    def loss_fn(p):
+        return jnp.sum(jnp.square(p["W"] - A))
+
+    opt = shampoo(lr=0.2)
+    params = {"W": jnp.zeros((4, 4))}
+    state = opt.init(params)
+    for _ in range(50):
+        g = jax.grad(loss_fn)(params)
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(loss_fn(params)) < 0.5 * float(jnp.sum(A * A))
+
+
+def test_adahessian_loss_optimizer():
+    from maua_tpu.optimizers import adahessian_optimizer
+
+    target = jnp.asarray([1.0, -2.0, 3.0])
+
+    def loss_fn(p):
+        return jnp.sum(jnp.square(p["x"] - target))
+
+    init, step = adahessian_optimizer(loss_fn, lr=0.3)
+    params = {"x": jnp.zeros(3)}
+    state = init(params)
+    l0 = float(loss_fn(params))
+    for _ in range(40):
+        params, state = step(params, state)
+    assert float(loss_fn(params)) < l0 * 0.1
