@@ -32,6 +32,7 @@ COMMANDS = {
     },
     "autoregressive": {
         "generate": ("maua_tpu.autoregressive.cli", "Autoregressive text-to-image generation"),
+        "video": ("maua_tpu.autoregressive.video_cli", "Two-stage autoregressive text-to-video"),
     },
 }
 
