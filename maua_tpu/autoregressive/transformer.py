@@ -91,6 +91,33 @@ def _positions(cfg: ARConfig, idx: jax.Array) -> jax.Array:
     return idx  # raw index; embedding composed in forward
 
 
+def position_table(params: Dict, cfg: ARConfig, t: int, frame_ids: Optional[jax.Array] = None) -> jax.Array:
+    """(T, width) positional embedding per global position — text
+    absolute positions, image positions as (frame_emb +) row/col grid
+    embeddings. Shared by the full forward and the KV-cached sampler."""
+    if frame_ids is None:
+        pos = params["pos_emb"][:t]
+        img_idx = jnp.arange(t) - cfg.text_length
+        in_img = img_idx >= 0
+        rows = jnp.clip(img_idx // cfg.image_cols, 0, cfg.image_rows - 1)
+        cols = jnp.clip(img_idx % cfg.image_cols, 0, cfg.image_cols - 1)
+        return pos + jnp.where(in_img[:, None], params["row_emb"][rows] + params["col_emb"][cols], 0.0)
+    frame_ids = jnp.asarray(frame_ids)
+    in_img = frame_ids >= 0
+    # in-frame offset: position within this frame's token grid
+    img_pos = jnp.cumsum(in_img) - 1
+    off = jnp.where(in_img, img_pos % cfg.image_length, 0)
+    rows = jnp.clip(off // cfg.image_cols, 0, cfg.image_rows - 1)
+    cols = jnp.clip(off % cfg.image_cols, 0, cfg.image_cols - 1)
+    fe = params["frame_emb"][jnp.clip(frame_ids, 0, cfg.max_frames - 1)]
+    text_pos = jnp.clip(jnp.arange(t), 0, cfg.text_length - 1)
+    return jnp.where(
+        in_img[:, None],
+        fe + params["row_emb"][rows] + params["col_emb"][cols],
+        params["pos_emb"][text_pos],
+    )
+
+
 def forward(
     params: Dict,
     tokens: jax.Array,  # (B, T)
@@ -109,31 +136,7 @@ def forward(
     lets stage 2 present keyframes at temporal slots 0/2/4 and generate
     slots 1/3 in between."""
     b, t = tokens.shape
-    x = params["tok_emb"][tokens]
-    if frame_ids is None:
-        pos = params["pos_emb"][:t]
-        # add 2D row/col structure on the image segment
-        img_idx = jnp.arange(t) - cfg.text_length
-        in_img = img_idx >= 0
-        rows = jnp.clip(img_idx // cfg.image_cols, 0, cfg.image_rows - 1)
-        cols = jnp.clip(img_idx % cfg.image_cols, 0, cfg.image_cols - 1)
-        pos = pos + jnp.where(in_img[:, None], params["row_emb"][rows] + params["col_emb"][cols], 0.0)
-    else:
-        frame_ids = jnp.asarray(frame_ids)
-        in_img = frame_ids >= 0
-        # in-frame offset: position within this frame's token grid
-        img_pos = jnp.cumsum(in_img) - 1
-        off = jnp.where(in_img, img_pos % cfg.image_length, 0)
-        rows = jnp.clip(off // cfg.image_cols, 0, cfg.image_rows - 1)
-        cols = jnp.clip(off % cfg.image_cols, 0, cfg.image_cols - 1)
-        fe = params["frame_emb"][jnp.clip(frame_ids, 0, cfg.max_frames - 1)]
-        text_pos = jnp.clip(jnp.arange(t), 0, cfg.text_length - 1)
-        pos = jnp.where(
-            in_img[:, None],
-            fe + params["row_emb"][rows] + params["col_emb"][cols],
-            params["pos_emb"][text_pos],
-        )
-    x = x + pos[None]
+    x = params["tok_emb"][tokens] + position_table(params, cfg, t, frame_ids)[None]
 
     if mask is None:
         mask = jnp.tril(jnp.ones((t, t), bool))

@@ -27,6 +27,7 @@ as hashes into the text vocabulary.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Dict, Optional
 
@@ -34,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .transformer import ARConfig, forward, tp_shardings
+from .transformer import ARConfig, _ln, forward, position_table, tp_shardings
 
 
 def boi_token(cfg: ARConfig) -> int:
@@ -137,6 +138,121 @@ def _fill(
     return tokens
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "context_length", "temperature", "guidance_alpha", "has_guider"),
+)
+def _fill_kv(
+    params: Dict,
+    seq: jax.Array,
+    frame_ids: jax.Array,
+    boi_mask: jax.Array,
+    top_ks: jax.Array,
+    cfg: ARConfig,
+    context_length: int,
+    key,
+    guider_seq: Optional[jax.Array],
+    temperature: float,
+    guidance_alpha: float,
+    has_guider: bool,
+):
+    """KV-cached sequence filling: prefill the given context with ONE
+    full forward, then one O(T)-attention step per sampled token —
+    O(T^2) total vs `_fill`'s O(T^3) recompute (the role of CogVideo's
+    mems buffers, `generate.py:117-151`)."""
+    b, t = seq.shape
+    heads, hd = cfg.heads, cfg.width // cfg.heads
+    pos_tab = position_table(params, cfg, t, frame_ids)
+    boi = jnp.asarray(boi_token(cfg), jnp.int32)
+    tokens0 = jnp.where(seq >= 0, seq, 0).astype(jnp.int32)
+
+    def prefill(tokens):
+        """Cache k/v for positions [0, context_length - 1)."""
+        n = context_length - 1
+        caches = []
+        inputs = jnp.where(boi_mask[None, :n], boi, tokens[:, :n])
+        x = params["tok_emb"][inputs] + pos_tab[None, :n]
+        mask = jnp.tril(jnp.ones((n, n), bool))
+        neg = jnp.asarray(-1e9, jnp.float32)
+        for blk in params["blocks"]:
+            h = _ln(blk["ln1"], x)
+            qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            kh = k.reshape(b, n, heads, hd)
+            vh = v.reshape(b, n, heads, hd)
+            ck = jnp.zeros((b, t, heads, hd), x.dtype).at[:, :n].set(kh)
+            cv = jnp.zeros((b, t, heads, hd), x.dtype).at[:, :n].set(vh)
+            caches.append((ck, cv))
+            qh = q.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
+            lg = jnp.einsum("bhqd,bhkd->bhqk", qh, kh.transpose(0, 2, 1, 3),
+                            preferred_element_type=jnp.float32) / math.sqrt(hd)
+            lg = jnp.where(mask[None, None], lg, neg)
+            probs = jax.nn.softmax(lg, -1).astype(x.dtype)
+            att = jnp.einsum("bhqk,bhkd->bhqd", probs, vh.transpose(0, 2, 1, 3))
+            att = att.transpose(0, 2, 1, 3).reshape(b, n, cfg.width)
+            x = x + att @ blk["proj"]["w"] + blk["proj"]["b"]
+            h = _ln(blk["ln2"], x)
+            x = x + jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
+        return caches
+
+    def step_logits(tok, p, caches):
+        """Logits at position p given token `tok` there; caches gain
+        position p."""
+        x = params["tok_emb"][tok] + pos_tab[p]
+        new_caches = []
+        attend = (jnp.arange(t) <= p)[None, None, None, :]
+        for blk, (ck, cv) in zip(params["blocks"], caches):
+            h = _ln(blk["ln1"], x)
+            qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            ck = jax.lax.dynamic_update_slice(ck, k.reshape(b, 1, heads, hd), (0, p, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.reshape(b, 1, heads, hd), (0, p, 0, 0))
+            new_caches.append((ck, cv))
+            qh = q.reshape(b, heads, 1, hd)
+            lg = jnp.einsum("bhqd,bhkd->bhqk", qh, ck.transpose(0, 2, 1, 3),
+                            preferred_element_type=jnp.float32) / math.sqrt(hd)
+            lg = jnp.where(attend, lg, -1e9)
+            probs = jax.nn.softmax(lg, -1).astype(x.dtype)
+            att = jnp.einsum("bhqk,bhkd->bhqd", probs, cv.transpose(0, 2, 1, 3)).reshape(b, cfg.width)
+            x = x + att @ blk["proj"]["w"] + blk["proj"]["b"]
+            h = _ln(blk["ln2"], x)
+            x = x + jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
+        return _ln(params["ln_f"], x) @ params["head"]["w"], new_caches
+
+    caches = prefill(tokens0)
+    g_caches = None
+    g_tokens0 = None
+    if has_guider:
+        g_tokens0 = jnp.where(guider_seq >= 0, guider_seq, 0).astype(jnp.int32)
+        g_caches = prefill(g_tokens0)
+
+    def step(carry, p):
+        tokens, g_tokens, caches, g_caches, k = carry
+        k, sub = jax.random.split(k)
+        prev = jnp.where(boi_mask[p - 1], boi, jnp.take(tokens, p - 1, axis=1))
+        lg, caches = step_logits(prev, p - 1, caches)
+        if has_guider:
+            # the guider stream keeps ITS text prefix — its input at
+            # p-1 comes from the guider token row, not the main one
+            g_prev = jnp.where(boi_mask[p - 1], boi, jnp.take(g_tokens, p - 1, axis=1))
+            glg, g_caches = step_logits(g_prev, p - 1, g_caches)
+            lg = glg + (lg - glg) * guidance_alpha
+        img_logits = lg[:, cfg.text_vocab_size :]
+        sampled = _sample_dynamic_k(sub, img_logits, temperature, top_ks[p]) + cfg.text_vocab_size
+        given = jnp.take(seq, p, axis=1)
+        nxt = jnp.where(given >= 0, given, sampled).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, p))
+        if has_guider:
+            g_tokens = jax.lax.dynamic_update_slice(g_tokens, nxt[:, None], (0, p))
+        return (tokens, g_tokens, caches, g_caches, k), None
+
+    (tokens, _, _, _, _), _ = jax.lax.scan(
+        step, (tokens0, g_tokens0 if has_guider else tokens0, caches, g_caches, key),
+        jnp.arange(context_length, t),
+    )
+    return tokens
+
+
 def filling_sequence(
     params: Dict,
     seq: np.ndarray,
@@ -149,13 +265,14 @@ def filling_sequence(
     temperature: float = 1.0,
     top_k: int = 64,
     top_k_first_frame: Optional[int] = None,
+    cached: bool = True,
 ):
     """Fill every -1 hole in `seq` left-to-right (the pjit
     `my_filling_sequence`, `generate.py:182-547`). Returns (B, T)
-    full-vocab tokens. NOTE: recomputes the prefix per token (the
-    KV-cached path is `transformer.generate_tokens_cached`); holes
-    before given positions are filled with the given suffix still
-    teacher-forced, like the reference's counter walk."""
+    full-vocab tokens. The default KV-cached path (`_fill_kv`) costs
+    one O(T)-attention step per token; cached=False uses the
+    recompute-the-prefix reference formulation (`_fill`) — both sample
+    identical tokens given the same key."""
     seq = np.asarray(seq)
     context_length = int(np.min(np.argmax(np.concatenate(
         [seq < 0, np.ones((seq.shape[0], 1), bool)], axis=1), axis=1)))
@@ -165,7 +282,8 @@ def filling_sequence(
     tk1 = top_k if top_k_first_frame is None else top_k_first_frame
     top_ks = np.full(seq.shape[1], top_k, np.int32)
     top_ks[: cfg.text_length + cfg.image_length] = tk1
-    return _fill(
+    fill = _fill_kv if cached else _fill
+    return fill(
         params,
         jnp.asarray(seq),
         jnp.asarray(frame_ids),
@@ -290,6 +408,10 @@ def generate_video(
     (F, B, H, W, 3)."""
     from .vq import decode_video_tokens
 
+    if interpolation_rounds > 0:
+        assert n_keyframes >= 3 and n_keyframes % 2 == 1, (
+            "stage-2 interpolation needs an odd number (>=3) of keyframes"
+        )
     key = key if key is not None else jax.random.PRNGKey(0)
     key, k1 = jax.random.split(key)
     tokens = generate_video_tokens(

@@ -126,3 +126,30 @@ def test_vq_decode_shapes():
     imgs = vq.decode_video_tokens(p, toks, vq_cfg, 4, 4)
     assert imgs.shape == (2, 3, 8, 8, 3)
     assert np.all(np.isfinite(np.asarray(imgs)))
+
+
+def test_kv_cached_fill_matches_recompute(params):
+    """The KV-cached sampler and the recompute-prefix sampler produce
+    identical tokens for the same key (greedy and stochastic)."""
+    given = np.arange(CFG.image_length, dtype=np.int64).reshape(1, 1, -1) % CFG.vocab_size
+    seq, fids, boi = video.build_video_sequence(CFG, _text(), 3, given_frames=given)
+    for top_k in (1, 8):
+        k = jax.random.PRNGKey(42)
+        a = np.asarray(video.filling_sequence(params, seq, fids, boi, CFG, k, top_k=top_k, cached=False))
+        b = np.asarray(video.filling_sequence(params, seq, fids, boi, CFG, k, top_k=top_k, cached=True))
+        assert np.array_equal(a, b), f"top_k={top_k}: {np.sum(a != b)} mismatches"
+
+
+def test_kv_cached_fill_with_guider(params):
+    seq, fids, boi = video.build_video_sequence(CFG, _text(), 2)
+    gseq = seq.copy()
+    gseq[:, : CFG.text_length] = 1
+    k = jax.random.PRNGKey(7)
+    # greedy: the guidance mix amplifies float differences between the
+    # two attention formulations, so stochastic near-ties can flip;
+    # argmax decisions must agree
+    a = np.asarray(video.filling_sequence(params, seq, fids, boi, CFG, k, guider_seq=gseq,
+                                          guidance_alpha=2.0, top_k=1, cached=False))
+    b = np.asarray(video.filling_sequence(params, seq, fids, boi, CFG, k, guider_seq=gseq,
+                                          guidance_alpha=2.0, top_k=1, cached=True))
+    assert np.array_equal(a, b)
