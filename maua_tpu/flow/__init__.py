@@ -6,3 +6,4 @@ from .lib import (  # noqa: F401
     preprocess_optical_flow,
 )
 from .models import get_flow_model  # noqa: F401
+from .viz import flow_to_image, read_flo, write_flo  # noqa: F401

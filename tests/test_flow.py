@@ -118,3 +118,34 @@ def test_video_flow_diffusion_end_to_end(tmp_path, monkeypatch):
     )
     assert out.shape == (3, 32, 32, 3)
     assert np.all(np.isfinite(out))
+
+
+def test_flo_roundtrip(tmp_path):
+    """Middlebury .flo write/read roundtrip (`maua/flow/utils.py:69-90`)."""
+    from maua_tpu.flow import viz
+
+    flow = np.random.RandomState(0).randn(17, 23, 2).astype(np.float32) * 5
+    path = str(tmp_path / "f.flo")
+    viz.write_flo(flow, path)
+    back = viz.read_flo(path)
+    assert back.shape == flow.shape and np.array_equal(back, flow)
+
+
+def test_flow_to_image_matches_reference_rules():
+    """Middlebury color coding: direction -> hue, magnitude -> saturation,
+    unknown -> black (`maua/flow/utils.py:152-177` semantics)."""
+    from maua_tpu.flow import viz
+
+    h = w = 17
+    yy, xx = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w), indexing="ij")
+    flow = np.stack([xx, yy], axis=-1).astype(np.float32) * 3
+    img = viz.flow_to_image(flow)
+    assert img.shape == (h, w, 3) and img.dtype == np.uint8
+    # zero flow is white (rad 0 -> col 1), corners are saturated colors
+    center = img[h // 2, w // 2]
+    assert np.all(center >= 240), center
+    assert img[0, 0].tolist() != img[-1, -1].tolist()  # opposite directions differ
+    # unknown vectors render black
+    flow[3, 3] = 1e9
+    img2 = viz.flow_to_image(flow)
+    assert np.all(img2[3, 3] == 0)
