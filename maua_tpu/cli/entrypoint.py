@@ -29,6 +29,7 @@ COMMANDS = {
     },
     "gan": {
         "generate": ("maua_tpu.gan.cli", "StyleGAN image generation"),
+        "train": ("maua_tpu.gan.train_cli", "GAN training (plugin registry of models/losses/augs)"),
     },
     "autoregressive": {
         "generate": ("maua_tpu.autoregressive.cli", "Autoregressive text-to-image generation"),

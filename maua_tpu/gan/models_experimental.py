@@ -169,3 +169,248 @@ def hypermixer_g(params: Dict, z: jax.Array, grid: int = 8) -> jax.Array:
         img, params["out"]["w"], (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
     ) + params["out"]["b"]
     return jnp.tanh(img)
+
+
+# ------------------------------------------------------- involution
+def _inv_init(key, ci: int, co: int, groups: int, ksize: int, reduce: int = 4) -> Dict:
+    """One involution layer (`models/experimental/deepinvolutional.py`
+    role; the Involution2d op itself): a 1x1 channel map plus a
+    per-pixel kernel-generating path (1x1 reduce -> act -> 1x1 span to
+    groups*K*K spatial weights)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    mid = max(co // reduce, 4)
+    return {
+        "chan": {"w": jax.random.normal(k1, (1, 1, ci, co)) * 0.02, "b": jnp.zeros((co,))},
+        "reduce": {"w": jax.random.normal(k2, (1, 1, co, mid)) * 0.02, "b": jnp.zeros((mid,))},
+        "span": {"w": jax.random.normal(k3, (1, 1, mid, groups * ksize * ksize)) * 0.02,
+                 "b": jnp.zeros((groups * ksize * ksize,))},
+        "ln_g": jnp.ones((co,)), "ln_b": jnp.zeros((co,)),
+    }
+
+
+def _conv1x1(p, x, stride=1):
+    return jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + p["b"]
+
+
+def involution2d(p: Dict, x: jax.Array, groups: int = 4, ksize: int = 3, stride: int = 1) -> jax.Array:
+    """Involution: spatial mixing with kernels GENERATED per output
+    pixel from the feature map (inverted conv: spatial-specific,
+    channel-shared). Patches x dynamic kernels is an elementwise
+    multiply-reduce (VPU), the channel maps are MXU matmuls."""
+    b = x.shape[0]
+    x = _conv1x1(p["chan"], x)  # channel map first (in_ch -> out_ch)
+    co = x.shape[-1]
+    # kernel generation on the strided grid
+    h = _conv1x1(p["reduce"], x, stride=stride)
+    mu = h.mean(-1, keepdims=True)
+    sig = jnp.sqrt(((h - mu) ** 2).mean(-1, keepdims=True) + 1e-6)
+    h = jax.nn.gelu((h - mu) / sig)
+    kernels = _conv1x1(p["span"], h)  # (B, H', W', G*K*K)
+    hh, ww = kernels.shape[1:3]
+    kernels = kernels.reshape(b, hh, ww, groups, 1, ksize * ksize)
+    # patch extraction at the same stride; feature dim is (C, kh, kw)
+    pad = ksize // 2
+    patches = jax.lax.conv_general_dilated_patches(
+        x, (ksize, ksize), (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).reshape(b, hh, ww, co, ksize * ksize)
+    patches = patches.reshape(b, hh, ww, groups, co // groups, ksize * ksize)
+    out = jnp.sum(patches * kernels, axis=-1).reshape(b, hh, ww, co)
+    mu = out.mean(-1, keepdims=True)
+    sig = jnp.sqrt(((out - mu) ** 2).mean(-1, keepdims=True) + 1e-6)
+    return p["ln_g"] * (out - mu) / sig + p["ln_b"]
+
+
+def init_involution_g(key, z_dim: int = 100, base: int = 64, resolution: int = 64) -> Dict:
+    """DeepInvolutionalGenerator role (`deepinvolutional.py:16-50`):
+    1x1 seed -> [involution, up x2, involution] blocks -> 3 channels."""
+    nb = int(math.log2(resolution))
+    chans = [min(base * 2 ** i, base * 8) for i in range(nb)][::-1]
+    keys = iter(jax.random.split(key, 2 * nb + 2))
+    p = {"blocks": []}
+    ci = z_dim
+    for i, c in enumerate(chans):
+        p["blocks"].append({
+            "a": _inv_init(next(keys), ci, c, groups=4, ksize=3),
+            "b": _inv_init(next(keys), c, 3 if i == nb - 1 else c, groups=1 if i == nb - 1 else 4, ksize=3),
+        })
+        ci = 3 if i == nb - 1 else c
+    return p
+
+
+def involution_g(params: Dict, z: jax.Array) -> jax.Array:
+    x = z[:, None, None, :]  # 1x1 spatial seed (`forward: input[..., None, None]`)
+    n = len(params["blocks"])
+    for i, blk in enumerate(params["blocks"]):
+        x = jax.nn.gelu(involution2d(blk["a"], x, groups=4))
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), "bilinear")
+        g = 1 if i == n - 1 else 4
+        x = involution2d(blk["b"], x, groups=g)
+        if i < n - 1:
+            x = jax.nn.gelu(x)
+    return jnp.tanh(x)
+
+
+def init_involution_d(key, base: int = 64, resolution: int = 64) -> Dict:
+    """DeepInvolutionalDiscriminator role (`deepinvolutional.py:54-92`)."""
+    nb = int(math.log2(resolution))
+    chans = [min(base * 2 ** i, base * 8) for i in range(nb)]
+    keys = iter(jax.random.split(key, 2 * nb + 2))
+    p = {"blocks": [], "out": {"w": jax.random.normal(next(keys), (chans[-1], 1)) * 0.02, "b": jnp.zeros((1,))}}
+    ci = 3
+    for c in chans:
+        p["blocks"].append({
+            "a": _inv_init(next(keys), ci, c, groups=4, ksize=3),
+            "b": _inv_init(next(keys), c, c, groups=4, ksize=3),
+        })
+        ci = c
+    return p
+
+
+def involution_d(params: Dict, img: jax.Array) -> jax.Array:
+    x = img
+    for blk in params["blocks"]:
+        x = jax.nn.gelu(involution2d(blk["a"], x, groups=4))
+        x = jax.nn.gelu(involution2d(blk["b"], x, groups=4, stride=2))
+    x = x.mean(axis=(1, 2))
+    return (x @ params["out"]["w"] + params["out"]["b"])[:, 0]
+
+
+# ------------------------------------------- p4m group-equivariant
+# Role of `models/experimental/equivariant.py` (escnn SteerableGenerator
+# / SteerableDiscriminator): rotation/flip-equivariant G with an
+# explicit output-rotation control and a D invariant to rotations and
+# reflections. TPU-first redesign: instead of escnn's band-limited
+# continuous steerable basis we use EXACT p4m (dihedral D4) group
+# convolutions -- kernel orbits assembled into ONE dense conv kernel so
+# the whole group dimension rides the MXU as extra channels, and the
+# equivariance is exact (testable to float tolerance), not truncated
+# at a maximum frequency. The continuous-rotation knob becomes a
+# discrete 8-element group action (documented divergence).
+
+_D4 = [(m, r) for m in (0, 1) for r in range(4)]  # g = flip^m . rot^r
+
+
+def _d4_compose(i: int, j: int) -> int:
+    (m1, r1), (m2, r2) = _D4[i], _D4[j]
+    m = m1 ^ m2
+    r = ((r1 if m2 == 0 else -r1) + r2) % 4
+    return _D4.index((m, r))
+
+
+def _d4_inverse(i: int) -> int:
+    m, r = _D4[i]
+    return _D4.index((m, (-(r if m == 0 else -r)) % 4))
+
+
+def _d4_transform(w: jnp.ndarray, i: int) -> jnp.ndarray:
+    """Spatial action of group element i on a (K, K, ...) kernel."""
+    m, r = _D4[i]
+    w = jnp.rot90(w, r, axes=(0, 1))
+    return jnp.flip(w, axis=1) if m else w
+
+
+def _lift_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(K, K, Ci, Co) -> (K, K, Ci, 8*Co): scalar field -> group field."""
+    return jnp.concatenate([_d4_transform(w, g) for g in range(8)], axis=-1)
+
+
+def _group_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(K, K, 8, Ci, Co) -> (K, K, 8*Ci, 8*Co) group-equivariant conv:
+    output block g over input block h uses T_g(w[g^-1 h])."""
+    k = w.shape[0]
+    cols = []
+    for g in range(8):
+        blocks = [_d4_transform(w[:, :, _d4_compose(_d4_inverse(g), h)], g) for h in range(8)]
+        cols.append(jnp.concatenate(blocks, axis=2))  # stack input groups on Ci
+    return jnp.concatenate(cols, axis=-1).reshape(k, k, -1, 8 * w.shape[-1])
+
+
+def _gconv(x, kern, stride=1):
+    pad = kern.shape[0] // 2
+    return jax.lax.conv_general_dilated(
+        x, kern, (stride, stride), ((pad, pad), (pad, pad)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _gnorm(x, g, b):
+    """Positionwise LN over the full (group x channel) feature vector —
+    commutes with the D4 action, so equivariance is preserved."""
+    mu = x.mean(-1, keepdims=True)
+    sig = jnp.sqrt(((x - mu) ** 2).mean(-1, keepdims=True) + 1e-6)
+    return g * (x - mu) / sig + b
+
+
+def init_steerable_g(key, z_dim: int = 128, base: int = 16, resolution: int = 32, depth: int = 4) -> Dict:
+    keys = iter(jax.random.split(key, depth + 4))
+    nk = lambda: next(keys)
+    p = {
+        "map": {"w": jax.random.normal(nk(), (z_dim, z_dim)) / math.sqrt(z_dim), "b": jnp.zeros((z_dim,))},
+        "lift": jax.random.normal(nk(), (3, 3, z_dim, base)) * 0.1,
+        "blocks": [],
+        "out": jax.random.normal(nk(), (3, 3, 8, base, 3)) * 0.1,
+    }
+    for _ in range(depth):
+        p["blocks"].append({
+            "w": jax.random.normal(nk(), (3, 3, 8, base, base)) * 0.1,
+            "g": jnp.ones((8 * base,)), "b": jnp.zeros((8 * base,)),
+        })
+    return p
+
+
+def steerable_g(params: Dict, z: jax.Array, rotation: int = 0, flip: bool = False) -> jax.Array:
+    """z (B, z_dim) -> (B, R, R, 3). `rotation` (0-3 quarter turns) and
+    `flip` pick the D4 element applied to the output field: the
+    ExtractRotation role. Exact: steerable_g(z, r) equals
+    rot90^r(steerable_g(z, 0)) to float tolerance."""
+    w = jnp.tanh(z @ params["map"]["w"] + params["map"]["b"])
+    b = w.shape[0]
+    x = jnp.tile(w[:, None, None, :], (1, 4, 4, 1))  # invariant seed field
+    x = _gconv(x, _lift_kernel(params["lift"]))
+    depth = len(params["blocks"])
+    for i, blk in enumerate(params["blocks"]):
+        x = jax.nn.gelu(_gnorm(_gconv(x, _group_kernel(blk["w"])), blk["g"], blk["b"]))
+        if i < depth and x.shape[1] * 2 <= 4 * 2 ** depth:
+            bb, hh, ww, cc = x.shape
+            x = jax.image.resize(x, (bb, hh * 2, ww * 2, cc), "bilinear")
+    x = _gconv(x, _group_kernel(params["out"]))  # (B, R, R, 8*3)
+    gi = _D4.index((int(flip), rotation % 4))
+    return x.reshape(b, x.shape[1], x.shape[2], 8, 3)[:, :, :, gi]
+
+
+def init_steerable_d(key, base: int = 16, resolution: int = 32, depth: int = 4) -> Dict:
+    keys = iter(jax.random.split(key, depth + 4))
+    nk = lambda: next(keys)
+    p = {
+        "lift": jax.random.normal(nk(), (3, 3, 3, base)) * 0.1,
+        "blocks": [],
+        "head": {"w": jax.random.normal(nk(), (base, 1)) * 0.1, "b": jnp.zeros((1,))},
+    }
+    for _ in range(depth):
+        p["blocks"].append({
+            "w": jax.random.normal(nk(), (3, 3, 8, base, base)) * 0.1,
+            "g": jnp.ones((8 * base,)), "b": jnp.zeros((8 * base,)),
+        })
+    return p
+
+
+def steerable_d(params: Dict, img: jax.Array) -> jax.Array:
+    """Rotation/reflection-invariant discriminator: group conv stack,
+    then group-mean + spatial-mean pooling (both D4-invariant).
+    Downsampling is a symmetric 2x2 average pool, NOT a strided conv:
+    a stride-2 SAME conv anchors at even pixels, and rot90 of an
+    even-sized grid maps those anchors to odd pixels — breaking
+    invariance. The partitioning 2x2 pool's windows permute under the
+    group action, so it commutes exactly."""
+    x = _gconv(img, _lift_kernel(params["lift"]))
+    for blk in params["blocks"]:
+        x = jax.nn.gelu(_gnorm(_gconv(x, _group_kernel(blk["w"])), blk["g"], blk["b"]))
+        x = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        ) * 0.25
+    b = x.shape[0]
+    x = x.reshape(b, x.shape[1], x.shape[2], 8, -1).mean(axis=(1, 2, 3))  # invariant pool
+    return (x @ params["head"]["w"] + params["head"]["b"])[:, 0]

@@ -131,9 +131,10 @@ class DCGANModel(Component):
 
     @staticmethod
     def build(args):
+        from .training import GenericModel
 
-
-        return ("dcgan", args.resolution, getattr(args, "dcgan_base", 64))
+        m = GenericModel("dcgan", args.resolution, z_dim=100, base=getattr(args, "dcgan_base", 64))
+        return m, m
 
 
 @register("models")
@@ -142,9 +143,40 @@ class HyperMixerModel(Component):
 
     @staticmethod
     def build(args):
+        from .training import GenericModel
+
+        m = GenericModel("hypermixer", args.resolution, z_dim=64)
+        return m, m
 
 
-        return ("hypermixer", args.resolution)
+@register("models")
+class DeepInvolutionalModel(Component):
+    name = "deepinvolutional"
+
+    @staticmethod
+    def add_model_specific_args(parser):
+        parser.add_argument("--involution_base", default=32, type=int)
+        return parser
+
+    @staticmethod
+    def build(args):
+        from .training import GenericModel
+
+        m = GenericModel("involution", args.resolution, z_dim=100,
+                         base=getattr(args, "involution_base", 32))
+        return m, m
+
+
+@register("models")
+class SteerableModel(Component):
+    name = "steerable"
+
+    @staticmethod
+    def build(args):
+        from .training import GenericModel
+
+        m = GenericModel("steerable", args.resolution, z_dim=128, base=16)
+        return m, m
 
 
 @register("augmentation")

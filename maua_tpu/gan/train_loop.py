@@ -114,7 +114,7 @@ def fit(
             z = jax.random.normal(k_eval, (fit_cfg.n_eval_images, g_cfg.z_dim))
             fakes = []
             for i in range(0, fit_cfg.n_eval_images, 16):
-                fakes.append(np.asarray(sg2.generator(state["g_ema"], z[i : i + 16], g_cfg)))
+                fakes.append(np.asarray(tr.generate(state["g_ema"], z[i : i + 16], g_cfg)))
             fakes = np.concatenate(fakes)
             scores = compute_metrics(reals, fakes, batch=16)
             if verbose:

@@ -27,6 +27,59 @@ from . import stylegan2 as sg2
 from .discriminator import D2Config, discriminator, init_params as init_d_params
 
 
+# ------------------------------------------------- model family seam
+@dataclasses.dataclass(frozen=True)
+class GenericModel:
+    """Config for the non-StyleGAN families in the plugin registry
+    (`maua/GAN/training/models/`): the reference's reflection system
+    lets any G pair with any D; here one hashable config names the
+    family and the step/fit functions dispatch on it."""
+
+    family: str  # 'dcgan' | 'hypermixer' | 'involution' | 'steerable'
+    resolution: int = 64
+    z_dim: int = 100
+    base: int = 64
+
+
+def _generic_init(key, m: GenericModel):
+    from . import models_experimental as me
+
+    kg, kd = jax.random.split(key)
+    depth = max((m.resolution // 4).bit_length() - 1, 1) if m.family == "steerable" else None
+    if m.family == "dcgan":
+        return me.init_dcgan_g(kg, m.z_dim, m.base, m.resolution), me.init_dcgan_d(kd, m.base, m.resolution)
+    if m.family == "hypermixer":
+        return (me.init_hypermixer_g(kg, z_dim=m.z_dim, resolution=m.resolution),
+                me.init_dcgan_d(kd, m.base, m.resolution))
+    if m.family == "involution":
+        return me.init_involution_g(kg, m.z_dim, m.base, m.resolution), me.init_involution_d(kd, m.base, m.resolution)
+    if m.family == "steerable":
+        return (me.init_steerable_g(kg, m.z_dim, m.base, m.resolution, depth=depth),
+                me.init_steerable_d(kd, m.base, m.resolution, depth=depth))
+    raise ValueError(f"unknown model family {m.family!r}")
+
+
+def generate(g_params, z: jax.Array, g_cfg, noise_key=None) -> jax.Array:
+    """Model-agnostic z -> image, used by the train step and eval."""
+    if isinstance(g_cfg, sg2.SG2Config):
+        mode = "random" if noise_key is not None else "const"
+        return sg2.generator(g_params, z, g_cfg, noise_mode=mode, noise_key=noise_key)
+    from . import models_experimental as me
+
+    return {"dcgan": me.dcgan_g, "hypermixer": me.hypermixer_g,
+            "involution": me.involution_g, "steerable": me.steerable_g}[g_cfg.family](g_params, z)
+
+
+def disc_forward(d_params, img: jax.Array, d_cfg) -> jax.Array:
+    if isinstance(d_cfg, D2Config):
+        return discriminator(d_params, img, d_cfg)
+    from . import models_experimental as me
+
+    d_fn = me.involution_d if d_cfg.family == "involution" else (
+        me.steerable_d if d_cfg.family == "steerable" else me.dcgan_d)
+    return d_fn(d_params, img)
+
+
 # ------------------------------------------------------------- losses
 def g_logistic_loss(fake_logits: jax.Array) -> jax.Array:
     """Non-saturating softplus G loss (`losses/softplus.py:6-24`)."""
@@ -49,11 +102,11 @@ def d_bce_loss(real_logits: jax.Array, fake_logits: jax.Array) -> jax.Array:
     ) + jnp.mean(optax.sigmoid_binary_cross_entropy(fake_logits, jnp.zeros_like(fake_logits)))
 
 
-def r1_penalty(d_params, real: jax.Array, d_cfg: D2Config) -> jax.Array:
+def r1_penalty(d_params, real: jax.Array, d_cfg) -> jax.Array:
     """R1 gradient penalty (`losses/r1_penalty.py:7-29`): E[|grad D(x)|^2]."""
 
     def d_sum(img):
-        return jnp.sum(discriminator(d_params, img, d_cfg))
+        return jnp.sum(disc_forward(d_params, img, d_cfg))
 
     grads = jax.grad(d_sum)(real)
     return jnp.mean(jnp.sum(jnp.square(grads.astype(jnp.float32)), axis=(1, 2, 3)))
@@ -99,10 +152,13 @@ def make_optimizers(cfg: TrainConfig):
     return g_opt, d_opt
 
 
-def init_train_state(key, g_cfg: sg2.SG2Config, d_cfg: D2Config, t_cfg: TrainConfig) -> Dict:
-    kg, kd = jax.random.split(key)
-    g_params = sg2.init_params(kg, g_cfg)
-    d_params = init_d_params(kd, d_cfg)
+def init_train_state(key, g_cfg, d_cfg, t_cfg: TrainConfig) -> Dict:
+    if isinstance(g_cfg, sg2.SG2Config):
+        kg, kd = jax.random.split(key)
+        g_params = sg2.init_params(kg, g_cfg)
+        d_params = init_d_params(kd, d_cfg)
+    else:
+        g_params, d_params = _generic_init(key, g_cfg)
     g_opt, d_opt = make_optimizers(t_cfg)
     return {
         "g_params": g_params,
@@ -121,12 +177,16 @@ def train_step(
     state: Dict,
     real: jax.Array,  # (B, H, W, C) in [-1, 1]
     key: jax.Array,
-    g_cfg: sg2.SG2Config,
-    d_cfg: D2Config,
+    g_cfg,  # sg2.SG2Config | GenericModel
+    d_cfg,  # D2Config | GenericModel
     t_cfg: TrainConfig,
 ) -> Tuple[Dict, Dict]:
     """One alternating D+G update with lazy R1/path-length regs and EMA
-    (`trainer.py:206-257` semantics, fused into one compiled step)."""
+    (`trainer.py:206-257` semantics, fused into one compiled step).
+    Path-length regularization only applies to the StyleGAN family
+    (it needs the mapping/synthesis split); generic families get
+    D+G+R1+EMA."""
+    is_sg2 = isinstance(g_cfg, sg2.SG2Config)
     g_opt, d_opt = make_optimizers(t_cfg)
     kz_d, kz_g, kn_d, kn_g, kpl = jax.random.split(key, 5)
     batch = real.shape[0]
@@ -137,9 +197,9 @@ def train_step(
     # ---- D update
     def d_loss(d_params):
         z = jax.random.normal(kz_d, (batch, g_cfg.z_dim))
-        fake = sg2.generator(state["g_params"], z, g_cfg, noise_mode="random", noise_key=kn_d)
-        fake_logits = discriminator(d_params, jax.lax.stop_gradient(fake), d_cfg)
-        real_logits = discriminator(d_params, real, d_cfg)
+        fake = generate(state["g_params"], z, g_cfg, noise_key=kn_d)
+        fake_logits = disc_forward(d_params, jax.lax.stop_gradient(fake), d_cfg)
+        real_logits = disc_forward(d_params, real, d_cfg)
         loss = d_loss_fn(real_logits, fake_logits)
         do_r1 = (state["step"] % t_cfg.r1_interval) == 0
         r1 = jax.lax.cond(
@@ -157,10 +217,15 @@ def train_step(
     # ---- G update
     def g_loss(g_params):
         z = jax.random.normal(kz_g, (batch, g_cfg.z_dim))
-        ws = sg2.mapping(g_params, z, g_cfg)
-        fake = sg2.synthesis(g_params, ws, g_cfg, noise_mode="random", noise_key=kn_g)
-        fake_logits = discriminator(d_params, fake, d_cfg)
+        if is_sg2:
+            ws = sg2.mapping(g_params, z, g_cfg)
+            fake = sg2.synthesis(g_params, ws, g_cfg, noise_mode="random", noise_key=kn_g)
+        else:
+            fake = generate(g_params, z, g_cfg)
+        fake_logits = disc_forward(d_params, fake, d_cfg)
         loss = g_loss_fn(fake_logits)
+        if not is_sg2:
+            return loss, state["pl_mean"]
         do_pl = (state["step"] % t_cfg.pl_interval) == 0
         pl, new_pl_mean = jax.lax.cond(
             do_pl,
