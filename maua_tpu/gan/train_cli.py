@@ -109,7 +109,9 @@ def main(args=None):
 
     g_cfg, d_cfg = build_by_name("models", args.model, args)
     loss = build_by_name("losses", args.loss, args)
-    t_cfg = tr.TrainConfig(g_lr=args.lr, d_lr=args.lr, loss=loss)
+    t_cfg = tr.TrainConfig(g_lr=args.lr, d_lr=args.lr, loss=loss,
+                           blur_init_sigma=getattr(args, "blur_init_sigma", 0.0),
+                           blur_fade_kimg=getattr(args, "blur_fade_kimg", 200.0))
     cache = build_cache(args.input_dir, args.resolution)
     dataset = ImageDataset(cache, args.batch_size)
     fit(dataset, g_cfg, d_cfg, t_cfg,
@@ -177,6 +179,25 @@ class SteerableModel(Component):
 
         m = GenericModel("steerable", args.resolution, z_dim=128, base=16)
         return m, m
+
+
+@register("augmentation")
+class InitialBlur(Component):
+    """Fade-out blur on D inputs (`training/augmentation/blur.py`)."""
+
+    name = "initial_blur"
+
+    @staticmethod
+    def add_model_specific_args(parser):
+        parser.add_argument("--blur_init_sigma", default=0.0, type=float,
+                            help="strength of the initial blur (0 disables)")
+        parser.add_argument("--blur_fade_kimg", default=200.0, type=float,
+                            help="kimg over which the blur fades out")
+        return parser
+
+    @staticmethod
+    def build(args):
+        return (getattr(args, "blur_init_sigma", 0.0), getattr(args, "blur_fade_kimg", 200.0))
 
 
 @register("augmentation")

@@ -131,6 +131,33 @@ def path_length_penalty(
     return penalty, new_pl_mean
 
 
+# ------------------------------------------------------ initial blur
+def initial_blur(img: jax.Array, step: jax.Array, batch_size: int,
+                 init_sigma: float, fade_kimg: float) -> jax.Array:
+    """StyleGAN-XL-style fade-out blur on D inputs early in training
+    (`training/augmentation/blur.py:24-35`): sigma ramps linearly from
+    init_sigma to 0 over fade_kimg*batch/32 thousand images. Traced
+    sigma with a STATIC kernel size (3*init_sigma, odd) keeps the
+    shape fixed under jit; at sigma ~ 0 the kernel collapses to a
+    delta, so no data-dependent branch is needed."""
+    size = int(3 * init_sigma)
+    size = size + 1 - size % 2
+    fade = fade_kimg * batch_size / 32.0
+    sigma = jnp.maximum(1.0 - (step.astype(jnp.float32) * batch_size) / (fade * 1e3), 0.0) * init_sigma
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    k1d = jnp.exp(-0.5 * jnp.square(x) / (jnp.square(sigma) + 1e-8))
+    k1d = k1d / jnp.sum(k1d)
+    c = img.shape[-1]
+    kh = jnp.tile(k1d[:, None, None, None], (1, 1, 1, c))  # depthwise (K,1,1,C)
+    kw = jnp.tile(k1d[None, :, None, None], (1, 1, 1, c))
+    pad = size // 2
+    dn = ("NHWC", "HWIO", "NHWC")
+    img = jax.lax.conv_general_dilated(img, kh, (1, 1), ((pad, pad), (0, 0)),
+                                       dimension_numbers=dn, feature_group_count=c)
+    return jax.lax.conv_general_dilated(img, kw, (1, 1), ((0, 0), (pad, pad)),
+                                        dimension_numbers=dn, feature_group_count=c)
+
+
 # -------------------------------------------------------------- state
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
@@ -144,6 +171,8 @@ class TrainConfig:
     pl_interval: int = 4
     ema_beta: float = 0.999
     loss: str = "logistic"  # 'logistic' | 'bce'
+    blur_init_sigma: float = 0.0  # 0 disables the InitialBlur fade
+    blur_fade_kimg: float = 200.0
 
 
 def make_optimizers(cfg: TrainConfig):
@@ -194,10 +223,17 @@ def train_step(
     g_loss_fn = g_logistic_loss if t_cfg.loss == "logistic" else g_bce_loss
     d_loss_fn = d_logistic_loss if t_cfg.loss == "logistic" else d_bce_loss
 
+    if t_cfg.blur_init_sigma > 0:
+        maybe_blur = lambda img: initial_blur(img, state["step"], batch,
+                                              t_cfg.blur_init_sigma, t_cfg.blur_fade_kimg)
+    else:
+        maybe_blur = lambda img: img
+    real = maybe_blur(real)
+
     # ---- D update
     def d_loss(d_params):
         z = jax.random.normal(kz_d, (batch, g_cfg.z_dim))
-        fake = generate(state["g_params"], z, g_cfg, noise_key=kn_d)
+        fake = maybe_blur(generate(state["g_params"], z, g_cfg, noise_key=kn_d))
         fake_logits = disc_forward(d_params, jax.lax.stop_gradient(fake), d_cfg)
         real_logits = disc_forward(d_params, real, d_cfg)
         loss = d_loss_fn(real_logits, fake_logits)
@@ -222,7 +258,7 @@ def train_step(
             fake = sg2.synthesis(g_params, ws, g_cfg, noise_mode="random", noise_key=kn_g)
         else:
             fake = generate(g_params, z, g_cfg)
-        fake_logits = disc_forward(d_params, fake, d_cfg)
+        fake_logits = disc_forward(d_params, maybe_blur(fake), d_cfg)
         loss = g_loss_fn(fake_logits)
         if not is_sg2:
             return loss, state["pl_mean"]

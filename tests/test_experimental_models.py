@@ -161,3 +161,24 @@ def test_kandinsky_payload_and_decode():
     assert img.size == (4, 4)
     with pytest.raises(RuntimeError, match="egress"):
         api.request_kandinsky("a cat", "http://example.com")
+
+
+# ------------------------------------------------------ initial blur
+def test_initial_blur_fades_with_step():
+    """Blur is strong at step 0 and a no-op after the fade window
+    (`training/augmentation/blur.py:24-35` schedule)."""
+    img = jnp.zeros((1, 17, 17, 3)).at[0, 8, 8].set(1.0)
+    early = tr.initial_blur(img, jnp.asarray(0), 32, init_sigma=4.0, fade_kimg=10.0)
+    late = tr.initial_blur(img, jnp.asarray(10_000_000), 32, init_sigma=4.0, fade_kimg=10.0)
+    assert float(early[0, 8, 8, 0]) < 0.2  # spread out
+    assert float(late[0, 8, 8, 0]) > 0.95  # collapsed to a delta
+    assert np.allclose(float(jnp.sum(early[..., 0])), 1.0, atol=1e-3)  # normalized
+
+
+def test_train_step_with_blur():
+    m = tr.GenericModel("dcgan", 16, z_dim=100, base=8)
+    t_cfg = tr.TrainConfig(blur_init_sigma=2.0, blur_fade_kimg=1.0)
+    state = tr.init_train_state(jax.random.PRNGKey(0), m, m, t_cfg)
+    real = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3)) * 2 - 1
+    state, metrics = tr.train_step(state, real, jax.random.PRNGKey(2), m, m, t_cfg)
+    assert all(np.isfinite(float(v)) for v in metrics.values())
