@@ -170,6 +170,66 @@ def forward(
     return x @ params["head"]["w"]
 
 
+def kv_prefill(params: Dict, cfg: ARConfig, x: jax.Array, total: int):
+    """Run the causal blocks over an embedded prefix x (B, n, width) in
+    ONE pass, returning per-block K/V caches padded to `total`
+    positions — the CogVideo mems-buffer role (`generate.py:117-151`).
+    Shared by every cached sampler (`generate_tokens`,
+    `video.filling_sequence`)."""
+    b, n = x.shape[:2]
+    heads, hd = cfg.heads, cfg.width // cfg.heads
+    caches = []
+    mask = jnp.tril(jnp.ones((n, n), bool))
+    neg = jnp.asarray(-1e9, jnp.float32)
+    for blk in params["blocks"]:
+        h = _ln(blk["ln1"], x)
+        qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        kh = k.reshape(b, n, heads, hd)
+        vh = v.reshape(b, n, heads, hd)
+        ck = jnp.zeros((b, total, heads, hd), x.dtype).at[:, :n].set(kh)
+        cv = jnp.zeros((b, total, heads, hd), x.dtype).at[:, :n].set(vh)
+        caches.append((ck, cv))
+        qh = q.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
+        lg = jnp.einsum("bhqd,bhkd->bhqk", qh, kh.transpose(0, 2, 1, 3),
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+        lg = jnp.where(mask[None, None], lg, neg)
+        probs = jax.nn.softmax(lg, -1).astype(x.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", probs, vh.transpose(0, 2, 1, 3))
+        att = att.transpose(0, 2, 1, 3).reshape(b, n, cfg.width)
+        x = x + att @ blk["proj"]["w"] + blk["proj"]["b"]
+        h = _ln(blk["ln2"], x)
+        x = x + jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
+    return caches
+
+
+def kv_step(params: Dict, cfg: ARConfig, x: jax.Array, p, caches, total: int):
+    """One cached decode step: x (B, width) is the embedded input at
+    (traced) position p; each cache gains position p and attention
+    reads one O(total) row. Returns (vocab logits, new caches)."""
+    b = x.shape[0]
+    heads, hd = cfg.heads, cfg.width // cfg.heads
+    new_caches = []
+    attend = (jnp.arange(total) <= p)[None, None, None, :]
+    for blk, (ck, cv) in zip(params["blocks"], caches):
+        h = _ln(blk["ln1"], x)
+        qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        ck = jax.lax.dynamic_update_slice(ck, k.reshape(b, 1, heads, hd), (0, p, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.reshape(b, 1, heads, hd), (0, p, 0, 0))
+        new_caches.append((ck, cv))
+        qh = q.reshape(b, heads, 1, hd)
+        lg = jnp.einsum("bhqd,bhkd->bhqk", qh, ck.transpose(0, 2, 1, 3),
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+        lg = jnp.where(attend, lg, -1e9)
+        probs = jax.nn.softmax(lg, -1).astype(x.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", probs, cv.transpose(0, 2, 1, 3)).reshape(b, cfg.width)
+        x = x + att @ blk["proj"]["w"] + blk["proj"]["b"]
+        h = _ln(blk["ln2"], x)
+        x = x + jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
+    return _ln(params["ln_f"], x) @ params["head"]["w"], new_caches
+
+
 def _sample_logits(key, logits, temperature=1.0, top_k=0, top_p=0.0):
     logits = logits / jnp.maximum(temperature, 1e-6)
     if top_k > 0:
@@ -185,7 +245,6 @@ def _sample_logits(key, logits, temperature=1.0, top_k=0, top_p=0.0):
     return jax.random.categorical(key, logits, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "temperature", "top_k", "top_p", "n_image_tokens"))
 def generate_tokens(
     params: Dict,
     text_tokens: jax.Array,  # (B, text_length)
@@ -197,6 +256,7 @@ def generate_tokens(
     n_image_tokens: Optional[int] = None,
     forced_tokens: Optional[jax.Array] = None,  # (B, n_img) image-vocab ids
     forced_mask: Optional[jax.Array] = None,  # (n_img,) bool: teacher-force
+    cached: bool = True,
 ) -> jax.Array:
     """Sample image tokens autoregressively via lax.scan (the hot loop
     of ru-dalle/minDALLE generation, `ru_dalle/generate.py:41-121`).
@@ -206,8 +266,65 @@ def generate_tokens(
     attention-mask role): forced positions keep their given token but
     still condition every later sample.
 
-    NOTE: recomputes the prefix each step (O(T^2) per token) — the
-    KV-cache path is `generate_tokens_cached`."""
+    The default KV-cached path prefills the text prefix once and pays
+    one O(T)-attention step per token; cached=False recomputes the
+    prefix per token (same tokens for the same key, O(T) more FLOPs)."""
+    fn = _generate_kv if cached else _generate_scan
+    return fn(params, text_tokens, cfg, key, temperature, top_k, top_p,
+              n_image_tokens, forced_tokens, forced_mask)
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "top_k", "top_p", "n_image_tokens"))
+def _generate_kv(
+    params: Dict,
+    text_tokens: jax.Array,
+    cfg: ARConfig,
+    key,
+    temperature: float = 1.0,
+    top_k: int = 64,
+    top_p: float = 0.0,
+    n_image_tokens: Optional[int] = None,
+    forced_tokens: Optional[jax.Array] = None,
+    forced_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    n_img = n_image_tokens or cfg.image_length
+    b = text_tokens.shape[0]
+    total = cfg.text_length + n_img
+    pos_tab = position_table(params, cfg, total)
+    x0 = params["tok_emb"][text_tokens[:, : cfg.text_length - 1].astype(jnp.int32)]
+    caches = kv_prefill(params, cfg, x0 + pos_tab[None, : cfg.text_length - 1], total)
+    tokens0 = jnp.concatenate([text_tokens.astype(jnp.int32), jnp.zeros((b, n_img), jnp.int32)], axis=1)
+
+    def step(carry, i):
+        tokens, caches, k = carry
+        k, sub = jax.random.split(k)
+        p = cfg.text_length + i  # position being sampled
+        prev = jnp.take(tokens, p - 1, axis=1)
+        x = params["tok_emb"][prev] + pos_tab[p - 1]
+        logits, caches = kv_step(params, cfg, x, p - 1, caches, total)
+        nxt = _sample_logits(sub, logits[:, cfg.text_vocab_size:], temperature, top_k, top_p) + cfg.text_vocab_size
+        if forced_tokens is not None and forced_mask is not None:
+            nxt = jnp.where(forced_mask[i], forced_tokens[:, i] + cfg.text_vocab_size, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None].astype(jnp.int32), (0, p))
+        return (tokens, caches, k), None
+
+    (tokens, _, _), _ = jax.lax.scan(step, (tokens0, caches, key), jnp.arange(n_img))
+    return tokens[:, cfg.text_length:] - cfg.text_vocab_size
+
+
+@partial(jax.jit, static_argnames=("cfg", "temperature", "top_k", "top_p", "n_image_tokens"))
+def _generate_scan(
+    params: Dict,
+    text_tokens: jax.Array,
+    cfg: ARConfig,
+    key,
+    temperature: float = 1.0,
+    top_k: int = 64,
+    top_p: float = 0.0,
+    n_image_tokens: Optional[int] = None,
+    forced_tokens: Optional[jax.Array] = None,
+    forced_mask: Optional[jax.Array] = None,
+) -> jax.Array:
     n_img = n_image_tokens or cfg.image_length
     b = text_tokens.shape[0]
     total = cfg.text_length + n_img
@@ -229,76 +346,6 @@ def generate_tokens(
 
     (tokens, _), _ = jax.lax.scan(step, (tokens0, key), jnp.arange(n_img))
     return tokens[:, cfg.text_length:] - cfg.text_vocab_size
-
-
-def generate_tokens_cached(params, text_tokens, cfg: ARConfig, key, temperature=1.0, top_k=64):
-    """KV-cached incremental decoding: one attention row per new token."""
-    b = text_tokens.shape[0]
-    w, heads = cfg.width, cfg.heads
-    hd = w // heads
-    total = cfg.total_length
-
-    # prefill on the text prefix
-    def attn_step(blk, x_t, cache_k, cache_v, pos):
-        """x_t: (B, W) single position; returns (out, new caches)."""
-        h = _ln(blk["ln1"], x_t)
-        qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k.reshape(b, 1, heads, hd), (0, pos, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v.reshape(b, 1, heads, hd), (0, pos, 0, 0))
-        qh = q.reshape(b, heads, 1, hd)
-        kh = cache_k.transpose(0, 2, 1, 3)
-        vh = cache_v.transpose(0, 2, 1, 3)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32) / math.sqrt(hd)
-        pos_mask = jnp.arange(total)[None, None, None, :] <= pos
-        logits = jnp.where(pos_mask, logits, -1e9)
-        probs = jax.nn.softmax(logits, -1).astype(x_t.dtype)
-        att = jnp.einsum("bhqk,bhkd->bhqd", probs, vh).reshape(b, w)
-        out = x_t + att @ blk["proj"]["w"] + blk["proj"]["b"]
-        h2 = _ln(blk["ln2"], out)
-        out = out + jax.nn.gelu(h2 @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
-        return out, cache_k, cache_v
-
-    caches = [
-        (jnp.zeros((b, total, heads, hd)), jnp.zeros((b, total, heads, hd))) for _ in range(cfg.layers)
-    ]
-
-    def embed(tok, pos):
-        x = params["tok_emb"][tok]
-        pe = params["pos_emb"][pos]
-        img_idx = pos - cfg.text_length
-        pe = pe + jnp.where(
-            img_idx >= 0,
-            params["row_emb"][jnp.clip(img_idx // cfg.image_cols, 0, cfg.image_rows - 1)]
-            + params["col_emb"][jnp.clip(img_idx % cfg.image_cols, 0, cfg.image_cols - 1)],
-            0.0,
-        )
-        return x + pe[None]
-
-    def run_position(tok, pos, caches):
-        x = embed(tok, pos)
-        new_caches = []
-        for blk, (ck, cv) in zip(params["blocks"], caches):
-            x, ck, cv = attn_step(blk, x, ck, cv, pos)
-            new_caches.append((ck, cv))
-        x = _ln(params["ln_f"], x)
-        return x @ params["head"]["w"], new_caches
-
-    # prefill text
-    logits = None
-    for pos in range(cfg.text_length):
-        logits, caches = run_position(text_tokens[:, pos], pos, caches)
-
-    out_tokens = []
-    tok = None
-    for i in range(cfg.image_length):
-        key, sub = jax.random.split(key)
-        step_logits = logits[:, cfg.text_vocab_size:]
-        tok = _sample_logits(sub, step_logits, temperature, top_k) + cfg.text_vocab_size
-        out_tokens.append(tok - cfg.text_vocab_size)
-        if i < cfg.image_length - 1:
-            logits, caches = run_position(tok.astype(jnp.int32), cfg.text_length + i, caches)
-    return jnp.stack(out_tokens, axis=1)
 
 
 def tp_shardings(params: Dict, mesh):

@@ -26,8 +26,6 @@ as hashes into the text vocabulary.
 """
 
 from __future__ import annotations
-
-import math
 from functools import partial
 from typing import Dict, Optional
 
@@ -35,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .transformer import ARConfig, _ln, forward, position_table, tp_shardings
+from .transformer import ARConfig, forward, kv_prefill, kv_step, position_table, tp_shardings
 
 
 def boi_token(cfg: ARConfig) -> int:
@@ -161,7 +159,6 @@ def _fill_kv(
     O(T^2) total vs `_fill`'s O(T^3) recompute (the role of CogVideo's
     mems buffers, `generate.py:117-151`)."""
     b, t = seq.shape
-    heads, hd = cfg.heads, cfg.width // cfg.heads
     pos_tab = position_table(params, cfg, t, frame_ids)
     boi = jnp.asarray(boi_token(cfg), jnp.int32)
     tokens0 = jnp.where(seq >= 0, seq, 0).astype(jnp.int32)
@@ -169,55 +166,15 @@ def _fill_kv(
     def prefill(tokens):
         """Cache k/v for positions [0, context_length - 1)."""
         n = context_length - 1
-        caches = []
         inputs = jnp.where(boi_mask[None, :n], boi, tokens[:, :n])
         x = params["tok_emb"][inputs] + pos_tab[None, :n]
-        mask = jnp.tril(jnp.ones((n, n), bool))
-        neg = jnp.asarray(-1e9, jnp.float32)
-        for blk in params["blocks"]:
-            h = _ln(blk["ln1"], x)
-            qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            kh = k.reshape(b, n, heads, hd)
-            vh = v.reshape(b, n, heads, hd)
-            ck = jnp.zeros((b, t, heads, hd), x.dtype).at[:, :n].set(kh)
-            cv = jnp.zeros((b, t, heads, hd), x.dtype).at[:, :n].set(vh)
-            caches.append((ck, cv))
-            qh = q.reshape(b, n, heads, hd).transpose(0, 2, 1, 3)
-            lg = jnp.einsum("bhqd,bhkd->bhqk", qh, kh.transpose(0, 2, 1, 3),
-                            preferred_element_type=jnp.float32) / math.sqrt(hd)
-            lg = jnp.where(mask[None, None], lg, neg)
-            probs = jax.nn.softmax(lg, -1).astype(x.dtype)
-            att = jnp.einsum("bhqk,bhkd->bhqd", probs, vh.transpose(0, 2, 1, 3))
-            att = att.transpose(0, 2, 1, 3).reshape(b, n, cfg.width)
-            x = x + att @ blk["proj"]["w"] + blk["proj"]["b"]
-            h = _ln(blk["ln2"], x)
-            x = x + jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
-        return caches
+        return kv_prefill(params, cfg, x, t)
 
     def step_logits(tok, p, caches):
         """Logits at position p given token `tok` there; caches gain
         position p."""
         x = params["tok_emb"][tok] + pos_tab[p]
-        new_caches = []
-        attend = (jnp.arange(t) <= p)[None, None, None, :]
-        for blk, (ck, cv) in zip(params["blocks"], caches):
-            h = _ln(blk["ln1"], x)
-            qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            ck = jax.lax.dynamic_update_slice(ck, k.reshape(b, 1, heads, hd), (0, p, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.reshape(b, 1, heads, hd), (0, p, 0, 0))
-            new_caches.append((ck, cv))
-            qh = q.reshape(b, heads, 1, hd)
-            lg = jnp.einsum("bhqd,bhkd->bhqk", qh, ck.transpose(0, 2, 1, 3),
-                            preferred_element_type=jnp.float32) / math.sqrt(hd)
-            lg = jnp.where(attend, lg, -1e9)
-            probs = jax.nn.softmax(lg, -1).astype(x.dtype)
-            att = jnp.einsum("bhqk,bhkd->bhqd", probs, cv.transpose(0, 2, 1, 3)).reshape(b, cfg.width)
-            x = x + att @ blk["proj"]["w"] + blk["proj"]["b"]
-            h = _ln(blk["ln2"], x)
-            x = x + jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
-        return _ln(params["ln_f"], x) @ params["head"]["w"], new_caches
+        return kv_step(params, cfg, x, p, caches, t)
 
     caches = prefill(tokens0)
     g_caches = None

@@ -106,3 +106,20 @@ def test_generate_tokens_teacher_forcing():
                                        forced_tokens=forced, forced_mask=jnp.asarray(mask))
     out = np.asarray(toks)[0]
     assert np.array_equal(out[: n_img // 2], np.asarray(forced)[0, : n_img // 2])
+
+
+def test_generate_tokens_cached_matches_recompute(params):
+    """The default KV-cached decode samples identical tokens to the
+    recompute-prefix formulation for the same key, including with
+    teacher-forced positions and top_p."""
+    text = jnp.zeros((2, CFG.text_length), jnp.int32)
+    n_img = CFG.image_length
+    forced = jnp.asarray(np.arange(n_img, dtype=np.int32).reshape(1, -1).repeat(2, 0) % CFG.vocab_size)
+    fmask = np.zeros((n_img,), bool)
+    fmask[::3] = True
+    for kwargs in ({"top_k": 8}, {"top_k": 1}, {"top_k": 0, "top_p": 0.9},
+                   {"top_k": 8, "forced_tokens": forced, "forced_mask": jnp.asarray(fmask)}):
+        k = jax.random.PRNGKey(3)
+        a = np.asarray(transformer.generate_tokens(params, text, CFG, k, cached=False, **kwargs))
+        b = np.asarray(transformer.generate_tokens(params, text, CFG, k, cached=True, **kwargs))
+        assert np.array_equal(a, b), kwargs
