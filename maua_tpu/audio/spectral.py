@@ -321,14 +321,73 @@ def softmask(X: jax.Array, X_ref: jax.Array, power: float = 1.0, split_zeros: bo
     return mask
 
 
+@functools.lru_cache(maxsize=None)
+def _median_network(k: int):
+    """Pruned compare-exchange network selecting the median of k values.
+
+    Bitonic sort over ceil-pow2 wires (missing wires are +inf
+    sentinels), backward-pruned to the comparators that can influence
+    the median output wire(s). Expressed as (i, j) pairs applied as
+    (min, max) elementwise ops, the whole filter is a single XLA
+    fusion over the shifted views — no (k, ...) stack in HBM and no
+    variadic sort, which on TPU is what makes `jnp.median` of a
+    31-deep stack the dominant cost of `hpss` (see PERFORMANCE.md).
+    Returns (n_wires, comparators, out_wires): out_wires has one entry
+    for odd k, two (to be averaged) for even k."""
+    n = 1 << (k - 1).bit_length()
+    ces = []
+
+    def merge(lo, cnt, direction):
+        if cnt > 1:
+            m = cnt // 2
+            for i in range(lo, lo + m):
+                ces.append((i, i + m) if direction else (i + m, i))
+            merge(lo, m, direction)
+            merge(lo + m, m, direction)
+
+    def sort(lo, cnt, direction):
+        if cnt > 1:
+            m = cnt // 2
+            sort(lo, m, True)
+            sort(lo + m, m, False)
+            merge(lo, cnt, direction)
+
+    sort(0, n, True)
+    out = [(k - 1) // 2] if k % 2 else [k // 2 - 1, k // 2]
+    live = set(out)
+    kept = []
+    for i, j in reversed(ces):
+        if i in live or j in live:
+            kept.append((i, j))
+            live.update((i, j))
+    kept.reverse()
+    return n, tuple(kept), tuple(out)
+
+
+def _median_of(values, k: int):
+    """Exact median of a list of k same-shaped arrays via the pruned
+    compare-exchange network (values beyond k are ignored)."""
+    n, ces, out = _median_network(k)
+    inf = jnp.full_like(values[0], jnp.inf)
+    wires = list(values[:k]) + [inf] * (n - k)
+    for i, j in ces:
+        lo = jnp.minimum(wires[i], wires[j])
+        hi = jnp.maximum(wires[i], wires[j])
+        wires[i], wires[j] = lo, hi
+    if len(out) == 1:
+        return wires[out[0]]
+    return 0.5 * (wires[out[0]] + wires[out[1]])
+
+
 def _median_filter_axis(x: jax.Array, size: int, axis: int) -> jax.Array:
-    """Median filter along one axis via stacked shifts (edge-padded)."""
+    """Median filter along one axis via shifted views + the selection
+    network (edge-padded; exact order statistic, same as jnp.median)."""
     r = size // 2
     x = jnp.moveaxis(x, axis, -1)
     pads = [(0, 0)] * (x.ndim - 1) + [(r, size - 1 - r)]
     xp = jnp.pad(x, pads, mode="edge")
-    stack = jnp.stack([xp[..., i : i + x.shape[-1]] for i in range(size)], axis=0)
-    med = jnp.median(stack, axis=0)
+    views = [xp[..., i : i + x.shape[-1]] for i in range(size)]
+    med = _median_of(views, size)
     return jnp.moveaxis(med, -1, axis)
 
 
@@ -345,7 +404,7 @@ def median_filter2d(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     xp = jnp.pad(x, pads, mode="edge")
     h, w = x.shape[-2], x.shape[-1]
     windows = [xp[..., i : i + h, j : j + w] for i in range(sh) for j in range(sw)]
-    return jnp.median(jnp.stack(windows, axis=0), axis=0)
+    return _median_of(windows, sh * sw)
 
 
 def hpss(

@@ -141,6 +141,19 @@ def test_median_filter2d():
     out2 = np.asarray(S.median_filter2d(x, (5, 1)))
     ref2 = median_filter(x, size=(5, 1), mode="nearest")
     assert np.allclose(out2, ref2, atol=1e-6)
+    out3 = np.asarray(S.median_filter2d(x, (3, 5)))
+    ref3 = median_filter(x, size=(3, 5), mode="nearest")
+    assert np.allclose(out3, ref3, atol=1e-6)
+
+
+def test_median_selection_network():
+    """The pruned compare-exchange network is an exact order statistic:
+    identical to jnp.median for odd and even k, including ties."""
+    rs = np.random.RandomState(7)
+    for k in (1, 2, 3, 4, 5, 9, 16, 25, 31, 32):
+        vals = rs.randint(0, 4, size=(k, 6, 9)).astype(np.float32)  # heavy ties
+        got = np.asarray(S._median_of([S.jnp.asarray(v) for v in vals], k))
+        assert np.array_equal(got, np.median(vals, axis=0)), k
 
 
 def test_spectral_flatness_range(tone):
