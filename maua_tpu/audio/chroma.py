@@ -89,19 +89,39 @@ def chroma_cens(
     return _normalize_cols(smoothed, norm=2)
 
 
-def nn_filter_cosine_median(x: jax.Array, k: Optional[int] = None) -> jax.Array:
+def nn_filter_cosine_median(x: jax.Array, k: Optional[int] = None, chunk: int = 2048) -> jax.Array:
     """Nearest-neighbor smoothing: replace each frame by the median of
     its k most cosine-similar frames (librosa.decompose.nn_filter as
-    used at `audioreactive/mir.py:115-116`). x: (d, T)."""
+    used at `audioreactive/mir.py:115-116`). x: (d, T).
+
+    Processed in row chunks so the (T, T) cosine matrix never
+    materializes (a 3-min track at hop 512 would need ~1 GB for it);
+    each chunk computes its (chunk, T) similarity block, exact top-k,
+    and the neighbor-value median."""
     d, t = x.shape
     if k is None:
         k = min(t - 1, int(2 * np.ceil(np.sqrt(t))))
     xn = x / jnp.maximum(jnp.linalg.norm(x, axis=0, keepdims=True), 1e-10)
-    sim = xn.T @ xn  # (T, T)
-    sim = sim - 2.0 * jnp.eye(t)  # exclude self
-    _, nbr_idx = jax.lax.top_k(sim, k)  # (T, k)
-    neighbors = x[:, nbr_idx]  # (d, T, k)
-    return jnp.median(neighbors, axis=-1)
+    if t <= chunk:
+        sim = xn.T @ xn - 2.0 * jnp.eye(t)  # exclude self
+        _, nbr_idx = jax.lax.top_k(sim, k)  # (T, k)
+        return jnp.median(x[:, nbr_idx], axis=-1)
+
+    n_chunks = -(-t // chunk)
+    pad = n_chunks * chunk - t
+    xt_p = jnp.pad(xn.T, ((0, pad), (0, 0))).reshape(n_chunks, chunk, d)
+    row0 = jnp.arange(n_chunks) * chunk
+
+    def process(args):
+        rows, r0 = args  # (chunk, d), scalar row offset
+        sim = rows @ xn  # (chunk, T)
+        idx = r0 + jnp.arange(chunk)
+        sim = sim.at[jnp.arange(chunk), jnp.clip(idx, 0, t - 1)].add(-2.0)  # exclude self
+        _, nbr_idx = jax.lax.top_k(sim, k)
+        return jnp.median(x[:, nbr_idx], axis=-1)  # (d, chunk)
+
+    out = jax.lax.map(process, (xt_p, row0))  # (n_chunks, d, chunk)
+    return jnp.moveaxis(out, 0, 1).reshape(d, -1)[:, :t]
 
 
 def tonnetz(chroma: jax.Array) -> jax.Array:

@@ -72,6 +72,16 @@ def test_chroma_cens_shape_and_range(a440):
     assert ch.mean(axis=1).argmax() == 9
 
 
+def test_nn_filter_chunked_matches_unchunked():
+    rs = np.random.RandomState(5)
+    x = np.asarray(rs.rand(12, 500), np.float32)
+    import jax.numpy as jnp
+
+    full = np.asarray(CH.nn_filter_cosine_median(jnp.asarray(x)))
+    chunked = np.asarray(CH.nn_filter_cosine_median(jnp.asarray(x), chunk=128))
+    assert np.allclose(full, chunked, atol=1e-6)
+
+
 def _click_contrast(env, hop=512, tol=2):
     """Mean envelope at click frames vs away from clicks."""
     period = (SR // 2) / hop
