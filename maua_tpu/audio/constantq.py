@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .convert import cqt_frequencies, note_to_hz
-from .spectral import RISpec, spec_abs, spec_concat, spec_mul_real, stft, use_real_dft
+from .spectral import RISpec, frame, spec_abs, spec_concat, spec_mul_real, stft, use_real_dft
 
 
 def _lowpass_kernel(numtaps: int = 64, cutoff: float = 0.5) -> np.ndarray:
@@ -82,15 +82,17 @@ def _time_basis(freqs: np.ndarray, sr: float, Q: float, gamma: float, alpha: flo
     n_bins fewer MXU FLOPs per octave than materializing the full
     spectrogram, and the (1+n_fft//2, T) intermediate never exists.
     Identical math to the rFFT formulation, reassociated."""
-    key = (float(sr), float(Q), float(gamma), round(float(freqs[0]), 9), len(freqs))
+    key = (float(sr), float(Q), float(gamma), float(alpha), np.asarray(freqs, np.float64).tobytes())
     hit = _TIME_BASIS_CACHE.get(key)
     if hit is not None:
         return hit
     basis, lengths, n_fft = wavelet_basis(freqs, sr, Q, gamma=gamma, alpha=alpha)
-    E = np.exp(
-        (-2j * np.pi / n_fft) * np.outer(np.arange(1 + n_fft // 2), np.arange(n_fft))
-    )
-    W = basis.astype(np.complex128) @ E
+    # W[b, n] = sum_{f<=n_fft/2} basis[b, f] e^{-2pi i f n / n_fft} is the
+    # DFT of the zero-padded half spectrum — O(n_fft log n_fft) per row
+    # instead of a dense (1+n_fft/2, n_fft) DFT matrix.
+    half = np.zeros((len(lengths), n_fft), np.complex128)
+    half[:, : 1 + n_fft // 2] = basis
+    W = np.fft.fft(half, axis=1)
     out = (W.real.astype(np.float32), W.imag.astype(np.float32), lengths, n_fft)
     _TIME_BASIS_CACHE[key] = out
     return out
@@ -124,17 +126,16 @@ def vqt(
         f_oct = freqs[lo:hi]
         w_re, w_im, lengths, n_fft = _time_basis(f_oct, msr, Q, gamma, alpha)
         yp = jnp.pad(my, [(0, 0)] * (my.ndim - 1) + [(n_fft // 2, n_fft // 2)], mode="reflect")
-        # strided correlation with the time-domain wavelets: one conv
-        # with 2*bins output channels and stride=hop — frames are
-        # never materialized (the frame+matmul form copies a
-        # (n_fft, T) tensor per octave; conv is ~10x faster on CPU
-        # and tiles straight onto the MXU).
-        wk = jnp.asarray(np.concatenate([w_re, w_im], 0))[:, None, :]  # (2*bins, 1, n_fft)
-        out = jax.lax.conv_general_dilated(
-            yp[None, None, :], wk, window_strides=(mhop,), padding="VALID",
-            dimension_numbers=("NCW", "OIW", "NCW"),
-        )[0]
-        re, im = jnp.split(out, 2, axis=0)
+        # strided correlation with the time-domain wavelets as one
+        # time-major matmul: (T, n_fft) gcd-block frames against the
+        # (n_fft, 2*bins) stacked re/im operator. lax.conv computes
+        # the same thing marginally faster but costs ~76 s of XLA
+        # compile per octave shape on the TPU backend; the matmul
+        # compiles in seconds and rides the MXU just as well.
+        wk = jnp.asarray(np.concatenate([w_re, w_im], 0).T)  # (n_fft, 2*bins)
+        fr = frame(yp, n_fft, mhop, time_major=True)  # (..., T, n_fft)
+        out = jnp.swapaxes(fr @ wk, -1, -2)  # (..., 2*bins, T)
+        re, im = jnp.split(out, 2, axis=-2)
         resp = RISpec(re, im) if use_real_dft() else re + 1j * im
         responses.append((resp, np.asarray(lengths)))
         if mhop % 2 == 0 and octv < n_octaves - 1 and my.shape[-1] >= 2 * n_fft:

@@ -28,11 +28,13 @@ def hann_window(n: int) -> jnp.ndarray:
     return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(n) / n)
 
 
-def frame(y: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
-    """(..., T) -> (..., frame_length, n_frames) sliding frames.
+def frame(y: jax.Array, frame_length: int, hop_length: int, time_major: bool = False) -> jax.Array:
+    """(..., T) -> (..., frame_length, n_frames) sliding frames
+    (or (..., n_frames, frame_length) with time_major=True, which
+    skips the final transpose — feed it to a right-matmul instead).
 
-    When frame_length is a hop multiple, frames assemble from
-    consecutive hop-blocks with slices/concat only — TPU gathers are an
+    When gcd(frame_length, hop) is large enough, frames assemble from
+    consecutive gcd-blocks with slices/concat only — TPU gathers are an
     order of magnitude slower (see kernels/spectrogram.py)."""
     n_frames = 1 + (y.shape[-1] - frame_length) // hop_length
     g = math.gcd(frame_length, hop_length)
@@ -42,19 +44,18 @@ def frame(y: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
         # blocks starting at block i*s. Covers frame%hop==0 (g=hop,
         # s=1) AND hop%frame==0 / mixed cases (e.g. the CQT octaves'
         # small-window STFTs), keeping every consumer off TPU gathers.
+        # need is a multiple of g (hop and frame_length both are) and
+        # <= T by the n_frames definition, so the slice always fits.
         need = (n_frames - 1) * hop_length + frame_length
-        n_blocks = -(-need // g)
-        yp = y
-        if n_blocks * g > y.shape[-1]:
-            yp = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, n_blocks * g - y.shape[-1])])
-        blocks = yp[..., : n_blocks * g].reshape(yp.shape[:-1] + (n_blocks, g))
+        n_blocks = need // g
+        blocks = y[..., :need].reshape(y.shape[:-1] + (n_blocks, g))
         last = (n_frames - 1) * s
         parts = [blocks[..., i : last + i + 1 : s, :] for i in range(k)]
         frames = jnp.concatenate(parts, axis=-1)
-        return jnp.swapaxes(frames, -1, -2)
+        return frames if time_major else jnp.swapaxes(frames, -1, -2)
     starts = jnp.arange(n_frames) * hop_length
     idx = starts[None, :] + jnp.arange(frame_length)[:, None]
-    return y[..., idx]
+    return jnp.swapaxes(y[..., idx], -1, -2) if time_major else y[..., idx]
 
 
 # --------------------------------------------------------- real-DFT seam
@@ -407,12 +408,18 @@ def _median_filter_axis(x: jax.Array, size: int, axis: int) -> jax.Array:
 
 def median_filter2d(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Separable-application 2D median filter (applies per-axis medians
-    when one size is 1; general case stacks the full window)."""
+    when one size is 1; general case runs the full-window selection
+    network, jitted so it fuses even from eager pipelines)."""
     sh, sw = size
     if sh == 1:
         return _median_filter_axis(x, sw, -1)
     if sw == 1:
         return _median_filter_axis(x, sh, -2)
+    return _median_filter_2d_full(x, sh, sw)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _median_filter_2d_full(x: jax.Array, sh: int, sw: int) -> jax.Array:
     r0, r1 = sh // 2, sw // 2
     pads = [(0, 0)] * (x.ndim - 2) + [(r0, sh - 1 - r0), (r1, sw - 1 - r1)]
     xp = jnp.pad(x, pads, mode="edge")
