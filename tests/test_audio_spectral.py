@@ -146,6 +146,45 @@ def test_median_filter2d():
     assert np.allclose(out3, ref3, atol=1e-6)
 
 
+def test_frame_gcd_block_paths():
+    """frame() gcd-block decomposition matches direct gathers for
+    overlapping, non-overlapping, and hop>frame windows, batched and
+    time-major."""
+    rs = np.random.RandomState(11)
+    for T, fl, hop in [(1000, 256, 512), (2048, 2048, 512), (5000, 512, 8), (999, 100, 35)]:
+        y = rs.randn(T).astype(np.float32)
+        n_frames = 1 + (T - fl) // hop
+        want = np.stack([y[i * hop : i * hop + fl] for i in range(n_frames)], -1)
+        got = np.asarray(S.frame(S.jnp.asarray(y), fl, hop))
+        assert np.array_equal(got, want), (T, fl, hop)
+        got_tm = np.asarray(S.frame(S.jnp.asarray(y), fl, hop, time_major=True))
+        assert np.array_equal(got_tm, want.T), (T, fl, hop, "time_major")
+        yb = rs.randn(2, T).astype(np.float32)
+        gb = np.asarray(S.frame(S.jnp.asarray(yb), fl, hop))
+        assert np.array_equal(gb[1], np.stack([yb[1, i * hop : i * hop + fl] for i in range(n_frames)], -1))
+
+
+def test_cqt_batched_and_cache_keys():
+    """Batched single-octave vqt keeps its axes, and filterbanks with
+    different bin spacing at matched Q don't collide in the basis
+    cache (review finding: key must include alpha + full freqs)."""
+    from maua_tpu.audio.constantq import cqt
+
+    rs = np.random.RandomState(12)
+    y = rs.randn(22050).astype(np.float32)
+    c1 = np.abs(np.asarray(cqt(S.jnp.asarray(y), sr=22050, fmin=200.0, n_bins=12, bins_per_octave=12)))
+    a12, a24 = 2 ** (1 / 12) - 1, 2 ** (1 / 24) - 1
+    np.abs(np.asarray(cqt(S.jnp.asarray(y), sr=22050, fmin=200.0, n_bins=12,
+                          bins_per_octave=24, filter_scale=a24 / a12)))
+    c1b = np.abs(np.asarray(cqt(S.jnp.asarray(y), sr=22050, fmin=200.0, n_bins=12, bins_per_octave=12)))
+    assert np.array_equal(c1, c1b)  # second config must not poison the first's basis
+    yb = rs.randn(2, 22050).astype(np.float32)
+    cb = np.abs(np.asarray(cqt(S.jnp.asarray(yb), sr=22050, fmin=200.0, n_bins=12, bins_per_octave=12)))
+    c0 = np.abs(np.asarray(cqt(S.jnp.asarray(yb[0]), sr=22050, fmin=200.0, n_bins=12, bins_per_octave=12)))
+    assert cb.shape[:2] == (2, 12)
+    assert np.allclose(cb[0], c0, atol=1e-4)
+
+
 def test_median_selection_network():
     """The pruned compare-exchange network is an exact order statistic:
     identical to jnp.median for odd and even k, including ties."""
