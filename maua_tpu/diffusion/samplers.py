@@ -3,10 +3,11 @@ all expressed as `lax.scan` over steps.
 
 Rebuild of the sampler surface the reference reaches through
 k_diffusion (`maua/diffusion/processors/stable.py:185-207`: euler /
-euler_ancestral / heun / dpm_2 / dpm_2_ancestral / lms / dpmpp_2m)
-and guided_diffusion (`processors/guided.py:302-313`: p / ddim /
-plms), reimplemented from the published algorithm definitions
-(Karras et al. 2022; Song et al. 2020; Liu et al. 2022).
+euler_ancestral / heun / dpm_2 / dpm_2_ancestral / lms / dpmpp_2m /
+dpm_fast / dpm_adaptive) and guided_diffusion
+(`processors/guided.py:302-313`: p / ddim / plms), reimplemented from
+the published algorithm definitions (Karras et al. 2022; Song et al.
+2020; Liu et al. 2022; Lu et al. 2022).
 
 Interface: `denoiser(x, sigma_batch) -> denoised x0 prediction`;
 samplers integrate from sigmas[0] to sigmas[-1]. `sigmas` is a host
@@ -241,6 +242,118 @@ def sample_dpmpp_2m(denoiser: Callable, x: jax.Array, sigmas: np.ndarray) -> jax
     return x
 
 
+# ------------------------------------------------ DPM-Solver fast/adaptive
+# Exponential-integrator steps from Lu et al. 2022 (DPM-Solver) in the
+# k-diffusion sigma parameterization: t = -ln(sigma), sigma(t) = e^-t,
+# eps(x, t) = (x - denoised) / sigma. The reference exposes these as
+# the `dpm_fast` / `dpm_adaptive` sampler choices
+# (`maua/diffusion/image.py:302`).
+
+
+def _dpm_eps(denoiser, x, t):
+    sigma = jnp.exp(-t)
+    denoised = denoiser(x, sigma * jnp.ones(x.shape[0]))
+    return (x - denoised) / sigma
+
+
+def _dpm_1_step(denoiser, x, t, t_next, eps):
+    h = t_next - t
+    return x - jnp.exp(-t_next) * jnp.expm1(h) * eps
+
+
+def _dpm_2_step(denoiser, x, t, t_next, eps, r1=0.5):
+    h = t_next - t
+    s1 = t + r1 * h
+    u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+    eps1 = _dpm_eps(denoiser, u1, s1)
+    return x - jnp.exp(-t_next) * (jnp.expm1(h) * eps + jnp.expm1(h) / (2 * r1) * (eps1 - eps))
+
+
+def _dpm_3_step(denoiser, x, t, t_next, eps, r1=1.0 / 3, r2=2.0 / 3):
+    h = t_next - t
+    s1, s2 = t + r1 * h, t + r2 * h
+    u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+    eps1 = _dpm_eps(denoiser, u1, s1)
+    u2 = x - jnp.exp(-s2) * (
+        jnp.expm1(r2 * h) * eps + (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1) * (eps1 - eps)
+    )
+    eps2 = _dpm_eps(denoiser, u2, s2)
+    return x - jnp.exp(-t_next) * (jnp.expm1(h) * eps + (jnp.expm1(h) / h - 1) / r2 * (eps2 - eps))
+
+
+def sample_dpm_fast(denoiser: Callable, x: jax.Array, sigmas: np.ndarray) -> jax.Array:
+    """DPM-Solver fast: the model-call budget n = len(sigmas)-1 is
+    spent on 3rd-order steps over uniform t segments, with a 2nd/1st
+    order tail when n is not a multiple of 3 (paper section 3.4)."""
+    sig = np.asarray(sigmas, np.float64)
+    nz = sig[sig > 0]
+    n = max(len(sig) - 1, 1)
+    t_start, t_end = -np.log(nz[0]), -np.log(nz[-1])
+    m = n // 3 + 1
+    if n % 3 == 0:
+        orders = [3] * (m - 2) + [2, 1]
+    else:
+        orders = [3] * (m - 1) + [n % 3]
+    ts = np.linspace(t_start, t_end, len(orders) + 1)
+    for i, order in enumerate(orders):
+        t, t_next = jnp.float32(ts[i]), jnp.float32(ts[i + 1])
+        eps = _dpm_eps(denoiser, x, t)
+        step = {1: _dpm_1_step, 2: _dpm_2_step, 3: _dpm_3_step}[order]
+        x = step(denoiser, x, t, t_next, eps)
+    return x
+
+
+def sample_dpm_adaptive(
+    denoiser: Callable,
+    x: jax.Array,
+    sigmas: np.ndarray,
+    order: int = 3,
+    rtol: float = 0.05,
+    atol: float = 0.0078,
+    h_init: float = 0.05,
+    accept_safety: float = 0.81,
+    max_steps: int = 200,
+) -> jax.Array:
+    """DPM-Solver-23 with adaptive step size (paper appendix: embedded
+    lower-order estimate for the local error, integral step-size
+    control with a soft arctan limiter). Runs as a lax.while_loop, so
+    the number of model calls is data-dependent; sigmas only provides
+    the integration range."""
+    sig = np.asarray(sigmas, np.float64)
+    nz = sig[sig > 0]
+    t_start, t_end = float(-np.log(nz[0])), float(-np.log(nz[-1]))
+    n_el = float(np.prod(x.shape))
+
+    def body(carry):
+        x, s, h, inv_e1, inv_e2, steps = carry
+        t_next = jnp.minimum(t_end, s + h)
+        eps = _dpm_eps(denoiser, x, s)
+        if order == 2:
+            x_low = _dpm_1_step(denoiser, x, s, t_next, eps)
+            x_high = _dpm_2_step(denoiser, x, s, t_next, eps)
+        else:
+            x_low = _dpm_2_step(denoiser, x, s, t_next, eps, r1=1.0 / 3)
+            x_high = _dpm_3_step(denoiser, x, s, t_next, eps)
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_high)))
+        err = jnp.sqrt(jnp.sum(jnp.square((x_low - x_high) / delta)) / n_el)
+        inv_e0 = 1.0 / (err + 1e-8)
+        factor = 1.0 + jnp.arctan(inv_e0 ** (1.0 / order) - 1.0)  # soft limiter
+        accept = factor >= accept_safety
+        x = jnp.where(accept, x_high, x)
+        s = jnp.where(accept, t_next, s)
+        inv_e2 = jnp.where(accept, inv_e1, inv_e2)
+        inv_e1 = jnp.where(accept, inv_e0, inv_e1)
+        return (x, s, h * factor, inv_e1, inv_e2, steps + 1)
+
+    def cond(carry):
+        _, s, _, _, _, steps = carry
+        return jnp.logical_and(s < t_end - 1e-5, steps < max_steps)
+
+    init = (x, jnp.float32(t_start), jnp.float32(h_init), jnp.float32(1.0), jnp.float32(1.0), jnp.int32(0))
+    x, *_ = jax.lax.while_loop(cond, body, init)
+    return x
+
+
 SAMPLERS = {
     "euler": sample_euler,
     "euler_ancestral": sample_euler_ancestral,
@@ -249,6 +362,8 @@ SAMPLERS = {
     "dpm_2_ancestral": sample_dpm_2_ancestral,
     "lms": sample_lms,
     "dpmpp_2m": sample_dpmpp_2m,
+    "dpm_fast": sample_dpm_fast,
+    "dpm_adaptive": sample_dpm_adaptive,
 }
 
 

@@ -86,7 +86,8 @@ def test_stable_img2img_partial(sd):
     assert d_partial < d_full
 
 
-@pytest.mark.parametrize("sampler", ["euler", "heun", "lms", "dpmpp_2m", "euler_ancestral"])
+@pytest.mark.parametrize("sampler", ["euler", "heun", "lms", "dpmpp_2m", "euler_ancestral",
+                                     "dpm_fast", "dpm_adaptive"])
 def test_stable_sampler_matrix(sampler):
     sd = StableDiffusion(sampler=sampler, timesteps=4, unet_cfg=TINY_UNET, vae_cfg=TINY_VAE,
                          text_cfg=TINY_TEXT, image_size=64)

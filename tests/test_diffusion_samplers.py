@@ -53,6 +53,26 @@ def test_ancestral_samplers_converge(name):
     assert err < 1e-2, (name, err)
 
 
+@pytest.mark.parametrize("name", ["dpm_fast", "dpm_adaptive"])
+def test_dpm_solver_fast_adaptive_exact_on_linear_ode(name):
+    """DPM-Solver's exponential-integrator steps are exact for the
+    point-mass denoiser (eps linear in x), so the output must equal
+    the analytic ODE solution at sigma_min — the samplers integrate
+    over [sigma_max, sigma_min], not to 0 (k-diffusion semantics)."""
+    target = make_target()
+
+    def denoiser(x, sigma):
+        return jnp.broadcast_to(target, x.shape)
+
+    sigmas = karras_sigmas(20)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), target.shape) * sigmas[0]
+    out = S.get_sampler(name)(denoiser, x0, sigmas)
+    sig_min = sigmas[sigmas > 0][-1]
+    exact = target + sig_min * (x0 - target) / sigmas[0]
+    err = float(jnp.abs(out - exact).max())
+    assert err < 1e-3, (name, err)
+
+
 def _linear_gaussian_eps(target, alphas_cumprod):
     ac = jnp.asarray(alphas_cumprod, jnp.float32)
 
