@@ -81,19 +81,41 @@ def generate_images(
     grid: bool = False,
     sampling_strategy: str = "random",
     key=None,
+    class_idx: Optional[int] = None,
+    translation=None,
+    rotation=None,
+    langevin_critic: str = "discriminator",
 ) -> np.ndarray:
     """(`GAN/generate_images.py:19-49`): seeds -> z (4 strategies via
-    gan.sampling) -> batched synthesis -> images / files."""
+    gan.sampling) -> class one-hot / SG3 transforms -> batched
+    synthesis -> images / files. Non-random strategies synthesize at
+    truncation 1 like the reference (`generate_images.py:46`)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     if sampling_strategy == "random":
         z = generator.get_z_latents(seeds)
     else:
         from .sampling import sample_latents
 
-        n = len(str(seeds).split(","))
-        z = sample_latents(sampling_strategy, key, n, generator.params, generator.cfg)
-    ws = generator.mapper(z, truncation=truncation)
-    frames = list(generator.render(ws, batch_size=batch_size))
+        n = generator.get_z_latents(seeds).shape[0]
+        z = sample_latents(
+            sampling_strategy, key, n, generator.params, generator.cfg,
+            generator=generator, critic=langevin_critic,
+        )
+        truncation = 1.0
+    c = None
+    if class_idx is not None:
+        c_dim = getattr(generator.cfg, "c_dim", 0)
+        if not c_dim:
+            raise ValueError("class_idx given but the model is unconditional (c_dim=0)")
+        c = jax.nn.one_hot(jnp.full((z.shape[0],), class_idx), c_dim)
+    ws = generator.mapper(z, truncation=truncation) if c is None else generator.mapper(z, c, truncation=truncation)
+    T = ws.shape[0]
+    render_kw = {}
+    if translation is not None:
+        render_kw["translation"] = jnp.tile(jnp.asarray(translation, jnp.float32).reshape(1, 2), (T, 1))
+    if rotation is not None:
+        render_kw["rotation"] = jnp.full((T,), float(rotation), jnp.float32)
+    frames = list(generator.render(ws, batch_size=batch_size, **render_kw))
     imgs = np.stack(frames)
     if out_dir is not None:
         from ..ops.io import tensor2img

@@ -113,13 +113,13 @@ def _make_stub(module, name):
     return _STUB_CACHE[key]
 
 
-def _load_nvidia_pickle(path: str):
-    """Extract G_ema tensors from an NVIDIA legacy .pkl."""
+def _load_nvidia_pickle(path: str, key: str = "G_ema"):
+    """Extract tensors for one network (`key`) from an NVIDIA legacy .pkl."""
     torch = _torch()
     with open(path, "rb") as f:
         data = f.read()
     obj = _TolerantUnpickler(io.BytesIO(data)).load()
-    g = obj.get("G_ema", obj) if isinstance(obj, dict) else obj
+    g = obj.get(key, obj) if isinstance(obj, dict) else obj
     # persistence-pickled modules carry their tensors in nested dicts
     sd = {}
 
@@ -432,3 +432,106 @@ def sg3_params_from_state_dict(sd: Dict[str, np.ndarray], cfg=None):
             "magnitude_ema": jnp.asarray(np.asarray(sd.get(f"{p}.magnitude_ema", np.ones((), np.float32))).reshape(())),
         })
     return {"mapping": mapping, "input": input_p, "layers": layers}
+
+
+# --------------------------------------------------------- discriminator
+
+
+def infer_d_config(sd: Dict[str, np.ndarray], dtype: str = "float32"):
+    """Infer a D2Config from an ADA-style discriminator state dict
+    (shapes only; role of `GAN/load.py` config inference for D)."""
+    from .discriminator import D2Config
+
+    res_list = sorted(
+        {int(m.group(1)) for k in sd for m in [re.match(r"b(\d+)\.conv0\.weight$", k)] if m}
+    )
+    if not res_list:
+        raise ValueError("state dict has no b{res}.conv0 keys - not an ADA discriminator")
+    top = max(res_list)
+    ch_in = {res: sd[f"b{res}.conv0.weight"].shape[1] for res in res_list}  # OIHW in-ch
+    c4 = sd["b4.fc.weight"].shape[0]
+    cmax = max(max(ch_in.values()), c4)
+    uncapped = [ch_in[r] * r for r in res_list if ch_in[r] < cmax]
+    channel_base = max(uncapped) if uncapped else cmax * top
+    mbstd_num = int(sd["b4.conv.weight"].shape[1] - c4)
+    img_channels = int(sd[f"b{top}.fromrgb.weight"].shape[1]) if f"b{top}.fromrgb.weight" in sd else 3
+    return D2Config(
+        img_resolution=top,
+        img_channels=img_channels,
+        channel_base=int(channel_base),
+        channel_max=int(cmax),
+        mbstd_num_channels=mbstd_num,
+        dtype=dtype,
+    )
+
+
+def d_params_from_state_dict(sd: Dict[str, np.ndarray], cfg=None):
+    """ADA discriminator state dict -> maua_tpu functional params.
+
+    OIHW conv weights transpose to HWIO; the b4 epilogue FC input is
+    re-permuted from torch's (C, H, W) flatten order to our NHWC
+    (H, W, C) flatten order. Raw (unscaled) weights map 1:1 because
+    both sides apply the 1/sqrt(fan_in) equalized-lr gain at runtime.
+    """
+    import jax.numpy as jnp
+
+    cfg = cfg or infer_d_config(sd)
+
+    def conv_w(k):
+        return jnp.asarray(np.transpose(np.asarray(sd[k]), (2, 3, 1, 0)))
+
+    top = cfg.img_resolution
+    params = {
+        "fromrgb": {
+            "weight": conv_w(f"b{top}.fromrgb.weight"),
+            "bias": jnp.asarray(sd[f"b{top}.fromrgb.bias"]),
+        }
+    }
+    for res in cfg.block_resolutions:
+        params[f"b{res}"] = {
+            "conv0": {"weight": conv_w(f"b{res}.conv0.weight"), "bias": jnp.asarray(sd[f"b{res}.conv0.bias"])},
+            "conv1": {"weight": conv_w(f"b{res}.conv1.weight"), "bias": jnp.asarray(sd[f"b{res}.conv1.bias"])},
+            "skip": {"weight": conv_w(f"b{res}.skip.weight")},
+        }
+    c4 = cfg.channels(4)
+    fc_w = np.asarray(sd["b4.fc.weight"])  # (co, c4*16) flattened (C, H, W)
+    co = fc_w.shape[0]
+    fc_w = fc_w.reshape(co, c4, 4, 4).transpose(0, 2, 3, 1).reshape(co, -1).T  # -> (16*c4 HWC, co)
+    params["b4"] = {
+        "conv": {"weight": conv_w("b4.conv.weight"), "bias": jnp.asarray(sd["b4.conv.bias"])},
+        "fc": {"w": jnp.asarray(fc_w), "b": jnp.asarray(sd["b4.fc.bias"])},
+        "out": {"w": jnp.asarray(np.asarray(sd["b4.out.weight"]).T), "b": jnp.asarray(sd["b4.out.bias"])},
+    }
+    return params
+
+
+def load_discriminator(path: str, dtype: str = "float32"):
+    """Load the discriminator from a StyleGAN training checkpoint
+    (NVIDIA .pkl 'D' entry, a .pt dict with a 'd'/'D'/'discriminator'
+    entry, or a bare ADA D state dict). Role of the reference's D load
+    for DDLS langevin sampling (`GAN/sampling/langevin.py:26-63`).
+
+    Returns (params, D2Config)."""
+    torch = _torch()
+    if str(path).endswith(".pkl"):
+        sd = _load_nvidia_pickle(path, key="D")
+    else:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        sd = None
+        if isinstance(obj, dict):
+            for key in ("D", "d", "discriminator", "D_ema"):
+                if key in obj:
+                    inner = obj[key]
+                    sd = inner.state_dict() if hasattr(inner, "state_dict") else dict(inner)
+                    break
+            if sd is None:
+                sd = obj  # maybe already a bare D state dict
+        elif hasattr(obj, "state_dict"):
+            sd = obj.state_dict()
+        else:
+            raise ValueError(f"no discriminator found in {path}")
+    sd = {k: _to_numpy(v) for k, v in sd.items() if _is_tensorlike(v)}
+    if not any(k.startswith("b4.out") for k in sd):
+        raise ValueError(f"no ADA-style discriminator state dict found in {path}")
+    cfg = infer_d_config(sd, dtype=dtype)
+    return d_params_from_state_dict(sd, cfg), cfg

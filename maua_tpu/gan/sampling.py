@@ -97,11 +97,75 @@ def jacnorm_sample(
     return z[order[:n]]
 
 
-def sample_latents(strategy: str, key, n: int, params=None, cfg: Optional[sg2.SG2Config] = None, **kwargs) -> jax.Array:
+def discriminator_energy(generator, d_params, d_cfg) -> Callable:
+    """DDLS energy from a trained discriminator
+    (`sampling/langevin.py:26-63`): E(z) = -D(G(z)); langevin_sample
+    adds the N(0, I) prior term itself."""
+    from . import discriminator as D
+
+    g_params, g_cfg = generator.params, generator.cfg
+
+    def energy(z):
+        ws = sg2.mapping(g_params, z, g_cfg)
+        img = sg2.synthesis(g_params, ws, g_cfg)
+        if img.shape[1] != d_cfg.img_resolution:
+            img = jax.image.resize(
+                img, (img.shape[0], d_cfg.img_resolution, d_cfg.img_resolution, img.shape[3]), "bilinear"
+            )
+        return -D.discriminator(d_params, img, d_cfg)[:, 0]
+
+    return energy
+
+
+def clip_energy(generator, text: str, perceptor=None) -> Callable:
+    """CLIP-guided langevin energy (the reference's text-critic mode of
+    `--langevin_critic`): E(z) = -sim(CLIP(G(z)), CLIP(text))."""
+    if perceptor is None:
+        from ..perceptors.clip import CLIPPerceptor
+
+        perceptor = CLIPPerceptor()
+    temb = perceptor.encode_text([text])  # (1, d)
+    g_params, g_cfg = generator.params, generator.cfg
+
+    def energy(z):
+        ws = sg2.mapping(g_params, z, g_cfg)
+        img = sg2.synthesis(g_params, ws, g_cfg)
+        emb = perceptor.encode_image((img.astype(jnp.float32) + 1.0) / 2.0)
+        return -10.0 * jnp.sum(emb * temb, axis=-1)
+
+    return energy
+
+
+def make_langevin_energy(generator, critic: str = "discriminator") -> Callable:
+    """Resolve the reference's `--langevin_critic` string: 'discriminator'
+    loads D from the generator's checkpoint for standard DDLS; anything
+    else is treated as a text prompt for CLIP-guided sampling
+    (`GAN/generate_images.py:62`)."""
+    if critic == "discriminator":
+        from .load import load_discriminator
+
+        model_file = getattr(generator, "model_file", None)
+        if not model_file:
+            raise ValueError(
+                "langevin_critic='discriminator' needs the generator's checkpoint file "
+                "(with a D entry); pass a text prompt critic instead, or an explicit energy_fn"
+            )
+        d_params, d_cfg = load_discriminator(model_file)
+        return discriminator_energy(generator, d_params, d_cfg)
+    return clip_energy(generator, critic)
+
+
+def sample_latents(strategy: str, key, n: int, params=None, cfg: Optional[sg2.SG2Config] = None,
+                   generator=None, critic: str = "discriminator", **kwargs) -> jax.Array:
     """(`sampling/__init__.py:9`)"""
     if strategy == "random":
         return random_latents(key, n, kwargs.get("z_dim", cfg.z_dim if cfg else 512))
     if strategy == "langevin":
+        if "energy_fn" not in kwargs:
+            if generator is None:
+                raise ValueError("langevin sampling needs an energy_fn or a generator to build one from")
+            kwargs["energy_fn"] = make_langevin_energy(generator, critic)
+        kwargs.setdefault("z_dim", cfg.z_dim if cfg else 512)
         return langevin_sample(key, n, **kwargs)
     if strategy == "polarity":
         return polarity_sample(key, n, params, cfg, **kwargs)

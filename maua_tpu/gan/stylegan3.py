@@ -311,7 +311,9 @@ class StyleGAN3:
     (`wrappers/stylegan3.py:26-133`)."""
 
     def __init__(self, cfg: Optional[SG3Config] = None, params: Optional[Dict] = None, key=None,
-                 model_file: Optional[str] = None):
+                 model_file: Optional[str] = None, output_size=None, strategy: str = "stretch",
+                 layer: int = 0, dtype: str = "float32"):
+        self.model_file = model_file if model_file not in (None, "None") else None
         if model_file is not None and model_file != "None":
             from .load import load_network
 
@@ -324,8 +326,18 @@ class StyleGAN3:
         self.num_ws = self.cfg.num_ws
         self.w_dim = self.cfg.w_dim
         self.z_dim = self.cfg.z_dim
+        self.res = self.cfg.img_resolution
+        # SG3's Fourier-feature input makes arbitrary output sizes a
+        # sampling-grid change, not a feature-resize; keep the SG2 facade
+        # kwargs but render at native resolution and resize in pixels.
+        self.output_size = tuple(output_size) if output_size else None
 
-    def mapper(self, z=None, truncation: float = 1.0, latent_z=None):
+    def get_z_latents(self, seeds) -> jax.Array:
+        from .wrappers import get_z_latents
+
+        return jnp.asarray(get_z_latents(seeds, self.z_dim))
+
+    def mapper(self, z=None, truncation: float = 1.0, latent_z=None, c=None, class_conditioning=None):
         if z is None:
             z = latent_z  # patch pipelines pass the reference kwarg name
         return mapping(self.params, jnp.asarray(z), self.cfg, truncation)
@@ -364,6 +376,9 @@ class StyleGAN3:
             ws = latent_w_plus[s0 : s0 + batch_size]
             m = mats[s0 : s0 + batch_size] if mats is not None else None
             imgs = fn(ws, m)
+            if getattr(self, "output_size", None) and (imgs.shape[2], imgs.shape[1]) != self.output_size:
+                w_out, h_out = self.output_size
+                imgs = jax.image.resize(imgs, (imgs.shape[0], h_out, w_out, imgs.shape[3]), "linear")
             if postprocess is not None:
                 imgs = postprocess(imgs)
             # uint8 HWC frames, same contract as the SG2 wrapper render

@@ -280,6 +280,7 @@ class StyleGAN2:
         cfg: Optional[SG2Config] = None,
         params: Optional[Dict] = None,
     ):
+        self.model_file = model_file if model_file not in (None, "None") else None
         if model_file is not None and model_file != "None":
             self.params, self.cfg = load_network(model_file, dtype=dtype)
         elif params is not None and cfg is not None:
@@ -434,4 +435,8 @@ def get_generator_class(architecture: str):
     """(`wrappers/__init__.py:102-112`)"""
     if architecture in ("stylegan2", "stylegan"):
         return StyleGAN2
+    if architecture == "stylegan3":
+        from .stylegan3 import StyleGAN3
+
+        return StyleGAN3
     raise ValueError(f"unknown generator architecture {architecture}")

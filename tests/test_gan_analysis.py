@@ -127,3 +127,138 @@ def test_cli_usage(capsys):
     out = capsys.readouterr().out
     assert "diffusion" in out and "audiovisual" in out
     assert main(["nonsense"]) == 1
+
+
+# ------------------------------------------------- discriminator loading
+
+
+def _synthetic_ada_d_state_dict(rs):
+    """ADA-layout (OIHW / torch-FC) discriminator tensors at res 16:
+    channels 16->8, 8->16, 4->32 (channel_base=128, channel_max=32)."""
+    sd = {}
+    sd["b16.fromrgb.weight"] = rs.randn(8, 3, 1, 1)
+    sd["b16.fromrgb.bias"] = rs.randn(8)
+    sd["b16.conv0.weight"] = rs.randn(8, 8, 3, 3)
+    sd["b16.conv0.bias"] = rs.randn(8)
+    sd["b16.conv1.weight"] = rs.randn(16, 8, 3, 3)
+    sd["b16.conv1.bias"] = rs.randn(16)
+    sd["b16.skip.weight"] = rs.randn(16, 8, 1, 1)
+    sd["b8.conv0.weight"] = rs.randn(16, 16, 3, 3)
+    sd["b8.conv0.bias"] = rs.randn(16)
+    sd["b8.conv1.weight"] = rs.randn(32, 16, 3, 3)
+    sd["b8.conv1.bias"] = rs.randn(32)
+    sd["b8.skip.weight"] = rs.randn(32, 16, 1, 1)
+    sd["b4.conv.weight"] = rs.randn(32, 33, 3, 3)  # +1 mbstd channel
+    sd["b4.conv.bias"] = rs.randn(32)
+    sd["b4.fc.weight"] = rs.randn(32, 32 * 16)
+    sd["b4.fc.bias"] = rs.randn(32)
+    sd["b4.out.weight"] = rs.randn(1, 32)
+    sd["b4.out.bias"] = rs.randn(1)
+    return {k: v.astype(np.float32) for k, v in sd.items()}
+
+
+def test_load_discriminator_conversion(tmp_path):
+    import torch
+
+    from maua_tpu.gan import discriminator as D
+    from maua_tpu.gan.load import load_discriminator
+
+    sd = _synthetic_ada_d_state_dict(np.random.RandomState(0))
+    path = str(tmp_path / "ckpt.pt")
+    torch.save({"D": {k: torch.from_numpy(v) for k, v in sd.items()}, "G_ema": {}}, path)
+
+    params, cfg = load_discriminator(path)
+    assert cfg.img_resolution == 16
+    assert cfg.channel_max == 32 and cfg.channel_base == 128
+    assert cfg.mbstd_num_channels == 1
+    assert cfg.channels(16) == 8 and cfg.channels(8) == 16 and cfg.channels(4) == 32
+
+    img = jnp.asarray(np.random.RandomState(1).randn(5, 16, 16, 3).astype(np.float32))
+    logits = D.discriminator(params, img, cfg)
+    assert logits.shape == (5, 1)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_fc_flatten_permutation(tmp_path):
+    """The b4 FC weight must be re-permuted from torch (C, H, W) flatten
+    order to NHWC (H, W, C): a weight that reads exactly one (c, h, w)
+    input coordinate must read the same coordinate after conversion."""
+    from maua_tpu.gan.load import d_params_from_state_dict, infer_d_config
+
+    sd = _synthetic_ada_d_state_dict(np.random.RandomState(2))
+    c4 = 32
+    w = np.zeros((c4, c4 * 16), np.float32)
+    c_pick, h_pick, w_pick = 5, 2, 3
+    w[0, c_pick * 16 + h_pick * 4 + w_pick] = 1.0  # torch flat index of (c, h, w)
+    sd["b4.fc.weight"] = w
+    params = d_params_from_state_dict(sd, infer_d_config(sd))
+    ours = np.asarray(params["b4"]["fc"]["w"])  # (16*c4 HWC, c4)
+    nhwc_flat = h_pick * (4 * c4) + w_pick * c4 + c_pick
+    assert ours[nhwc_flat, 0] == 1.0
+    assert ours.sum() == 1.0
+
+
+def test_langevin_discriminator_energy(tiny_params):
+    """DDLS energy through a live G+D pair is differentiable and drives
+    the langevin chain (random-init nets; checks plumbing, not FID)."""
+    from maua_tpu.gan import discriminator as D
+    from maua_tpu.gan.sampling import discriminator_energy, langevin_sample
+    from maua_tpu.gan.wrappers import StyleGAN2
+
+    gen = StyleGAN2(cfg=CFG, params=tiny_params)
+    d_cfg = D.D2Config(img_resolution=16, channel_base=128, channel_max=32)
+    d_params = D.init_params(jax.random.PRNGKey(3), d_cfg)
+    energy = discriminator_energy(gen, d_params, d_cfg)
+    e = energy(jnp.zeros((2, CFG.z_dim)))
+    assert e.shape == (2,) and np.all(np.isfinite(np.asarray(e)))
+    z = langevin_sample(jax.random.PRNGKey(4), 2, energy, z_dim=CFG.z_dim, n_steps=2)
+    assert z.shape == (2, CFG.z_dim)
+    assert np.all(np.isfinite(np.asarray(z)))
+
+
+def test_langevin_critic_requires_checkpoint(tiny_params):
+    from maua_tpu.gan.wrappers import StyleGAN2
+
+    gen = StyleGAN2(cfg=CFG, params=tiny_params)
+    with pytest.raises(ValueError, match="checkpoint"):
+        sampling.sample_latents("langevin", jax.random.PRNGKey(0), 2, generator=gen,
+                                critic="discriminator")
+
+
+def test_generate_images_class_and_transforms(tiny_params):
+    from maua_tpu.gan.wrappers import StyleGAN2
+
+    gen = StyleGAN2(cfg=CFG, params=tiny_params)
+    with pytest.raises(ValueError, match="unconditional"):
+        analysis.generate_images(gen, seeds="0,1", class_idx=3)
+    imgs = analysis.generate_images(gen, seeds="0,1", translation=(0.1, -0.1), rotation=5.0,
+                                    batch_size=2)
+    assert imgs.shape == (2, 16, 16, 3)
+
+    # conditional path: one-hot class conditioning reaches the mapper
+    ccfg = sg2.SG2Config(img_resolution=16, z_dim=32, w_dim=32, c_dim=4,
+                         channel_base=512, channel_max=32, num_fp16_res=0)
+    cgen = StyleGAN2(cfg=ccfg, params=sg2.init_params(jax.random.PRNGKey(5), ccfg))
+    a = analysis.generate_images(cgen, seeds="0,1", class_idx=0, batch_size=2)
+    b = analysis.generate_images(cgen, seeds="0,1", class_idx=2, batch_size=2)
+    assert a.shape == (2, 16, 16, 3)
+    assert not np.allclose(a, b)
+
+
+def test_generate_images_seed_range_count(tiny_params, monkeypatch):
+    """'0-8' must produce 8 latents for non-random strategies too
+    (the count comes from the parsed seed list, not the comma count)."""
+    from maua_tpu.gan.wrappers import StyleGAN2
+
+    gen = StyleGAN2(cfg=CFG, params=tiny_params)
+    seen = {}
+    orig = sampling.sample_latents
+
+    def spy(strategy, key, n, *a, **kw):
+        seen["n"] = n
+        return orig(strategy, key, n, *a, **kw)
+
+    monkeypatch.setattr("maua_tpu.gan.sampling.sample_latents", spy)
+    imgs = analysis.generate_images(gen, seeds="0-8", sampling_strategy="polarity", batch_size=4)
+    assert seen["n"] == 8
+    assert imgs.shape[0] == 8
