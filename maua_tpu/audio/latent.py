@@ -55,6 +55,11 @@ def eerp(a, b, t):
     return a ** (1 - t) * b**t
 
 
+def copeerp(a, b, t):
+    """Co-exponential interpolation (`latent.py:53-54`)."""
+    return a**t * (1 - b**t) / (1 - a**t + b**t)
+
+
 def slerp(a: jax.Array, b: jax.Array, t: jax.Array) -> jax.Array:
     """Spherical interpolation (`latent.py:57-66`): the standard
     sin((1-t)w)/sin(w) * a + sin(tw)/sin(w) * b on the RAW vectors, so

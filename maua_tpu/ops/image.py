@@ -242,3 +242,142 @@ def wrapping_slice(tensor: jax.Array, start: int, length: int) -> jax.Array:
     if tensor.shape[0] == 1:
         idx = jnp.zeros(1, jnp.int32)
     return tensor[idx]
+
+
+def immerkaer(image_batch: jax.Array) -> jax.Array:
+    """Immerkaer fast noise-variance estimation per image
+    (`maua/ops/image.py:65-67`): sigma = sqrt(pi/2) / (6 (W-2)(H-2))
+    * sum |I * L| with L the 3x3 noise-sensitive Laplacian. Jittable;
+    input (B, H, W, C) in any range."""
+    x = luminance(image_batch) if image_batch.shape[-1] == 3 else image_batch[..., 0]
+    L = jnp.asarray([[1.0, -2.0, 1.0], [-2.0, 4.0, -2.0], [1.0, -2.0, 1.0]])
+    conv = jax.lax.conv_general_dilated(
+        x[:, None], L[None, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0]
+    h, w = x.shape[1], x.shape[2]
+    return jnp.sqrt(jnp.pi / 2.0) * jnp.sum(jnp.abs(conv), axis=(1, 2)) / (6.0 * (w - 2) * (h - 2))
+
+
+def _gaussian_kernel1d(ks: int, sigma: float) -> jax.Array:
+    r = (ks - 1) / 2.0
+    x = jnp.arange(ks) - r
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jax.Array, ks=(7, 7), sigma: float = 1.0) -> jax.Array:
+    """Separable gaussian blur of (B, H, W, C), reflect-padded (the
+    cv2.GaussianBlur role in `maua/ops/image.py:243-244`)."""
+    kh = _gaussian_kernel1d(ks[0], sigma)
+    kw = _gaussian_kernel1d(ks[1], sigma)
+    b, h, w, c = img.shape
+    x = jnp.transpose(img, (0, 3, 1, 2)).reshape(b * c, 1, h, w)
+    rh, rw = ks[0] // 2, ks[1] // 2
+    x = jnp.pad(x, ((0, 0), (0, 0), (rh, rh), (rw, rw)), mode="reflect")
+    x = jax.lax.conv_general_dilated(x, kh[None, None, :, None], (1, 1), "VALID",
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, kw[None, None, None, :], (1, 1), "VALID",
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return jnp.transpose(x.reshape(b, c, h, w), (0, 2, 3, 1))
+
+
+def unsharp_mask(img: jax.Array, ks=(7, 7), sigma: float = 1.0, amount: float = 1.0,
+                 thresh: float = 0.25) -> jax.Array:
+    """Unsharp masking with a low-contrast mask (`maua/ops/image.py:243-253`).
+    Input (B, H, W, C) uint8-range [0, 255]; returns the same range,
+    rounded, with pixels whose |img - blur| < thresh left untouched."""
+    img = jnp.asarray(img, jnp.float32)
+    blurred = gaussian_blur(img, ks, sigma)
+    sharpened = (amount + 1.0) * img - amount * blurred
+    sharpened = jnp.round(jnp.clip(sharpened, 0.0, 255.0))
+    if thresh > 0:
+        sharpened = jnp.where(jnp.abs(img - blurred) < thresh, img, sharpened)
+    return sharpened
+
+
+def color_balance(img: jax.Array, percent: float) -> jax.Array:
+    """Simplest color balance (`maua/ops/image.py:180-191`): clip each
+    channel at the percent/2 low/high cumulative-histogram cuts and
+    rescale to [0, 255]. Input (H, W, 3) uint8-range; jittable (exact
+    per-channel quantiles instead of a 256-bin LUT)."""
+    img = jnp.asarray(img, jnp.float32)
+    lo = jnp.quantile(img, percent / 200.0, axis=(0, 1))
+    hi = jnp.quantile(img, 1.0 - percent / 200.0, axis=(0, 1))
+    out = (img - lo) / jnp.maximum(hi - lo, 1e-8) * 255.0
+    return jnp.round(jnp.clip(out, 0.0, 255.0))
+
+
+def positive(x: jax.Array) -> jax.Array:
+    """(`maua/ops/image.py:262-263`)"""
+    return (x > 0).astype(jnp.float32)
+
+
+def normalize_minmax(img: jax.Array) -> jax.Array:
+    """Min-max normalize to [0, 1] (`maua/ops/image.py:255-259`
+    normalize_np)."""
+    img = jnp.asarray(img, jnp.float32)
+    return (img - jnp.min(img)) / jnp.maximum(jnp.max(img) - jnp.min(img), 1e-12)
+
+
+def _box_sum(x: jax.Array, ks: int) -> jax.Array:
+    """The reference's integral-image window sum (`maua/ops/image.py:305-320`)
+    as one conv: replicate pad radius (ks-1)//2, then — exactly like the
+    reference's `integral[ks-1:-1] - integral[0:h] ...` slices — sum a
+    (ks-1) x (ks-1) window offset one short of centered."""
+    n = ks - 1
+    r = (ks - 1) // 2
+    p = jnp.pad(x, ((r, n - 1 - r), (r, n - 1 - r)), mode="edge")
+    k = jnp.ones((1, 1, n, n), x.dtype)
+    return jax.lax.conv_general_dilated(p[None, None], k, (1, 1), "VALID",
+                                        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+
+
+def blurriness_lbp(im_gray: jax.Array, ks: int, thresh: float) -> jax.Array:
+    """Local-binary-pattern sharpness map (`maua/ops/image.py:266-322`):
+    8-neighbor LBP codes (diagonals bilinearly interpolated at radius
+    sqrt(2)/2), non-uniform patterns (U > 2) mapped to 9, sharpness =
+    windowed density of codes {6,7,8,9}. Jittable; (H, W) in, (H, W)
+    out. The reference's integral-image window sum is a box conv here
+    (same values, MXU-friendly)."""
+    I = normalize_minmax(im_gray)
+    pt = jnp.pad(I, 1, mode="edge")
+
+    right, left = pt[1:-1, 2:], pt[1:-1, :-2]
+    above, below = pt[:-2, 1:-1], pt[2:, 1:-1]
+    above_right, above_left = pt[:-2, 2:], pt[:-2, :-2]
+    below_right, below_left = pt[2:, 2:], pt[2:, :-2]
+
+    q = math.sqrt(2) / 2
+    interp1 = (1 - q) * ((1 - q) * I + q * right) + q * ((1 - q) * above + q * above_right)
+    interp3 = (1 - q) * ((1 - q) * I + q * left) + q * ((1 - q) * above + q * above_left)
+    interp5 = (1 - q) * ((1 - q) * I + q * left) + q * ((1 - q) * below + q * below_left)
+    interp7 = (1 - q) * ((1 - q) * I + q * right) + q * ((1 - q) * below + q * below_right)
+
+    s = [positive(nb - I - thresh) for nb in
+         (right, interp1, above, interp3, left, interp5, below, interp7)]
+    U = sum(jnp.abs(s[(i + 1) % 8] - s[i]) for i in range(8))
+    lbpmap = sum(s)
+    lbpmap = jnp.where(U > 2, 9.0, lbpmap)
+
+    sharp = (lbpmap >= 6).astype(jnp.float32)
+    return _box_sum(sharp, ks) / float(ks) ** 2
+
+
+def blurriness_svd(img: jax.Array, kr: int = 10, sv_num: int = 3) -> jax.Array:
+    """Windowed-SVD blur map (`maua/ops/image.py:340-358`): per-pixel
+    2kr x 2kr patch singular-value concentration (top sv_num / total),
+    min-max inverted to a [0, 1] blur map. (H, W) in, (H, W) out.
+
+    The reference gathers h*w index windows (`windowed_index` :325-337);
+    here patches come from one strided slide + reshape and the batched
+    SVD runs as singular values only."""
+    h, w = img.shape
+    x = jnp.pad(jnp.asarray(img, jnp.float32), kr, mode="reflect")
+    ks = kr * 2
+    patches = jnp.stack([x[y : y + h, xx : xx + w] for y in range(ks) for xx in range(ks)], axis=-1)
+    blocks = patches.reshape(h * w, ks, ks)
+    sv = jnp.linalg.svd(blocks, compute_uv=False)
+    sv_degrees = jnp.sum(sv[:, :sv_num], axis=1) / jnp.maximum(jnp.sum(sv, axis=1), 1e-12)
+    max_sv, min_sv = jnp.min(sv_degrees), jnp.max(sv_degrees)
+    return ((sv_degrees - min_sv) / (max_sv - min_sv)).reshape(h, w)

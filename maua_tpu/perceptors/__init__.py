@@ -19,9 +19,12 @@ class Perceptor:
 
     image_size: int = 224
 
-    def __init__(self, content_layers: Optional[Sequence[int]] = None, style_layers: Optional[Sequence[int]] = None):
+    def __init__(self, content_layers: Optional[Sequence[int]] = None, style_layers: Optional[Sequence[int]] = None,
+                 content_strength: float = 1.0, style_strength: float = 1.0):
         self.content_layers = list(content_layers or [])
         self.style_layers = list(style_layers or [])
+        self.content_strength = content_strength
+        self.style_strength = style_strength
 
     def get_features(self, img) -> List:
         raise NotImplementedError
@@ -37,9 +40,9 @@ class Perceptor:
         feats = self.get_features(img)
         loss = 0.0
         for i, t in zip(self.content_layers, content_t):
-            loss = loss + feature_loss(feats[i], t)
+            loss = loss + self.content_strength * feature_loss(feats[i], t)
         for i, t in zip(self.style_layers, style_t):
-            loss = loss + scaled_mse_loss(gram_matrix(feats[i]), t)
+            loss = loss + self.style_strength * scaled_mse_loss(gram_matrix(feats[i]), t)
         return loss
 
 
@@ -63,7 +66,9 @@ def load_perceptor(name: str):
 
         return LPIPSPerceptor
     if "vgg" in name or name.split("-")[0] == "kbc":
+        from functools import partial
+
         from .vgg import VGGPerceptor
 
-        return VGGPerceptor
+        return partial(VGGPerceptor, arch="vgg16" if "16" in name else "vgg19")
     raise ValueError(f"unknown perceptor {name}")

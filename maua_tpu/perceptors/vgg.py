@@ -84,8 +84,16 @@ def features(params: List[Dict], img: jax.Array, arch: str = "vgg19", pool: str 
             feats.append(x)
             i += 1
         if block < len(_layout(arch)) - 1:
+            # pooling choice + activation-scale correction
+            # (`maua/perceptors/vgg_kbc.py:14-15,41-45`): non-max pooling
+            # changes the activation scale, so rescale by {avg: 2.0, l2: 0.78}
             if pool == "avg":
                 x = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+                x = x * 2.0
+            elif pool == "l2":
+                x = jnp.sqrt(jax.lax.reduce_window(jnp.square(x), 0.0, jax.lax.add,
+                                                   (1, 2, 2, 1), (1, 2, 2, 1), "VALID"))
+                x = x * 0.78
             else:
                 x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     return feats
@@ -101,15 +109,20 @@ class VGGPerceptor(Perceptor):
         content_layers: Optional[Sequence[int]] = None,
         style_layers: Optional[Sequence[int]] = None,
         pool: str = "max",
+        pooling: Optional[str] = None,  # reference kwarg name (vgg_kbc.py:23)
+        content_strength: float = 1.0,
+        style_strength: float = 1.0,
         key=None,
     ):
         if style_layers is None:
             style_layers = DEFAULT_STYLE if "19" in arch else DEFAULT_STYLE_16
         if content_layers is None:
             content_layers = DEFAULT_CONTENT
-        super().__init__(content_layers, style_layers)
+        super().__init__(content_layers, style_layers, content_strength, style_strength)
         self.arch = arch
-        self.pool = pool
+        self.pool = pooling if pooling is not None else pool
+        if self.pool not in ("max", "avg", "l2"):
+            raise ValueError(f"unknown pooling {self.pool!r} (one of max/avg/l2)")
         self.params = params if params is not None else init_params(key or jax.random.PRNGKey(0), arch)
 
     def get_features(self, img):

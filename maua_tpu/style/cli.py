@@ -19,7 +19,9 @@ def main(args=None):
     parser.add_argument("--size", default=512, type=int)
     parser.add_argument("--parameterization", default="rgb", type=str)
     parser.add_argument("--perceptor", default="kbc-vgg19", type=str)
+    parser.add_argument("--perceptor_kwargs", nargs="*", default=[])
     parser.add_argument("--optimizer", default="lbfgs", type=str)
+    parser.add_argument("--optimizer_kwargs", nargs="*", default=[])
     parser.add_argument("--lr", default=0.5, type=float)
     parser.add_argument("--n_iters", default=512, type=int)
     parser.add_argument("--content_weight", default=1.0, type=float)
@@ -31,12 +33,15 @@ def main(args=None):
     # fmt: on
 
     from ..ops.io import save_image
+    from ..utility import parse_kwarg_list
     from .image import transfer
 
     out = transfer(
         args.content, args.styles, init_img=args.init, init_type=args.init_type,
         match_hist=args.match_hist, size=args.size, parameterization=args.parameterization,
-        perceptor=args.perceptor, optimizer=args.optimizer, lr=args.lr, n_iters=args.n_iters,
+        perceptor=args.perceptor, perceptor_kwargs=parse_kwarg_list(args.perceptor_kwargs),
+        optimizer=args.optimizer, optimizer_kwargs=parse_kwarg_list(args.optimizer_kwargs),
+        lr=args.lr, n_iters=args.n_iters,
         content_weight=args.content_weight, style_weight=args.style_weight,
         tv_weight=args.tv_weight, style_scale=args.style_scale,
     )

@@ -115,3 +115,33 @@ def content_hash(*arrays, length: int = 16) -> str:
             h.update(str(arr.dtype).encode())
             h.update(np.ascontiguousarray(arr).tobytes())
     return h.hexdigest()
+
+
+def parse_kwarg_list(items) -> dict:
+    """Parse CLI kwarg lists into a dict. Accepts the reference's
+    `key type value` triplets (`maua/style/image.py:121-135`, with a
+    type-name whitelist instead of eval) and plain `key=value` pairs
+    (values parsed as python literals when possible)."""
+    import ast
+
+    items = list(items or [])
+    if not items:
+        return {}
+    if all("=" in it for it in items):
+        out = {}
+        for it in items:
+            k, v = it.split("=", 1)
+            try:
+                out[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                out[k] = v
+        return out
+    if len(items) % 3 != 0:
+        raise ValueError(f"kwarg list must be key=value pairs or 'key type value' triplets, got {items}")
+    casts = {"str": str, "int": int, "float": float, "bool": lambda v: v.lower() not in ("false", "0", "")}
+    out = {}
+    for k, t, v in zip(items[::3], items[1::3], items[2::3]):
+        if t not in casts:
+            raise ValueError(f"unsupported kwarg type {t!r} (one of {sorted(casts)})")
+        out[k] = casts[t](v)
+    return out

@@ -15,3 +15,16 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Bound compiled-executable memory growth across the (long) suite:
+    one pytest process accumulates every module's jitted executables,
+    which on this 1-CPU host has produced rare flaky SIGSEGVs deep into
+    the run. Modules don't share compilations, so dropping caches at
+    module teardown costs nothing."""
+    yield
+    jax.clear_caches()

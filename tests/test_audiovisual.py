@@ -249,3 +249,19 @@ def test_example_patch_files_load_dynamically(tmp_path):
         shutil.copy(os.path.join(src_dir, name), dst)
         cls2 = get_patch_from_file(str(dst))
         assert cls2.__name__ == cls.__name__
+
+
+def test_eerp_copeerp_endpoints():
+    """Exponential and co-exponential interpolation endpoints
+    (`maua/audiovisual/audioreactive/latent.py:46-54`)."""
+    import jax.numpy as jnp
+
+    a, b = jnp.asarray(2.0), jnp.asarray(8.0)
+    assert np.allclose(L.eerp(a, b, 0.0), 2.0)
+    assert np.allclose(L.eerp(a, b, 1.0), 8.0)
+    assert np.allclose(L.eerp(a, b, 0.5), 4.0)  # geometric midpoint
+    # copeerp: t=0 -> a^0 (1-1)/(1-1+1) = 0; monotone, finite on (0,1)
+    ts = jnp.linspace(0.0, 1.0, 9)
+    vals = np.asarray(L.copeerp(jnp.asarray(0.5), jnp.asarray(0.25), ts))
+    assert np.all(np.isfinite(vals))
+    assert np.allclose(vals[0], 0.0)

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 import maua_tpu.ops.image as imops
 
 
@@ -82,3 +84,68 @@ def test_local_std_constant_is_zero():
     img = np.full((1, 16, 16, 1), 0.7, dtype=np.float32)
     out = np.asarray(imops.local_std(img))
     assert np.allclose(out, 0.0, atol=1e-3)
+
+
+def test_immerkaer_noise_estimate():
+    """Immerkaer sigma estimate recovers the true noise level of a
+    flat image + gaussian noise (`maua/ops/image.py:65-67`)."""
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    sigma_true = 7.5
+    img = 128.0 + sigma_true * rs.randn(2, 64, 64, 1)
+    est = np.asarray(imops.immerkaer(jnp.asarray(img)))
+    assert est.shape == (2,)
+    assert np.all(np.abs(est - sigma_true) / sigma_true < 0.15)
+
+
+def test_unsharp_mask_sharpens_and_thresholds():
+    """Unsharp mask amplifies edges and leaves flat (low-contrast)
+    regions bit-identical (`maua/ops/image.py:243-253`)."""
+    import numpy as np
+
+    img = np.full((1, 32, 32, 1), 100.0)
+    img[:, :, 16:, :] = 180.0
+    out = np.asarray(imops.unsharp_mask(jnp.asarray(img), amount=1.0, thresh=0.25))
+    assert out.min() >= 0 and out.max() <= 255
+    # edge overshoot on both sides
+    assert out[0, 5, 15, 0] < 100 or out[0, 5, 16, 0] > 180
+    # flat corners untouched
+    assert out[0, 0, 0, 0] == 100 and out[0, -1, -1, 0] == 180
+
+
+def test_color_balance_stretches_range():
+    """Simplest color balance clips percentile tails and rescales each
+    channel to the full [0, 255] range (`maua/ops/image.py:180-191`)."""
+    import numpy as np
+
+    rs = np.random.RandomState(1)
+    img = 60.0 + 80.0 * rs.rand(40, 40, 3)
+    out = np.asarray(imops.color_balance(jnp.asarray(img), percent=2.0))
+    assert out.shape == img.shape
+    assert out.min() == 0.0 and out.max() == 255.0
+    # monotone per channel: ordering of clearly-separated pixels kept
+    flat_in, flat_out = img[..., 0].ravel(), out[..., 0].ravel()
+    i, j = np.argmin(flat_in), np.argmax(flat_in)
+    assert flat_out[i] <= flat_out[j]
+
+
+def test_blurriness_maps_rank_sharp_vs_blurred():
+    """LBP and SVD blurriness maps distinguish a sharp texture from
+    its blurred copy (`maua/ops/image.py:266-358`)."""
+    import numpy as np
+
+    rs = np.random.RandomState(2)
+    sharp = rs.rand(48, 48).astype(np.float32)
+    blurred = np.asarray(
+        imops.gaussian_blur(jnp.asarray(sharp)[None, :, :, None], ks=(9, 9), sigma=3.0)
+    )[0, :, :, 0]
+
+    lbp_sharp = np.asarray(imops.blurriness_lbp(jnp.asarray(sharp), ks=7, thresh=0.016))
+    lbp_blur = np.asarray(imops.blurriness_lbp(jnp.asarray(blurred), ks=7, thresh=0.016))
+    assert lbp_sharp.shape == (48, 48)
+    assert lbp_sharp.mean() > lbp_blur.mean()  # sharpness density higher on sharp
+
+    svd_map = np.asarray(imops.blurriness_svd(jnp.asarray(sharp), kr=4, sv_num=3))
+    assert svd_map.shape == (48, 48)
+    assert np.all(np.isfinite(svd_map)) and svd_map.min() >= -1e-5 and svd_map.max() <= 1 + 1e-5

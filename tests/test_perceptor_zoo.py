@@ -210,3 +210,31 @@ class TestGradModules:
         assert grad.shape == x.shape
         assert np.all(np.isfinite(np.asarray(grad)))
         assert float(jnp.max(jnp.abs(grad))) > 0
+
+
+def test_vgg_pooling_variants_and_name_arch():
+    """KBC pooling options with activation-scale correction
+    (`maua/perceptors/vgg_kbc.py:14-15,41-45`) and arch selection from
+    the perceptor name."""
+    from maua_tpu.perceptors import load_perceptor
+
+    rng = np.random.default_rng(17)
+    img = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32))
+
+    p16 = load_perceptor("kbc-vgg16")()
+    assert p16.arch == "vgg16" and len(p16.get_features(img)) == 13
+
+    feats = {}
+    for pooling in ("max", "avg", "l2"):
+        p = load_perceptor("kbc-vgg19")(pooling=pooling)
+        f = p.get_features(img)
+        assert len(f) == 16
+        assert np.all(np.isfinite(np.asarray(f[-1])))
+        feats[pooling] = np.asarray(f[-1])
+    assert not np.allclose(feats["max"], feats["avg"])
+    assert not np.allclose(feats["avg"], feats["l2"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_perceptor("kbc-vgg19")(pooling="bogus")

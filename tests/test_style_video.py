@@ -57,3 +57,59 @@ def test_transfer_multires_schedule(tmp_path):
     out = np.asarray(out)
     assert out.shape[1:3] == (24, 24)
     assert np.all(np.isfinite(out))
+
+
+def test_transfer_multires_video(tmp_path):
+    """Video coarse-to-fine: first scale starts from content, later
+    scales start from the upsampled previous-scale result
+    (`maua/style/video_multires.py:12`)."""
+    vid = _make_video(tmp_path / "in.mp4", t=2, size=32)
+    sty = _style_img(tmp_path)
+    out = style_multires.transfer_multires_video(
+        vid, [sty], sizes=(16, 24), n_iters_per_scale=(2, 2),
+        first_scale_passes=1, passes_per_scale=1, max_frames=2,
+        flow_models=("farneback",), verbose=False,
+    )
+    out = np.asarray(out)
+    assert out.shape[0] == 2 and out.shape[1:3] == (24, 24)
+    assert np.all(np.isfinite(out))
+
+
+def test_video_transfer_init_and_blend_options(tmp_path):
+    """init_type=prev_warped + histogram matching + random start frame
+    exercise the reference's pass options (`maua/style/video.py:120-160`)."""
+    vid = _make_video(tmp_path / "in.mp4", t=2, size=32)
+    sty = _style_img(tmp_path)
+    out = style_video.transfer(
+        vid, [sty], size=32, n_passes=2, n_iters=2, max_frames=2,
+        flow_models=("farneback",), verbose=False,
+        init_type="prev_warped", match_hist="avg", start_random_frame=True,
+        temporal_loss_after=0, blend_factor=0.5,
+    )
+    assert out.shape[0] == 2 and np.all(np.isfinite(out))
+
+
+def test_parse_kwarg_list():
+    """CLI kwarg parsing accepts both reference triplets and key=value
+    pairs (`maua/style/image.py:121-135`)."""
+    from maua_tpu.utility import parse_kwarg_list
+
+    assert parse_kwarg_list([]) == {}
+    assert parse_kwarg_list(["pooling", "str", "max", "shift", "int", "2"]) == {"pooling": "max", "shift": 2}
+    assert parse_kwarg_list(["lr=0.1", "name=adam"]) == {"lr": 0.1, "name": "adam"}
+    with pytest.raises(ValueError):
+        parse_kwarg_list(["a", "b"])
+    with pytest.raises(ValueError):
+        parse_kwarg_list(["a", "badtype", "b"])
+
+
+def test_video_transfer_vqgan_parameterization(tmp_path):
+    """Video NST can optimize in a VQGAN z-space instead of pixels
+    (`maua/style/video.py:99` parameterization choice)."""
+    vid = _make_video(tmp_path / "in.mp4", t=2, size=32)
+    sty = _style_img(tmp_path)
+    out = style_video.transfer(
+        vid, [sty], size=32, n_passes=1, n_iters=2, max_frames=2,
+        flow_models=("farneback",), verbose=False, parameterization="vqgan",
+    )
+    assert out.shape[0] == 2 and np.all(np.isfinite(out))
