@@ -80,3 +80,17 @@ def decode_video_tokens(params: Dict, tokens: jax.Array, cfg: VQConfig, rows: in
     f, b, l = tokens.shape
     imgs = decode_tokens(params, tokens.reshape(f * b, l), cfg, rows, cols)
     return imgs.reshape(f, b, *imgs.shape[1:])
+
+
+def encode_tokens(params: Dict, images: jax.Array, cfg: VQConfig) -> jax.Array:
+    """images (B, H, W, 3) in [-1, 1] -> (B, (H/U)*(W/U)) image-vocab
+    ids: encoder latents snapped to the nearest codebook entry (the
+    tokenization the reference gets from taming's `encode`, used to
+    build finetuning sequences in `ru_dalle/finetune.py:115-196`)."""
+    z = vae_mod.encode(params["vae"], images, cfg.vae_cfg)  # (B, h, w, C)
+    flat = z.reshape(-1, cfg.z_channels)
+    d = (jnp.sum(flat**2, -1, keepdims=True)
+         - 2.0 * flat @ params["codebook"].T
+         + jnp.sum(params["codebook"] ** 2, -1))
+    ids = jnp.argmin(d, axis=-1)
+    return ids.reshape(images.shape[0], -1)

@@ -272,7 +272,20 @@ def main(args=None):
     parser.add_argument("--out_dir", default="output/")
     parser.add_argument("--tile", default=0, type=int)
     parser.add_argument("--postdownsample", default=1, type=int)
+    parser.add_argument("--comparison", action="store_true",
+                        help="run every registered model on each image "
+                             "(`maua/super/image/comparison.py` / the reference's "
+                             "`super image comparison` subcommand)")
+    parser.add_argument("--models", nargs="*", default=None,
+                        help="restrict --comparison to these registry names")
     args = parser.parse_args(args)
+
+    if args.comparison:
+        for path in args.images:
+            compare(path, model_names=args.models,
+                    out_dir=f"{args.out_dir}/{Path(path).stem}_comparison", tile=args.tile)
+            print(f"{args.out_dir}/{Path(path).stem}_comparison")
+        return
 
     os.makedirs(args.out_dir, exist_ok=True)
     model = Upscaler(args.model_name, tile=args.tile)

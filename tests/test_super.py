@@ -159,3 +159,21 @@ def test_srvgg_converter_roundtrip():
     y = rrdbnet.srvgg_forward(params, x, cfg)
     assert y.shape == (1, 24, 24, 3)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_cli_comparison_subset(tmp_path):
+    """`--comparison` runs the selected models side-by-side on one
+    image (`maua/super/image/comparison.py` CLI role)."""
+    import os
+
+    from PIL import Image
+
+    from maua_tpu.super import image as super_image
+
+    rs = np.random.RandomState(0)
+    p = str(tmp_path / "in.png")
+    Image.fromarray((rs.rand(16, 16, 3) * 255).astype(np.uint8)).save(p)
+    super_image.main([p, "--comparison", "--models", "RealESRGAN-x4plus", "waifu2x-photo-noise0",
+                      "--out_dir", str(tmp_path)])
+    outs = os.listdir(str(tmp_path / "in_comparison"))
+    assert sorted(outs) == ["RealESRGAN-x4plus.png", "waifu2x-photo-noise0.png"]
