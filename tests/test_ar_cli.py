@@ -81,3 +81,48 @@ def test_vq_encode_decode_roundtrip():
     dec = vq.decode_tokens(params, toks, cfg, 32 // cfg.upscale, 32 // cfg.upscale)
     assert dec.shape == (2, 32, 32, 3)
     assert np.all(np.isfinite(np.asarray(dec)))
+
+
+def test_min_rq_rerank_subcommands(tmp_path):
+    """`min`/`rq` sample candidates and keep the CLIP-reranked best
+    (`maua/cli/autoregressive.py:119-137` surface)."""
+    out = str(tmp_path / "min")
+    rc = cli.main(["min", "tiny prompt", "--num_candidates", "3", "--num_outputs", "2",
+                   "--output_dir", out])
+    assert rc == 0 and len(os.listdir(out)) == 2
+    assert all(f.startswith("tiny_prompt_mindalle") for f in os.listdir(out))
+
+
+def test_generate_upscale_and_stretch(tmp_path):
+    """--upscale routes outputs through the RealESRGAN registry;
+    --stretch_size resizes the saved PNGs (`ru_dalle_generate`
+    :43-44)."""
+    from PIL import Image
+
+    out = str(tmp_path / "up")
+    rc = cli.main(["generate", "--text", "up test", "--num_outputs", "1",
+                   "--upscale", "2", "--output_dir", out])
+    assert rc == 0
+    im = Image.open(os.path.join(out, os.listdir(out)[0]))
+    assert im.size == (64, 64)  # native 32 * upscale 2
+
+    out2 = str(tmp_path / "st")
+    rc = cli.main(["generate", "--text", "stretch test", "--num_outputs", "1",
+                   "--stretch_size", "40,24", "--output_dir", out2])
+    assert rc == 0
+    assert Image.open(os.path.join(out2, os.listdir(out2)[0])).size == (40, 24)
+
+
+def test_finetune_captions_crop_and_sampling(tmp_path):
+    """finetune accepts per-image captions, random_crop, and samples
+    --num_outputs images from the finetuned weights into save_dir-named
+    files (`ru_dalle_finetune` :59-80)."""
+    paths = _imgs(tmp_path, n=2, size=48)
+    out = str(tmp_path / "post")
+    rc = cli.main(["finetune", "--images", *paths, "--captions", "cap one", "cap two",
+                   "--steps", "2", "--random_crop", "40", "--adam8bit",
+                   "--num_outputs", "1", "--save_dir", str(tmp_path / "zoo"),
+                   "--output_dir", out])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "zoo" / "im0.npz"))  # model_name defaults to first image
+    assert [f for f in os.listdir(out) if f.startswith("im0_")]
