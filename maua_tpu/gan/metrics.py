@@ -210,3 +210,82 @@ def compute_metrics(
     out = {"fid": float(fid(fr, ff)), "kid": float(kernel_distance(fr, ff))}
     out.update({k: float(v) for k, v in prdc(fr, ff, nearest_k).items()})
     return out
+
+
+def compute(
+    real_samples,
+    fake_samples: Callable,
+    n_samples: int = 10_000,
+    extractor="swav",
+    batch_size: int = 32,
+    nearest_k: int = 5,
+    ignore_cache: bool = False,
+    size: int = 256,
+) -> Dict[str, float]:
+    """Folder-vs-generator metric run with real-feature caching
+    (`metrics/compute.py:95-160`): `real_samples` is an image directory
+    (or an array); `fake_samples()` yields a batch of images in [0, 1].
+    Real features cache to workspace/cache keyed by folder, extractor,
+    and n_samples, like the reference's `cache/<stem>_real_*.npz`."""
+    import os
+
+    import numpy as np
+
+    from ..ops.image import resample
+    from ..utility import WORKSPACE
+
+    if isinstance(extractor, str):
+        from .extractors import get_extractor
+
+        name, extract_fn = extractor, get_extractor(extractor)
+    else:
+        name, extract_fn = getattr(extractor, "__name__", "custom"), extractor
+
+    def features(batches):
+        # batches arrive in [0, 1]; extractors take [-1, 1]
+        outs = []
+        for b in batches:
+            b = jnp.asarray(b, jnp.float32)
+            if b.shape[1] != size or b.shape[2] != size:
+                b = jnp.clip(resample(b, size), 0, 1)  # clean-resize role (compute.py:25-35)
+            outs.append(np.asarray(extract_fn(b * 2 - 1)))
+        return np.concatenate(outs)
+
+    # real side: folder with caching, or raw arrays
+    if isinstance(real_samples, (str, os.PathLike)):
+        cache_dir = os.path.join(WORKSPACE, "cache")
+        stem = os.path.basename(os.path.normpath(str(real_samples)))
+        cache_file = os.path.join(cache_dir, f"{stem}_real_{name}_{n_samples}_features.npz")
+        if os.path.exists(cache_file) and not ignore_cache:
+            fr = np.load(cache_file)["features"]
+        else:
+            from ..ops.io import load_image
+
+            exts = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+            paths = sorted(
+                os.path.join(str(real_samples), f)
+                for f in os.listdir(str(real_samples)) if f.lower().endswith(exts)
+            )[:n_samples]
+            if not paths:
+                raise ValueError(f"no images found in {real_samples}")
+            batches = (
+                np.concatenate([np.asarray(resample(jnp.asarray(load_image(p)), size)) for p in paths[i : i + batch_size]])
+                for i in range(0, len(paths), batch_size)
+            )
+            fr = features(batches)
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez(cache_file, features=fr)
+    else:
+        arr = np.asarray(real_samples)[:n_samples]
+        fr = features(arr[i : i + batch_size] for i in range(0, len(arr), batch_size))
+
+    n_fake = min(n_samples, len(fr))
+    ff = []
+    while sum(len(f) for f in ff) < n_fake:
+        ff.append(np.asarray(features([fake_samples()])))
+    ff = np.concatenate(ff)[:n_fake]
+
+    fr_j, ff_j = jnp.asarray(fr[: len(ff)]), jnp.asarray(ff)
+    out = {"fid": float(fid(fr_j, ff_j)), "kid": float(kernel_distance(fr_j, ff_j))}
+    out.update({k: float(v) for k, v in prdc(fr_j, ff_j, nearest_k).items()})
+    return out

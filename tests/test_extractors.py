@@ -154,3 +154,46 @@ def test_compute_metrics_accepts_named_extractor():
     fake = rng.uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32)
     out = compute_metrics(real, fake, extractor="swav", batch=8, nearest_k=2)
     assert np.isfinite(out["fid"]) and np.isfinite(out["kid"])
+
+
+def test_compute_folder_with_cache(tmp_path, monkeypatch):
+    """compute() reads reals from a folder, caches their features
+    keyed by folder/extractor/n (`metrics/compute.py:104-117`), and
+    consumes a fake-batch generator callable."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from maua_tpu.gan import metrics
+
+    monkeypatch.setattr("maua_tpu.utility.WORKSPACE", str(tmp_path / "ws"))
+
+    real_dir = tmp_path / "reals"
+    real_dir.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(6):
+        Image.fromarray((rs.rand(16, 16, 3) * 255).astype(np.uint8)).save(str(real_dir / f"{i}.png"))
+
+    calls = {"n": 0}
+
+    def extractor(x):
+        calls["n"] += 1
+        return x.mean(axis=(1, 2))  # (B, 3) toy features
+
+    def fake_batch():
+        return rs.rand(4, 16, 16, 3).astype(np.float32)
+
+    out = metrics.compute(str(real_dir), fake_batch, n_samples=6, extractor=extractor,
+                          batch_size=4, nearest_k=2, size=16)
+    assert np.isfinite(out["fid"]) and np.isfinite(out["kid"])
+    n_after_first = calls["n"]
+
+    cache_dir = os.path.join(str(tmp_path / "ws"), "cache")
+    assert any("_real_" in f for f in os.listdir(cache_dir))
+
+    # second run hits the real-feature cache: only fake batches extract
+    out2 = metrics.compute(str(real_dir), fake_batch, n_samples=6, extractor=extractor,
+                           batch_size=4, nearest_k=2, size=16)
+    assert np.isfinite(out2["fid"])
+    assert calls["n"] - n_after_first == 2  # two fake batches, zero real
