@@ -76,26 +76,39 @@ def main():
 
     fps = batch * n_batches / min(times)
 
-    # end-to-end fps: full-res uint8 frames fetched to the HOST (what
-    # an encode pipeline consumes). On the axon relay the device->host
+    # end-to-end fps: frames delivered to the HOST (what an encode
+    # pipeline consumes), the production path: I420 conversion on
+    # device (half the bytes of rgb24, ops/video.rgb_to_yuv420) and
+    # double-buffered fetch (batch N transfers while N+1 synthesizes,
+    # as in gan/wrappers.render). On the axon relay the device->host
     # link dominates, so this is reported separately from on-device
     # synthesis fps — the two bound different deployment modes.
+    from maua_tpu.ops.video import rgb_to_yuv420
+
     e2e_batch = min(batch, 8)
 
     def render_frames(params, base_ws, noises_b, k):
         ws = base_ws[:e2e_batch] + 0.1 * jax.random.normal(k, (e2e_batch, cfg.num_ws, cfg.w_dim), jnp.float32)
         img = fs.synthesis_fast(params, plan, ws, cfg, noises=noises_b)
-        return jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+        img8 = jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+        return rgb_to_yuv420(img8)
 
     render_full = jax.jit(render_frames)
     noises_b = {k: v[:e2e_batch] for k, v in noises.items()}
     np.asarray(render_full(params, base_ws, noises_b, jax.random.PRNGKey(9)))  # warmup
+    n_e2e = 4
     e2e_times = []
     for trial in range(3):
+        e2e_keys = jax.random.split(jax.random.PRNGKey(10 + trial), n_e2e)
         t0 = time.perf_counter()
-        frames = np.asarray(render_full(params, base_ws, noises_b, jax.random.PRNGKey(10 + trial)))
+        pending = render_full(params, base_ws, noises_b, e2e_keys[0])
+        for i in range(1, n_e2e):
+            nxt = render_full(params, base_ws, noises_b, e2e_keys[i])  # async dispatch
+            np.asarray(pending)  # fetch overlaps the dispatched batch
+            pending = nxt
+        np.asarray(pending)
         e2e_times.append(time.perf_counter() - t0)
-    e2e_fps = e2e_batch / min(e2e_times)
+    e2e_fps = n_e2e * e2e_batch / min(e2e_times)
 
     print(json.dumps({
         "metric": "stylegan2_1024_e2e_frames_per_sec_per_chip",

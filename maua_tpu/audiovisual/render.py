@@ -34,27 +34,34 @@ class FFMPEG:
     (`render/ffmpeg.py:21-77`)."""
 
     def __init__(self, output_file: str, fps: float = 24, audio_file: Optional[str] = None,
-                 batch_size: int = 8, **writer_kwargs):
+                 batch_size: int = 8, pix_fmt: Optional[str] = None, **writer_kwargs):
         self.output_file = output_file
         self.fps = fps
         self.audio_file = audio_file
         self.batch_size = batch_size
+        self.pix_fmt = pix_fmt
         self.writer_kwargs = writer_kwargs
 
     def __call__(self, synthesizer_render, synthesizer_inputs: Dict, postprocess: Optional[Callable] = None):
-        from ..ops.video import VideoWriter
+        from ..ops.video import VideoWriter, ffmpeg_available
 
+        # the encoder output is yuv420p either way; converting on device
+        # halves the device->host frame bytes (ops/video.rgb_to_yuv420)
+        pix_fmt = self.pix_fmt or ("yuv420p" if ffmpeg_available() else "rgb24")
         latents, translation, zoom, rotation, noises = _split_inputs(synthesizer_inputs)
         frame_iter = synthesizer_render(
             latents, noises=noises, translation=translation, zoom=zoom, rotation=rotation,
-            batch_size=self.batch_size, postprocess=postprocess,
+            batch_size=self.batch_size, postprocess=postprocess, pix_fmt=pix_fmt,
         )
         first = next(frame_iter)
-        h, w = first.shape[0], first.shape[1]
+        if pix_fmt == "yuv420p":
+            h, w = first.shape[0] * 2 // 3, first.shape[1]
+        else:
+            h, w = first.shape[0], first.shape[1]
         duration = latents.shape[0] / self.fps
         with VideoWriter(
             self.output_file, (w, h), self.fps, audio_file=self.audio_file, audio_duration=duration,
-            value_range=(0, 255), **self.writer_kwargs,
+            value_range=(0, 255), pix_fmt=pix_fmt, **self.writer_kwargs,
         ) as video:
             video.write(first.tobytes())
             for frame in frame_iter:

@@ -354,7 +354,7 @@ class StyleGAN3:
         return self.synthesizer(self.mapper(z, truncation), translation, rotation)
 
     def render(self, latent_w_plus, translation=None, rotation=None, batch_size: int = 4,
-               postprocess=None, **_ignored):
+               postprocess=None, pix_fmt: str = "rgb24", **_ignored):
         """Batched frame generator mirroring the SG2 wrapper surface
         (`wrappers/__init__.py:52-99`): per-frame translation (T, 2) and
         rotation (T,) drive the Fourier input transform."""
@@ -372,6 +372,7 @@ class StyleGAN3:
         if not hasattr(self, "_render_fn"):
             self._render_fn = jax.jit(lambda params, ws, m: synthesis(params, ws, self.cfg, m))
         fn = lambda ws, m: self._render_fn(self.params, ws, m)
+        pending = None  # double-buffer: fetch batch N while N+1 synthesizes
         for s0 in range(0, t, batch_size):
             ws = latent_w_plus[s0 : s0 + batch_size]
             m = mats[s0 : s0 + batch_size] if mats is not None else None
@@ -383,5 +384,14 @@ class StyleGAN3:
                 imgs = postprocess(imgs)
             # uint8 HWC frames, same contract as the SG2 wrapper render
             imgs8 = jnp.clip((jnp.clip(imgs, -1, 1) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
-            for f in np.asarray(imgs8):
+            if pix_fmt == "yuv420p":
+                from ..ops.video import rgb_to_yuv420
+
+                imgs8 = rgb_to_yuv420(imgs8)
+            if pending is not None:
+                for f in np.asarray(pending):
+                    yield f
+            pending = imgs8
+        if pending is not None:
+            for f in np.asarray(pending):
                 yield f

@@ -54,7 +54,12 @@ class RenderConfig:
 
 
 def _resize_plan(cfg: SG2Config, rcfg: RenderConfig):
-    """Compute (resize_layer_index, per-layer target (H, W)) or None."""
+    """Compute (resize_layer_index, per-layer target (H, W)) or None.
+
+    A layer index of None means the requested size is not representable
+    in feature space at the chosen layer (the per-layer target rounds
+    below one pixel — e.g. 64^2 output from a 1024 model at layer 0) —
+    synthesize natively and resize the final image instead."""
     if rcfg.output_size is None:
         return None
     out_w, out_h = rcfg.output_size
@@ -65,6 +70,8 @@ def _resize_plan(cfg: SG2Config, rcfg: RenderConfig):
     res = int(name.split(".")[0][1:])
     lay_mult = cfg.img_resolution // res
     target = (int(round(out_h / lay_mult)), int(round(out_w / lay_mult)))
+    if min(target) < 1:
+        return None, (out_h, out_w)
     return rcfg.layer, target
 
 
@@ -177,7 +184,7 @@ def synthesize(
 
         if res == 4:
             x = jnp.tile(block["const"][None].astype(dtype), (batch, 1, 1, 1))
-            if plan is not None and plan[0] <= 1:
+            if plan is not None and plan[0] is not None and plan[0] <= 1:
                 # layer 0/1: pre-hook resize of the const input
                 x = _apply_strategy(
                     x, plan[1], rcfg.strategy,
@@ -209,7 +216,7 @@ def synthesize(
                     resample_filter=rfilter if up > 1 else None,
                 )
                 x = ops.bias_act(x, p["bias"].astype(dtype), act="lrelu", clamp=cfg.conv_clamp)
-                if plan is not None and plan[0] == li and plan[0] > 1:
+                if plan is not None and plan[0] is not None and plan[0] == li and plan[0] > 1:
                     x = _apply_strategy(
                         x, plan[1], rcfg.strategy,
                         jax.random.fold_in(noise_key, 9999) if rcfg.resize_noise else None,
@@ -226,6 +233,12 @@ def synthesize(
                 img = W.resize_bicubic(img, y.shape[1:3])
             img = (img + y.astype(img.dtype)) if img is not None else y.astype(jnp.float32)
         w_idx += num_conv
+    if plan is not None:
+        # guarantee the advertised output size exactly: covers the
+        # final-resize plan (layer None) and any per-layer rounding
+        out_w, out_h = rcfg.output_size
+        if img.shape[1:3] != (out_h, out_w):
+            img = W.resize_bicubic(img, (out_h, out_w))
     return img.astype(jnp.float32)
 
 
@@ -241,7 +254,7 @@ def make_noise_pyramid(cfg: SG2Config, noise: jax.Array, layer_limit: int = 8, r
             continue
         res = int(name.split(".")[0][1:])
         h = w = res
-        if plan is not None:
+        if plan is not None and plan[0] is not None:
             rl_name = layer_names(cfg)[plan[0]]
             rl_res = int(rl_name.split(".")[0][1:])
             if res >= rl_res:
@@ -365,6 +378,7 @@ class StyleGAN2:
         batch_size: int = 8,
         postprocess=None,
         mesh=None,
+        pix_fmt: str = "rgb24",
     ) -> Iterator[np.ndarray]:
         """Batched frame generator (`wrappers/__init__.py:52-99`):
         yields uint8 HWC frames. The device loop is jitted per batch
@@ -372,7 +386,12 @@ class StyleGAN2:
 
         Passing a Mesh shards each frame batch on its `data` axis —
         video frames are the natural sequence axis for ICI data
-        parallelism (SURVEY.md section 2.14)."""
+        parallelism (SURVEY.md section 2.14).
+
+        pix_fmt="yuv420p" converts to planar I420 on device and yields
+        (3H/2, W) uint8 frames (the raw yuv420p byte layout) — half the
+        device->host bytes of rgb24, for writers that encode yuv
+        anyway."""
         sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -385,6 +404,7 @@ class StyleGAN2:
         T = latents.shape[0]
         min_batch = mesh.shape["data"] if mesh is not None else 1
         lo = 0
+        pending = None  # (device uint8 batch, frame count) awaiting fetch
         while lo < T:
             hi = min(lo + batch_size, T)
             pad = batch_size - (hi - lo)
@@ -425,10 +445,26 @@ class StyleGAN2:
             if postprocess is not None:
                 imgs = postprocess(imgs)
             imgs = jnp.clip((imgs + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
-            imgs = np.asarray(imgs)
-            for i in range(hi - lo):
-                yield imgs[i]
+            if pix_fmt == "yuv420p":
+                from ..ops.video import rgb_to_yuv420
+
+                imgs = rgb_to_yuv420(imgs)
+            # double-buffer: dispatch of this batch is async, so fetch
+            # the PREVIOUS batch now — device→host transfer (the e2e
+            # bottleneck through the relay) overlaps this batch's
+            # synthesis instead of serializing after it
+            if pending is not None:
+                prev_imgs, prev_n = pending
+                prev_imgs = np.asarray(prev_imgs)
+                for i in range(prev_n):
+                    yield prev_imgs[i]
+            pending = (imgs, hi - lo)
             lo = hi
+        if pending is not None:
+            imgs, n = pending
+            imgs = np.asarray(imgs)
+            for i in range(n):
+                yield imgs[i]
 
 
 def get_generator_class(architecture: str):

@@ -24,6 +24,35 @@ def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+def rgb_to_yuv420(rgb):
+    """On-device RGB -> planar I420: (B, H, W, 3) uint8 -> (B, 3H/2, W)
+    uint8 (BT.601 limited range, 2x2 mean chroma subsampling) — the
+    exact byte layout ffmpeg reads as ``-pix_fmt yuv420p`` rawvideo.
+
+    TPU-first replacement for letting ffmpeg's swscale convert rgb24 on
+    the host (`maua/ops/video.py:42-77` pipes rgb24): converting on
+    device halves device->host transfer bytes (1.5 vs 3 per pixel) —
+    the end-to-end bottleneck — and removes the host-side colorspace
+    pass from the encoder."""
+    import jax.numpy as jnp
+
+    B, H, W, _ = rgb.shape
+    if H % 2 or W % 2:
+        raise ValueError(f"yuv420p needs even frame dimensions, got {H}x{W}")
+    x = rgb.astype(jnp.float32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    luma = 16.0 + y * (219.0 / 255.0)
+    cb = 128.0 + (b - y) * (224.0 / 255.0 * 0.5 / (1.0 - 0.114))
+    cr = 128.0 + (r - y) * (224.0 / 255.0 * 0.5 / (1.0 - 0.299))
+    sub = lambda c: c.reshape(B, H // 2, 2, W // 2, 2).mean(axis=(2, 4))
+    to8 = lambda p: jnp.clip(jnp.round(p), 0, 255).astype(jnp.uint8)
+    flat = jnp.concatenate(
+        [to8(luma).reshape(B, -1), to8(sub(cb)).reshape(B, -1), to8(sub(cr)).reshape(B, -1)], axis=1
+    )
+    return flat.reshape(B, 3 * H // 2, W)
+
+
 class WriteWorker(threading.Thread):
     """Drains a frame queue into an ffmpeg rawvideo pipe
     (`maua/ops/video.py:15-104`)."""
@@ -38,6 +67,7 @@ class WriteWorker(threading.Thread):
         audio_duration: Optional[float] = None,
         ffmpeg_preset: str = "slow",
         crf: int = 17,
+        pix_fmt: str = "rgb24",
     ):
         super().__init__(daemon=True)
         self.q: "queue.Queue[Optional[bytes]]" = queue.Queue(maxsize=64)
@@ -45,7 +75,7 @@ class WriteWorker(threading.Thread):
         os.makedirs(parent, exist_ok=True)
         w, h = output_size
         cmd = ["ffmpeg", "-y", "-v", "warning"]
-        cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "-r", str(fps), "-i", "-"]
+        cmd += ["-f", "rawvideo", "-pix_fmt", pix_fmt, "-s", f"{w}x{h}", "-r", str(fps), "-i", "-"]
         if audio_file is not None:
             if audio_offset:
                 cmd += ["-ss", str(audio_offset)]
@@ -53,9 +83,11 @@ class WriteWorker(threading.Thread):
             if audio_duration is not None:
                 cmd += ["-t", str(audio_duration)]
             cmd += ["-map", "0:v", "-map", "1:a", "-c:a", "aac", "-shortest"]
-        # yuv420p requires even dimensions; pad odd inputs by one
-        # black row/column instead of failing at encode time
-        cmd += ["-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2"]
+        if pix_fmt == "rgb24":
+            # yuv420p requires even dimensions; pad odd inputs by one
+            # black row/column instead of failing at encode time
+            # (pre-converted yuv420p input is even by construction)
+            cmd += ["-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2"]
         cmd += ["-c:v", "libx264", "-preset", ffmpeg_preset, "-crf", str(crf), "-pix_fmt", "yuv420p", output_file]
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
 
@@ -129,11 +161,18 @@ class VideoWriter:
         audio_offset: float = 0.0,
         audio_duration: Optional[float] = None,
         value_range: Tuple[float, float] = (-1.0, 1.0),
+        pix_fmt: str = "rgb24",
         **kwargs,
     ):
         self.output_size = output_size
         self.value_range = value_range
-        cls = WriteWorker if ffmpeg_available() else _CV2Worker
+        self.pix_fmt = pix_fmt
+        have_ffmpeg = ffmpeg_available()
+        if pix_fmt != "rgb24" and not have_ffmpeg:
+            raise ValueError(f"pix_fmt={pix_fmt!r} requires the ffmpeg rawvideo pipe (no ffmpeg binary found)")
+        cls = WriteWorker if have_ffmpeg else _CV2Worker
+        if have_ffmpeg:
+            kwargs["pix_fmt"] = pix_fmt
         self.worker = cls(
             output_file, output_size, fps, audio_file=audio_file, audio_offset=audio_offset,
             audio_duration=audio_duration, **kwargs,

@@ -12,7 +12,9 @@ from typing import Optional
 
 import numpy as np
 
-from ..ops.video import VideoWriter, read_video
+import jax.numpy as jnp
+
+from ..ops.video import VideoWriter, ffmpeg_available, read_video, rgb_to_yuv420
 from .image import Upscaler
 from . import rife
 
@@ -28,11 +30,24 @@ def upscale_video(
     frames, fps = read_video(video_file, max_frames=max_frames)
     model = Upscaler(model_name)
     t, h, w, _ = frames.shape
+    wo, ho = w * model.scale, h * model.scale
+    # pre-convert to the encoder's colorspace on device: halves the
+    # device->host bytes of the (upscaled, so 16-48x larger) frames
+    yuv = ffmpeg_available() and ho % 2 == 0 and wo % 2 == 0
     out_file = output_file or str(Path(video_file).with_suffix("")) + f"_{model_name}.mp4"
-    with VideoWriter(out_file, (w * model.scale, h * model.scale), fps, value_range=(0, 1)) as writer:
+    with VideoWriter(out_file, (wo, ho), fps, value_range=(0, 1),
+                     pix_fmt="yuv420p" if yuv else "rgb24") as writer:
+        pending = None  # double-buffer: fetch batch N while N+1 upscales
         for i in range(0, t, batch_size):
-            up = np.asarray(model(frames[i : i + batch_size]))
-            for f in up:
+            up = model(frames[i : i + batch_size])  # async dispatch
+            if yuv:
+                up = rgb_to_yuv420(jnp.clip(jnp.round(up * 255.0), 0, 255).astype(jnp.uint8))
+            if pending is not None:
+                for f in np.asarray(pending):
+                    writer.write(f)
+            pending = up
+        if pending is not None:
+            for f in np.asarray(pending):
                 writer.write(f)
     return out_file
 

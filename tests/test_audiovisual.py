@@ -102,6 +102,20 @@ def test_wrapper_resize_output():
     assert np.all(np.isfinite(np.asarray(img)))
 
 
+def test_wrapper_downscale_output():
+    """Output sizes whose per-layer target rounds below one pixel
+    (64^2 from a 1024 model at layer 0 → const would shrink to 0x0)
+    must fall back to a final-image resize, never produce empty
+    frames (regression: CLI --out_size smaller than native)."""
+    gan = StyleGAN2(cfg=CFG32, output_size=(4, 4), strategy="stretch", layer=0, dtype="float32")
+    ws = gan.get_w_latents("3")
+    img = np.asarray(gan.synthesizer(ws))
+    assert img.shape == (1, 4, 4, 3)
+    assert np.all(np.isfinite(img)) and img.std() > 0
+    frames = list(gan.render(ws, batch_size=2))
+    assert frames[0].shape == (4, 4, 3) and frames[0].size > 0
+
+
 def test_wrapper_motion_mods():
     gan = StyleGAN2(cfg=CFG32, dtype="float32")
     ws = gan.get_w_latents("7")
@@ -194,6 +208,25 @@ class TinyPatch(StyleGAN2Patch):
     assert video.shape == (12, 32, 32, 3)
     assert video.dtype == np.uint8
     assert video.std() > 1.0  # non-degenerate frames
+
+    # same patch through the FFMPEG renderer (ffmpeg pipe, or the cv2
+    # fallback on hosts without the binary) — the production encode
+    # path incl. pix_fmt selection + double-buffered render generator
+    out_file = str(tmp_path / "e2e.mp4")
+    video_file, _ = generate_audiovisual_from_patch(
+        audio_file=wav_file,
+        model_file=None,
+        patch_file=str(patch_file),
+        renderer="ffmpeg",
+        renderer_kwargs={"batch_size": 8, "output_file": out_file},
+        fps=4,
+        out_size=(32, 32),
+    )
+    from maua_tpu.ops.video import read_video
+
+    decoded, _ = read_video(video_file)
+    assert decoded.shape == (12, 32, 32, 3)
+    assert np.asarray(decoded).std() > 0.01
 
 
 def test_render_sharded_over_mesh():
