@@ -67,7 +67,14 @@ def generate(
     out_file = output_file or f"output/{Path(audio_file).stem}_patch{seed}.mp4"
     Path(out_file).parent.mkdir(parents=True, exist_ok=True)
     res = gan.rcfg.output_size or (gan.res, gan.res)
-    with VideoWriter(out_file, res, fps, audio_file=audio_file, value_range=(0, 255)) as vid:
+    # encode-path pipelining (PERFORMANCE.md): I420 on device + fetch
+    # of batch N overlapping batch N+1's synthesis
+    from ...ops.video import ffmpeg_available, rgb_to_yuv420
+
+    yuv = ffmpeg_available() and res[0] % 2 == 0 and res[1] % 2 == 0
+    with VideoWriter(out_file, res, fps, audio_file=audio_file, value_range=(0, 255),
+                     pix_fmt="yuv420p" if yuv else "rgb24") as vid:
+        pending = None
         for i in range(0, n_frames, batch_size):
             b = min(batch_size, n_frames - i)
             noises = {}
@@ -75,11 +82,18 @@ def generate(
                 win = mod(i, b)  # (b, h, w)
                 noises[name] = win[..., None]
             imgs = gan.synthesizer(latents[i : i + b], noises=noises)
-            imgs = np.asarray(jnp.clip((imgs + 1) * 127.5, 0, 255).astype(jnp.uint8))
-            for f in imgs:
-                vid.write(f.tobytes())
+            imgs = jnp.clip((imgs + 1) * 127.5, 0, 255).astype(jnp.uint8)
+            if yuv:
+                imgs = rgb_to_yuv420(imgs)
+            if pending is not None:
+                for f in np.asarray(pending):
+                    vid.write(f.tobytes())
+            pending = imgs
             if verbose and (i // batch_size) % 10 == 0:
                 print(f"frame {i}/{n_frames}")
+        if pending is not None:
+            for f in np.asarray(pending):
+                vid.write(f.tobytes())
     return out_file
 
 

@@ -105,6 +105,29 @@ def test_correlation_metrics():
     assert 0 <= out_dep["rv"] <= 1 + 1e-6
 
 
+def test_generate_end_to_end(audio, tmp_path):
+    """Full selfsupervised pipeline (`selfsupervised/sample.py:36-101`):
+    audio -> music info -> seeded Patch -> render -> decodable video,
+    through the pipelined encode path (double-buffer + I420/cv2)."""
+    import scipy.io.wavfile
+
+    from maua_tpu.audiovisual.selfsupervised.sample import generate
+    from maua_tpu.gan.stylegan2 import SG2Config
+    from maua_tpu.ops.video import read_video
+
+    wav = str(tmp_path / "s.wav")
+    scipy.io.wavfile.write(wav, SR, (audio * 32767).astype(np.int16))
+    cfg = SG2Config(img_resolution=32, channel_base=2048, channel_max=64, num_fp16_res=0)
+    out = generate(
+        wav, output_file=str(tmp_path / "ss.mp4"), fps=2, seed=1, batch_size=4,
+        stylegan_kwargs={"cfg": cfg, "dtype": "float32"}, max_seconds=3.0, verbose=False,
+    )
+    video, _ = read_video(out)
+    assert video.shape[1:] == (32, 32, 3)
+    assert video.shape[0] >= 4
+    assert np.asarray(video).std() > 0.01
+
+
 def test_video_features():
     from maua_tpu.audiovisual.selfsupervised.video_features import video_feature_matrix
 

@@ -1,9 +1,12 @@
-"""Measure device->host overlap in the SG2 render generator.
+"""Measure the render encode-path pipelining on the chip.
 
-Compares wall-clock of StyleGAN2.render() (double-buffered fetch: batch
-N transfers while batch N+1 synthesizes) against a serialized
-fetch-after-synth loop, at 1024^2 through the axon relay where the
-device->host transfer is the end-to-end bottleneck.
+Three variants of delivering SG2 frames to the host at 1024^2 through
+the axon relay (where device->host transfer bounds e2e fps):
+
+  serialized : synth -> blocking rgb24 fetch per batch (old behavior)
+  overlapped : StyleGAN2.render() double-buffer, rgb24
+  overlap+yuv: StyleGAN2.render(pix_fmt="yuv420p") — double-buffer plus
+               on-device I420 (half the bytes over the link)
 
 Run from /root/repo: python workspace/profiling/bench_render_overlap.py
 """
@@ -16,7 +19,6 @@ sys.path.insert(0, os.getcwd())
 
 
 def main():
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -31,15 +33,6 @@ def main():
     ws = gen.get_w_latents(f"0-{max(n_frames // 8, 1) - 1}")
     lat = jnp.tile(ws, (8, 1, 1))[:n_frames]
 
-    # warm both paths
-    for _ in gen.render(lat[: 2 * batch], batch_size=batch):
-        pass
-
-    t0 = time.time()
-    n = sum(1 for _ in gen.render(lat, batch_size=batch))
-    overlap = time.time() - t0
-    assert n == n_frames
-
     # serialized reference: synth -> blocking fetch per batch
     def serial():
         for lo in range(0, n_frames, batch):
@@ -47,14 +40,19 @@ def main():
             imgs = jnp.clip((imgs + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
             yield from np.asarray(imgs)
 
-    t0 = time.time()
-    n = sum(1 for _ in serial())
-    ser = time.time() - t0
-    assert n == n_frames
-
-    print(f"overlapped render: {n_frames / overlap:.2f} fps e2e")
-    print(f"serialized render: {n_frames / ser:.2f} fps e2e")
-    print(f"speedup: {ser / overlap:.3f}x")
+    variants = {
+        "serialized rgb24": serial,
+        "overlapped rgb24": lambda: gen.render(lat, batch_size=batch),
+        "overlap + yuv420": lambda: gen.render(lat, batch_size=batch, pix_fmt="yuv420p"),
+    }
+    for name, make in variants.items():
+        for _ in make():  # warm (compile + first transfers)
+            break
+        t0 = time.time()
+        n = sum(1 for _ in make())
+        dt = time.time() - t0
+        assert n == n_frames, (name, n)
+        print(f"{name}: {n_frames / dt:6.2f} fps e2e  ({dt:.2f} s / {n_frames} frames)")
 
 
 if __name__ == "__main__":
