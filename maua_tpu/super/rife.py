@@ -118,19 +118,37 @@ def recursive_inference(params, frame0, frame1, n: int, cfg: RIFEConfig = RIFECo
 
 
 def interpolate(frames: np.ndarray, factor: int = 2, params=None, cfg: RIFEConfig = RIFEConfig(),
-                key=None) -> Iterator[np.ndarray]:
+                key=None, pix_fmt: str = "rgb24") -> Iterator[np.ndarray]:
     """Yield an interpolated frame stream at `factor`x rate
-    (`rife.py:105-119`). frames: (T, H, W, 3) in [0, 1]."""
+    (`rife.py:105-119`). frames: (T, H, W, 3) in [0, 1].
+
+    Frames for pair i are fetched while pair i+1's midpoints are
+    dispatched (device->host overlap, PERFORMANCE.md encode-path
+    pipelining). pix_fmt="yuv420p" additionally converts to planar I420
+    uint8 on device — (3H/2, W) per yielded frame, half the bytes."""
     if params is None:
         params = init_params(key if key is not None else jax.random.PRNGKey(0), cfg)
     n = int(math.log2(factor))
     mids_fn = jax.jit(lambda p, a, b: midpoint(p, a, b, cfg))
+
+    if pix_fmt == "yuv420p":
+        from ..ops.video import rgb_to_yuv420
+
+        conv = jax.jit(lambda x: rgb_to_yuv420(jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8))[0])
+    else:
+        conv = lambda x: x[0]
+
+    pending: List = []
     for i in range(len(frames) - 1):
         f0, f1 = jnp.asarray(frames[i : i + 1]), jnp.asarray(frames[i + 1 : i + 2])
-        yield np.asarray(f0[0])
+        cur = [conv(f0)]
         if n == 1:
-            yield np.asarray(mids_fn(params, f0, f1)[0])
+            cur.append(conv(mids_fn(params, f0, f1)))
         elif n > 1:
-            for m in recursive_inference(params, f0, f1, n, cfg, mid_fn=mids_fn):
-                yield np.asarray(m[0])
-    yield np.asarray(frames[-1])
+            cur += [conv(m) for m in recursive_inference(params, f0, f1, n, cfg, mid_fn=mids_fn)]
+        for m in pending:  # fetch pair i-1 while pair i computes
+            yield np.asarray(m)
+        pending = cur
+    pending.append(conv(jnp.asarray(frames[-1:])))
+    for m in pending:
+        yield np.asarray(m)

@@ -63,9 +63,11 @@ def interpolate_video(
     """RIFE 2^n framerate boost (`super/video/framerate/__init__.py`)."""
     frames, fps = read_video(video_file, max_frames=max_frames)
     t, h, w, _ = frames.shape
+    yuv = ffmpeg_available() and h % 2 == 0 and w % 2 == 0
+    pix_fmt = "yuv420p" if yuv else "rgb24"
     out_file = output_file or str(Path(video_file).with_suffix("")) + f"_{factor}x.mp4"
-    with VideoWriter(out_file, (w, h), fps * factor, value_range=(0, 1)) as writer:
-        for frame in rife.interpolate(frames, factor=factor, params=params, cfg=cfg):
+    with VideoWriter(out_file, (w, h), fps * factor, value_range=(0, 1), pix_fmt=pix_fmt) as writer:
+        for frame in rife.interpolate(frames, factor=factor, params=params, cfg=cfg, pix_fmt=pix_fmt):
             writer.write(frame)
     return out_file
 
