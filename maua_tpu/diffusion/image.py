@@ -61,9 +61,12 @@ def get_diffusion_model(
     style_scale: float = 0.0,
     color_match_scale: float = 0.0,
     cfg_scale: float = 5.0,
+    image: Optional[str] = None,
     **model_kwargs,
 ) -> BaseDiffusionProcessor:
-    """(`maua/diffusion/image.py:77-129`)"""
+    """(`maua/diffusion/image.py:77-129`). Passing `image` selects the
+    image-conditioned stable variant (the reference's "pinkney"
+    checkpoint choice, `maua/diffusion/image.py:111`)."""
     if isinstance(diffusion, BaseDiffusionProcessor):
         return diffusion
     grad_modules = (
@@ -90,6 +93,7 @@ def get_diffusion_model(
         return GLID3XL(grad_modules=grad_modules, cfg_scale=cfg_scale, timesteps=timesteps, **model_kwargs)
     if diffusion == "stable":
         smplr = sampler if sampler not in ("plms", "ddim", "p") else "lms"
+        model_kwargs.setdefault("image_cond", image is not None)
         return StableDiffusion(grad_modules=grad_modules, cfg_scale=cfg_scale, sampler=smplr,
                                timesteps=timesteps, **model_kwargs)
     raise Exception(f"Diffusion model not recognized: {diffusion}")
@@ -249,7 +253,7 @@ def image_sample(
     model = get_diffusion_model(
         diffusion, timesteps=timesteps, sampler=sampler, guidance_speed=guidance_speed,
         clip_scale=clip_scale, lpips_scale=lpips_scale, style_scale=style_scale,
-        color_match_scale=color_match_scale, cfg_scale=cfg_scale, **model_kwargs,
+        color_match_scale=color_match_scale, cfg_scale=cfg_scale, image=image, **model_kwargs,
     )
     schedule = {tuple(s): float(k) for s, k in zip(sizes, list(skips) + [skips[-1]] * (len(sizes) - len(skips)))}
     return MultiResolutionDiffusionProcessor()(

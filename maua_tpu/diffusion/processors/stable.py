@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...prompt import TextPrompt
+from ...prompt import ImagePrompt, TextPrompt
 from ...text.clip_text import CLIPTextConfig, encode_text, tokenize
 from ...text.clip_text import init_params as init_text_params
 from ..models import unet as unet_mod
@@ -47,16 +47,31 @@ class StableDiffusion(BaseDiffusionProcessor):
         vae_cfg: vae_mod.VAEConfig = vae_mod.VAEConfig(),
         text_params=None,
         text_cfg: CLIPTextConfig = CLIPTextConfig(),
+        image_cond: bool = False,
+        vision_params=None,
+        vision_cfg=None,
         key=None,
     ):
         key = key if key is not None else jax.random.PRNGKey(0)
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         self.unet_cfg = unet_cfg
         self.vae_cfg = vae_cfg
         self.text_cfg = text_cfg
         self.unet_params = unet_params if unet_params is not None else unet_mod.init_params(k1, unet_cfg)
         self.vae_params = vae_params if vae_params is not None else vae_mod.init_params(k2, vae_cfg)
         self.text_params = text_params if text_params is not None else init_text_params(k3, text_cfg)
+        # image-conditioned variant (`stable.py:114-127` "pinkney"):
+        # cross-attention context is the CLIP image embedding of an
+        # ImagePrompt instead of text token embeddings
+        self.image_cond = image_cond
+        if image_cond:
+            from ...perceptors import clip as clip_vision
+
+            self.vision_cfg = vision_cfg or clip_vision.CLIPVisionConfig(embed_dim=unet_cfg.context_dim)
+            self.vision_params = (
+                vision_params if vision_params is not None
+                else clip_vision.init_vision_params(k4, self.vision_cfg)
+            )
 
         self.alphas_cumprod = make_ddpm_schedule(1000, schedule="scaled_linear")
         self.denoiser = EpsDenoiser(
@@ -72,8 +87,25 @@ class StableDiffusion(BaseDiffusionProcessor):
 
     # ------------------------------------------------------ conditioning
     def conditioning(self, prompts):
-        """Text prompts -> (cond, uncond) embeddings
-        (`stable.py:133-148`)."""
+        """Prompts -> (cond, uncond) embeddings (`stable.py:133-148`).
+
+        With image_cond=True an ImagePrompt conditions through the CLIP
+        image tower — one context token of the image embedding, with
+        the embedding of uniform noise as the unconditional branch
+        (`stable.py:144-147`)."""
+        if self.image_cond:
+            imgs = [p for p in prompts if isinstance(p, ImagePrompt)]
+            if imgs:
+                from ...perceptors.clip import encode_image
+
+                img = jnp.asarray(imgs[-1].img)
+                s = self.vision_cfg.image_size
+                if img.shape[1:3] != (s, s):
+                    img = jax.image.resize(img, (img.shape[0], s, s, img.shape[3]), "bilinear")
+                cond = encode_image(self.vision_params, img, self.vision_cfg)[:, None, :]
+                noise = jax.random.uniform(jax.random.PRNGKey(0), img.shape) * 2.0 - 1.0
+                uncond = encode_image(self.vision_params, noise, self.vision_cfg)[:, None, :]
+                return cond, uncond
         texts = [p.text for p in prompts if isinstance(p, TextPrompt)]
         text = " ".join(texts) if texts else ""
         cl = self.text_cfg.context_length

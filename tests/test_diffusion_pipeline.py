@@ -184,3 +184,39 @@ def test_latent_grad_guidance_changes_output():
     b = np.asarray(guided(img, prompts, 0.4, key=jax.random.PRNGKey(2)))
     assert np.all(np.isfinite(b))
     assert not np.allclose(a, b)
+
+
+def test_image_conditioned_stable():
+    """Image-conditioned SD variant (the reference's "pinkney"
+    checkpoint, `stable.py:114-127,144-147`): an ImagePrompt's CLIP
+    image embedding is the cross-attention context, and different
+    prompt images change the sample."""
+    from maua_tpu.perceptors.clip import CLIPVisionConfig
+    from maua_tpu.prompt import ImagePrompt
+
+    vis = CLIPVisionConfig(image_size=32, patch_size=8, width=32, layers=2, heads=4, embed_dim=64)
+    sd = StableDiffusion(
+        sampler="euler", timesteps=3, unet_cfg=TINY_UNET, vae_cfg=TINY_VAE, text_cfg=TINY_TEXT,
+        image_size=32, image_cond=True, vision_cfg=vis, key=jax.random.PRNGKey(7),
+    )
+    rs = np.random.RandomState(0)
+    img = rs.rand(1, 32, 32, 3).astype(np.float32) * 2 - 1
+    p1 = ImagePrompt(img=rs.rand(1, 32, 32, 3).astype(np.float32))
+    p2 = ImagePrompt(img=np.zeros((1, 32, 32, 3), np.float32))
+    cond, uncond = sd.conditioning([p1])
+    assert cond.shape == (1, 1, 64) and uncond.shape == (1, 1, 64)
+    a = np.asarray(sd(img, [p1], 0.3, key=jax.random.PRNGKey(2)))
+    b = np.asarray(sd(img, [p2], 0.3, key=jax.random.PRNGKey(2)))
+    assert a.shape == (1, 32, 32, 3) and np.all(np.isfinite(a))
+    assert not np.allclose(a, b)
+
+    # the factory flips the variant on when an image prompt is given
+    # (`maua/diffusion/image.py:111`)
+    from maua_tpu.diffusion.image import get_diffusion_model
+
+    m = get_diffusion_model("stable", timesteps=3, unet_cfg=TINY_UNET, vae_cfg=TINY_VAE,
+                            text_cfg=TINY_TEXT, vision_cfg=vis, image="x.png")
+    assert m.image_cond
+    m2 = get_diffusion_model("stable", timesteps=3, unet_cfg=TINY_UNET, vae_cfg=TINY_VAE,
+                             text_cfg=TINY_TEXT)
+    assert not m2.image_cond
