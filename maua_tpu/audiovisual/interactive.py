@@ -278,3 +278,117 @@ class InteractiveSession:
                     return
                 for command in line.split(","):
                     print_fn(self.apply(command.strip(), label))
+
+
+WELCOME = """
+Welcome to the audio-reactive video synthesizer!
+
+Your audio is segmented into sections; each section gets its own
+audio-reactive patch that you evolve with the commands below. When
+every section is tuned, the parts are stitched together with EMA
+crossfades and rendered to video.
+
+Quit at any time with CTRL+C or by typing 'quit'.
+"""
+
+
+def generate_interactive(
+    audio_file: str,
+    model_file: Optional[str] = None,
+    output_file: Optional[str] = None,
+    fps: float = 24,
+    seed: int = 0,
+    segmentation: Union[int, Dict[float, int]] = 5,
+    batch_size: int = 8,
+    out_size: Tuple[int, int] = (512, 512),
+    fade_time: float = 2.0,
+    palette_size: int = 20,
+    stylegan_kwargs: Optional[dict] = None,
+    input_fn=input,
+    print_fn=print,
+) -> str:
+    """Top-level REPL driver (`interactive.py:145-346`): load audio,
+    segment, run the per-section command loop, then render the final
+    EMA-crossfaded stitched video through the pipelined encode path."""
+    from ..audio.io import load_audio
+    from ..gan.wrappers import StyleGAN2, layer_names
+    from ..ops.video import VideoWriter, ffmpeg_available, rgb_to_yuv420
+
+    print_fn(WELCOME)
+    audio, sr, _ = load_audio(audio_file)
+    gan = StyleGAN2(model_file, output_size=out_size, **(stylegan_kwargs or {}))
+    palette_fn = lambda key: gan.mapper(jax.random.normal(key, (palette_size, gan.z_dim)))
+    session = InteractiveSession(
+        audio, sr, fps=fps, seed=seed, segmentation=segmentation, palette_fn=palette_fn,
+        latent_dim=gan.w_dim, latent_layers=gan.num_ws,
+    )
+    session.repl(input_fn, print_fn)
+
+    names = layer_names(gan.cfg)[1:]
+    noise_sizes = [int(names[0].split(".")[0][1:])]  # reference previews at the coarse layer
+
+    def synthesizer(L, N):
+        noises = {}
+        for j in range(len(N)):
+            n = np.asarray(N[f"noise{j}"])
+            noises[names[j]] = n[..., None] if n.ndim == 3 else n
+        imgs = gan.synthesizer(jnp.asarray(L), noises=noises or None)
+        return jnp.clip((imgs + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+    out_file = output_file or f"output/{Path(audio_file).stem}_interactive.mp4"
+    Path(out_file).parent.mkdir(parents=True, exist_ok=True)
+    w, h = out_size
+    yuv = ffmpeg_available() and w % 2 == 0 and h % 2 == 0
+    print_fn("Rendering final video...")
+    with VideoWriter(out_file, (w, h), fps, audio_file=audio_file, value_range=(0, 255),
+                     pix_fmt="yuv420p" if yuv else "rgb24") as vid:
+        pending = None  # double-buffer: fetch batch N while N+1 synthesizes
+        for batch in session.render_final(synthesizer, batch_size=batch_size,
+                                          fade_time=fade_time, noise_sizes=noise_sizes):
+            if yuv:
+                batch = rgb_to_yuv420(batch)
+            if pending is not None:
+                for f in np.asarray(pending):
+                    vid.write(f.tobytes())
+            pending = batch
+        if pending is not None:
+            for f in np.asarray(pending):
+                vid.write(f.tobytes())
+    print_fn(out_file)
+    return out_file
+
+
+def main(args=None):
+    """CLI (the reference exposes this via fire,
+    `interactive.py:347-350`)."""
+    import argparse
+    import json
+
+    parser = argparse.ArgumentParser(description="interactive audio-reactive video synthesis")
+    parser.add_argument("--audio_file", required=True, type=str)
+    parser.add_argument("--model_file", default=None, type=str)
+    parser.add_argument("--output_file", default=None, type=str)
+    parser.add_argument("--fps", default=24, type=float)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--segmentation", default="5", type=str,
+                        help="int (automatic) or JSON {seconds: label} dict (manual)")
+    parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--out_size", default="512,512", type=str)
+    parser.add_argument("--fade_time", default=2.0, type=float)
+    args = parser.parse_args(args)
+
+    try:
+        segmentation: Union[int, Dict[float, int]] = int(args.segmentation)
+    except ValueError:
+        segmentation = {float(k): int(v) for k, v in json.loads(args.segmentation).items()}
+    out_size = tuple(int(s) for s in args.out_size.split(","))
+    generate_interactive(
+        args.audio_file, model_file=args.model_file, output_file=args.output_file, fps=args.fps,
+        seed=args.seed, segmentation=segmentation, batch_size=args.batch_size,
+        out_size=out_size, fade_time=args.fade_time,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    main()

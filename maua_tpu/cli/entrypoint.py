@@ -15,6 +15,9 @@ COMMANDS = {
     "diffusion": {
         "image": ("maua_tpu.diffusion.image", "Multi-resolution (guided) diffusion image synthesis"),
         "video": ("maua_tpu.diffusion.video", "Flow-warped diffusion video stylization"),
+        "interpolate": ("maua_tpu.diffusion.interpolate", "Latent interpolation video between input images"),
+        "klmc2": ("maua_tpu.diffusion.klmc2", "KLMC2 latent-space animation"),
+        "outpaint": ("maua_tpu.diffusion.outpaint", "Diffusion outpainting"),
     },
     "super": {
         "image": ("maua_tpu.super.image", "Image super-resolution (RealESRGAN-class models)"),
@@ -26,6 +29,8 @@ COMMANDS = {
     },
     "audiovisual": {
         "generate": ("maua_tpu.audiovisual.generate", "Audio-reactive GAN video synthesis"),
+        "interactive": ("maua_tpu.audiovisual.interactive", "Interactive per-section patch evolution REPL"),
+        "selfsupervised": ("maua_tpu.audiovisual.selfsupervised.sample", "Self-supervised audio-reactive generation"),
     },
     "gan": {
         "generate": ("maua_tpu.gan.cli", "StyleGAN image generation"),
@@ -34,6 +39,9 @@ COMMANDS = {
     "autoregressive": {
         "generate": ("maua_tpu.autoregressive.cli", "Autoregressive text-to-image generation"),
         "video": ("maua_tpu.autoregressive.video_cli", "Two-stage autoregressive text-to-video"),
+    },
+    "nca": {
+        "run": ("maua_tpu.nca.nca", "Texture NCA: train on a style image / render evolution video"),
     },
 }
 

@@ -59,3 +59,42 @@ def interpolate_latents(
             z = diffusion(z, [], renoise_t, latent=True, key=jax.random.fold_in(key, i))
         frames.append(np.asarray(diffusion.decode(z)))
     return np.concatenate(frames)
+
+
+def main(args=None):
+    """CLI (the reference runs `interpolate.py` directly as a script)."""
+    import argparse
+
+    from ..ops.video import write_video
+    from .image import get_diffusion_model
+
+    parser = argparse.ArgumentParser(description="latent interpolation video between input images")
+    parser.add_argument("images", nargs="+", type=str)
+    parser.add_argument("--n_frames", default=64, type=int)
+    parser.add_argument("--method", default="spline", choices=["spline", "slerp"])
+    parser.add_argument("--no_loop", action="store_true")
+    parser.add_argument("--renoise_t", default=None, type=float,
+                        help="partially renoise+denoise each interpolated latent")
+    parser.add_argument("--batch_size", default=8, type=int)
+    parser.add_argument("--fps", default=12, type=float)
+    parser.add_argument("--timesteps", default=50, type=int)
+    parser.add_argument("--out_dir", default="output/", type=str)
+    args = parser.parse_args(args)
+
+    from pathlib import Path
+
+    Path(args.out_dir).mkdir(parents=True, exist_ok=True)
+    diffusion = get_diffusion_model("stable", timesteps=args.timesteps)
+    frames = interpolate_latents(
+        diffusion, args.images, n_frames=args.n_frames, method=args.method, loop=not args.no_loop,
+        batch_size=args.batch_size, renoise_t=args.renoise_t,
+    )
+    stem = "_".join(Path(im).stem for im in args.images[:3])
+    out_file = f"{args.out_dir}/{stem}_interp.mp4"
+    write_video(frames, out_file, fps=args.fps, value_range=(-1, 1))
+    print(out_file)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

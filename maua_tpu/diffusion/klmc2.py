@@ -10,7 +10,7 @@ the score function.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,24 +76,71 @@ def klmc2_animation(
     sigma: float = 1.0,
     step_size: float = 0.05,
     batch_decode: int = 8,
+    text: Optional[str] = None,
+    cond_scale: float = 1.0,
+    friction: float = 1.0,
+    use_hvp: bool = True,
     key=None,
 ) -> np.ndarray:
     """Animate a latent-space KLMC2 trajectory through the SD score
-    field, decoding frames in batches. Returns (T, H, W, 3)."""
+    field, decoding frames in batches. Returns (T, H, W, 3).
+    `text`/`cond_scale` steer the score with CFG like the reference
+    CLI's prompt/--cond_scale (`klmc2_animation.py:377-397`)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     ds = diffusion.vae_cfg.downscale
     h, w = shape[0] // ds, shape[1] // ds
     x0 = jax.random.normal(k1, (1, h, w, diffusion.vae_cfg.z_channels)) * sigma
 
-    cond, uncond = diffusion.conditioning([])
+    from ..prompt import TextPrompt
     from .wrappers import cfg_denoiser
 
-    model_fn = cfg_denoiser(diffusion.denoiser, cond, uncond, 1.0)
-    _, traj = sample_mcmc_klmc2(model_fn, x0, sigma=sigma, n_steps=n_frames, step_size=step_size, key=k2)
+    cond, uncond = diffusion.conditioning([TextPrompt(text)] if text else [])
+    model_fn = cfg_denoiser(diffusion.denoiser, cond, uncond, cond_scale)
+    _, traj = sample_mcmc_klmc2(model_fn, x0, sigma=sigma, n_steps=n_frames, step_size=step_size,
+                                friction=friction, use_hvp=use_hvp, key=k2)
 
     frames = []
     for i in range(0, n_frames, batch_decode):
         z = traj[i : i + batch_decode, 0]
         frames.append(np.asarray(diffusion.decode(z)))
     return np.concatenate(frames)
+
+
+def main(args=None):
+    """CLI (`klmc2_animation.py:377-397`)."""
+    import argparse
+
+    from ..ops.video import write_video
+    from .image import get_diffusion_model
+
+    parser = argparse.ArgumentParser(description="KLMC2 latent-space animation",
+                                     formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("prompt", type=str)
+    parser.add_argument("--cond_scale", type=float, default=5.0, help="prompt conditioning strength")
+    parser.add_argument("--n", default=120, type=int, help="frames to sample")
+    parser.add_argument("--fps", default=20, type=int)
+    parser.add_argument("--sigma", default=0.75, type=float, help="noise level to sample at")
+    parser.add_argument("--h", default=0.2, type=float, help="step size (0 to 1)")
+    parser.add_argument("--gamma", default=0.5, type=float, help="friction (lower -> smoother)")
+    parser.add_argument("--hvp_method", default="forward", choices=["forward", "zero"],
+                        help="'forward' = real jvp Hessian-vector products, 'zero' = first-order KLMC")
+    parser.add_argument("--size", default="512,512", type=str)
+    parser.add_argument("--out_dir", default="output/", type=str)
+    args = parser.parse_args(args)
+
+    diffusion = get_diffusion_model("stable", timesteps=50)
+    shape = tuple(int(s) for s in args.size.split(","))
+    frames = klmc2_animation(
+        diffusion, shape=shape, n_frames=args.n, sigma=args.sigma, step_size=args.h,
+        text=args.prompt, cond_scale=args.cond_scale, friction=args.gamma,
+        use_hvp=args.hvp_method == "forward",
+    )
+    out_file = f"{args.out_dir}/{args.prompt.replace(' ', '_')}_klmc2.mp4"
+    write_video(frames, out_file, fps=args.fps, value_range=(-1, 1))
+    print(out_file)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -73,3 +73,49 @@ def outpaint(
     out = diffusion(canvas, prompts, t_start, key=k3, **diffusion_kwargs)
     # keep the original interior verbatim
     return out * (1 - mask) + canvas * mask
+
+
+def main(args=None):
+    """CLI (`outpaint.py:146-161`): `init` is an image path or "none"
+    to synthesize the seed image from the prompt first."""
+    import argparse
+    from pathlib import Path
+
+    import numpy as np
+
+    from ..ops.io import save_image
+    from ..prompt import ImagePrompt
+    from .image import get_diffusion_model
+
+    parser = argparse.ArgumentParser(description="diffusion outpainting")
+    parser.add_argument("init", type=str, help='image path, or "none" to synthesize from the prompt')
+    parser.add_argument("text", type=str)
+    parser.add_argument("--t_start", default=0.4, type=float)
+    parser.add_argument("--expand", default="64,64,64,64", type=str, help="left,right,top,bottom pixels")
+    parser.add_argument("--size", default=512, type=int, help='seed image size when init is "none"')
+    parser.add_argument("--sampler", default="euler_ancestral", type=str)
+    parser.add_argument("--timesteps", default=50, type=int)
+    parser.add_argument("--out_dir", default="output/", type=str)
+    args = parser.parse_args(args)
+
+    Path(args.out_dir).mkdir(parents=True, exist_ok=True)
+    diffusion = get_diffusion_model("stable", sampler=args.sampler, timesteps=args.timesteps)
+    out_name = args.text.replace(" ", "_")
+    if args.init == "none":
+        key = jax.random.PRNGKey(0)
+        img = diffusion(jnp.zeros((1, args.size, args.size, 3)), [TextPrompt(args.text)], 0.0, key=key)
+        save_image(np.asarray(img), f"{args.out_dir}/{out_name}.png")
+    else:
+        out_name = f"{Path(args.init).stem}_{out_name}"
+        img = jnp.asarray(ImagePrompt(path=args.init).img)
+
+    expand = tuple(int(s) for s in args.expand.split(","))
+    out = outpaint(diffusion, img, expand=expand, text=args.text, t_start=args.t_start)
+    out_file = f"{args.out_dir}/outpainted_{out_name}.png"
+    save_image(np.asarray(out), out_file)
+    print(out_file)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -164,3 +164,51 @@ def generate_video(params: Dict, output_file: str, size: int = 256, num_frames: 
             x, _ = rollout(params, x, step_n, sub)
             vid.write(np.asarray(jnp.clip(to_rgb(x[0]), -1, 1)))
     return output_file
+
+
+def main(args=None):
+    """CLI (`python -m maua.nca` role; `nca/train.py:254`,
+    `nca/generate.py:1-40`): train a texture NCA on a style image and
+    render its evolution, or render from a saved params file."""
+    import argparse
+    import pickle
+    from pathlib import Path
+
+    import numpy as np
+
+    from ..ops.io import load_image
+
+    parser = argparse.ArgumentParser(description="texture neural cellular automata")
+    parser.add_argument("--style", type=str, default=None, help="style image to train on")
+    parser.add_argument("--params", type=str, default=None, help="load trained params instead of training")
+    parser.add_argument("--n_steps", default=2000, type=int)
+    parser.add_argument("--train_size", default=128, type=int)
+    parser.add_argument("--size", default=256, type=int, help="render resolution")
+    parser.add_argument("--num_frames", default=600, type=int)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--out_dir", default="output/", type=str)
+    args = parser.parse_args(args)
+
+    Path(args.out_dir).mkdir(parents=True, exist_ok=True)
+    if args.params is not None:
+        with open(args.params, "rb") as f:
+            params = pickle.load(f)
+        stem = Path(args.params).stem
+    elif args.style is not None:
+        img = jnp.asarray(load_image(args.style)) * 2.0 - 1.0
+        params = train_nca(img, n_steps=args.n_steps, size=args.train_size,
+                           key=jax.random.PRNGKey(args.seed))
+        stem = Path(args.style).stem
+        with open(f"{args.out_dir}/{stem}_nca.pkl", "wb") as f:
+            pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
+    else:
+        parser.error("pass --style (train) or --params (render)")
+
+    out_file = generate_video(params, f"{args.out_dir}/{stem}_nca.mp4", size=args.size,
+                              num_frames=args.num_frames, key=jax.random.PRNGKey(args.seed))
+    print(out_file)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,27 @@ def test_klmc2_animation(sd):
     assert np.all(np.isfinite(frames))
     # trajectory actually moves
     assert np.abs(frames[0] - frames[-1]).mean() > 1e-5
+    # prompt steering (reference CLI's prompt/--cond_scale) changes the path
+    steered = klmc2_animation(sd, shape=(32, 32), n_frames=6, batch_decode=3,
+                              text="a red boat", cond_scale=7.0)
+    assert not np.allclose(frames, steered)
+
+
+def test_pipeline_cli_mains_parse():
+    """Every directly-runnable pipeline module exposes an argparse main
+    (reference `__main__` blocks / fire CLIs)."""
+    import pytest as _pytest
+
+    from maua_tpu.audiovisual import interactive as m_interactive
+    from maua_tpu.diffusion import interpolate as m_interp
+    from maua_tpu.diffusion import klmc2 as m_klmc2
+    from maua_tpu.diffusion import outpaint as m_outpaint
+    from maua_tpu.nca import nca as m_nca
+
+    for mod in (m_interp, m_klmc2, m_outpaint, m_nca, m_interactive):
+        with _pytest.raises(SystemExit) as e:
+            mod.main(["--help"])
+        assert e.value.code == 0, mod.__name__
 
 
 def test_finetune_reduces_loss(sd):

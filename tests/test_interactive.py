@@ -103,3 +103,35 @@ def test_render_final_stitches_timeline(session):
     # timeline covers all four bounds (ABAC), ~4s * fps frames
     assert frames >= 0.9 * len(session.labels)
     assert all(ns == calls[0][1] for _, ns in calls)  # consistent noise keys
+
+
+def test_generate_interactive_end_to_end(tmp_path):
+    """Full REPL driver (`interactive.py:145-346`): scripted commands
+    evolve each section, then the stitched EMA-crossfaded video renders
+    and decodes."""
+    import scipy.io.wavfile
+
+    from maua_tpu.audiovisual.interactive import generate_interactive
+    from maua_tpu.gan.stylegan2 import SG2Config
+    from maua_tpu.ops.video import read_video
+
+    sr = 22050
+    t = np.arange(sr * 3) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    wav = str(tmp_path / "i.wav")
+    scipy.io.wavfile.write(wav, sr, (audio * 32767).astype(np.int16))
+
+    script = iter(["1", "3", "next", "7", "next"])
+    printed = []
+    cfg = SG2Config(img_resolution=32, channel_base=2048, channel_max=64, num_fp16_res=0)
+    out = generate_interactive(
+        wav, output_file=str(tmp_path / "i.mp4"), fps=2, seed=0,
+        segmentation={0.0: 0, 1.5: 1}, batch_size=4, out_size=(32, 32),
+        fade_time=0.5, palette_size=4, stylegan_kwargs={"cfg": cfg, "dtype": "float32"},
+        input_fn=lambda _: next(script), print_fn=printed.append,
+    )
+    video, _ = read_video(out)
+    assert video.shape[1:] == (32, 32, 3)
+    assert video.shape[0] >= 4
+    assert np.asarray(video).std() > 0.01
+    assert any("more_intense" in str(p) for p in printed)
