@@ -30,7 +30,7 @@ def main():
 
     import os
 
-    resolution = 1024
+    resolution = int(os.environ.get("MAUA_BENCH_RES", "1024"))
     batch = int(os.environ.get("MAUA_BENCH_BATCH", "56"))
     n_batches = int(os.environ.get("MAUA_BENCH_CHUNKS", "12"))
     cfg = sg2.SG2Config(img_resolution=resolution, dtype="bfloat16")
