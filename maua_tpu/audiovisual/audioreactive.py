@@ -174,3 +174,49 @@ def plot_spectra(spectra, path: Optional[str] = None):
     plt.tight_layout()
     plt.savefig(path or "workspace/spectra.png")
     plt.close(fig)
+
+
+def plot_audio(audio, sr: int, path: Optional[str] = None):
+    """Mel-spectrogram diagnostic of an audio signal
+    (`audioreactive/util.py:68-84`); no-op without matplotlib."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    from ..audio.convert import power_to_db
+    from ..audio.spectral import melspectrogram
+
+    mel = np.asarray(power_to_db(melspectrogram(jnp.asarray(audio), sr)))
+    plt.figure(figsize=(16, 9))
+    plt.imshow(mel.squeeze().T if mel.shape[0] > mel.shape[-1] else mel.squeeze(),
+               aspect="auto", origin="lower")
+    plt.colorbar(format="%+2.f dB")
+    plt.tight_layout()
+    plt.savefig(path or "workspace/audio.png")
+    plt.close()
+
+
+def plot_chroma_comparison(audio, sr: int, path: Optional[str] = None):
+    """Side-by-side chromagram strategies
+    (`audioreactive/util.py:85-103`); no-op without matplotlib."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    fig, ax = plt.subplots(nrows=2, ncols=3, figsize=(16, 9), squeeze=False)
+    for col, types in enumerate([["cens", "cqt"], ["deep", "clp"], ["stft"]]):
+        for row, type in enumerate(types):
+            ch = np.asarray(chroma(audio, sr, n_frames=None, type=type))
+            if ch.ndim == 2 and ch.shape[1] == 12:
+                ch = ch.T
+            ax[row][col].imshow(ch, aspect="auto", origin="lower")
+            ax[row][col].set(title=type)
+    plt.tight_layout()
+    plt.savefig(path or "workspace/chroma-comparison.png")
+    plt.close(fig)
