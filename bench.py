@@ -111,13 +111,13 @@ def main():
     e2e_fps = n_e2e * e2e_batch / min(e2e_times)
 
     print(json.dumps({
-        "metric": "stylegan2_1024_e2e_frames_per_sec_per_chip",
+        "metric": f"stylegan2_{resolution}_e2e_frames_per_sec_per_chip",
         "value": round(e2e_fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(e2e_fps / 30.0, 3),
     }))
     print(json.dumps({
-        "metric": "stylegan2_1024_frames_per_sec_per_chip",
+        "metric": f"stylegan2_{resolution}_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),

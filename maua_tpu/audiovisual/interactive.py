@@ -262,8 +262,10 @@ class InteractiveSession:
                 yield synthesizer(L, N)
 
     # ------------------------------------------------------------ REPL
-    def repl(self, input_fn=input, print_fn=print):
-        """Blocking per-section REPL (`interactive.py:214-322`)."""
+    def repl(self, input_fn=input, print_fn=print) -> bool:
+        """Blocking per-section REPL (`interactive.py:214-322`).
+        Returns True when every section was tuned; False on
+        quit/Ctrl-C so the caller can skip the final render."""
         print_fn(HELP)
         for label, start, end in self.sections:
             print_fn(f"Section {label}: {start:.1f}s - {end:.1f}s")
@@ -271,13 +273,14 @@ class InteractiveSession:
                 try:
                     line = input_fn("> ").strip()
                 except (EOFError, KeyboardInterrupt):
-                    return
+                    return False
                 if line in ("next", "n", ""):
                     break
                 if line in ("quit", "q"):
-                    return
+                    return False
                 for command in line.split(","):
                     print_fn(self.apply(command.strip(), label))
+        return True
 
 
 WELCOME = """
@@ -312,7 +315,7 @@ def generate_interactive(
     EMA-crossfaded stitched video through the pipelined encode path."""
     from ..audio.io import load_audio
     from ..gan.wrappers import StyleGAN2, layer_names
-    from ..ops.video import VideoWriter, ffmpeg_available, rgb_to_yuv420
+    from ..ops.video import VideoWriter, ffmpeg_available, pipelined_frames
 
     print_fn(WELCOME)
     audio, sr, _ = load_audio(audio_file)
@@ -322,7 +325,9 @@ def generate_interactive(
         audio, sr, fps=fps, seed=seed, segmentation=segmentation, palette_fn=palette_fn,
         latent_dim=gan.w_dim, latent_layers=gan.num_ws,
     )
-    session.repl(input_fn, print_fn)
+    if not session.repl(input_fn, print_fn):
+        print_fn("quit before final render")
+        return None
 
     names = layer_names(gan.cfg)[1:]
     noise_sizes = [int(names[0].split(".")[0][1:])]  # reference previews at the coarse layer
@@ -342,18 +347,10 @@ def generate_interactive(
     print_fn("Rendering final video...")
     with VideoWriter(out_file, (w, h), fps, audio_file=audio_file, value_range=(0, 255),
                      pix_fmt="yuv420p" if yuv else "rgb24") as vid:
-        pending = None  # double-buffer: fetch batch N while N+1 synthesizes
-        for batch in session.render_final(synthesizer, batch_size=batch_size,
-                                          fade_time=fade_time, noise_sizes=noise_sizes):
-            if yuv:
-                batch = rgb_to_yuv420(batch)
-            if pending is not None:
-                for f in np.asarray(pending):
-                    vid.write(f.tobytes())
-            pending = batch
-        if pending is not None:
-            for f in np.asarray(pending):
-                vid.write(f.tobytes())
+        stream = session.render_final(synthesizer, batch_size=batch_size,
+                                      fade_time=fade_time, noise_sizes=noise_sizes)
+        for f in pipelined_frames(stream, "yuv420p" if yuv else "rgb24"):
+            vid.write(f.tobytes())
     print_fn(out_file)
     return out_file
 

@@ -49,11 +49,24 @@ class FFMPEG:
         # halves the device->host frame bytes (ops/video.rgb_to_yuv420)
         pix_fmt = self.pix_fmt or ("yuv420p" if ffmpeg_available() else "rgb24")
         latents, translation, zoom, rotation, noises = _split_inputs(synthesizer_inputs)
-        frame_iter = synthesizer_render(
-            latents, noises=noises, translation=translation, zoom=zoom, rotation=rotation,
-            batch_size=self.batch_size, postprocess=postprocess, pix_fmt=pix_fmt,
-        )
-        first = next(frame_iter)
+
+        def make_iter(fmt):
+            return synthesizer_render(
+                latents, noises=noises, translation=translation, zoom=zoom, rotation=rotation,
+                batch_size=self.batch_size, postprocess=postprocess, pix_fmt=fmt,
+            )
+
+        frame_iter = make_iter(pix_fmt)
+        try:
+            first = next(frame_iter)
+        except ValueError as e:
+            # odd frame dimensions can't be I420; fall back to the
+            # rgb24 pipe whose pad filter handles them
+            if pix_fmt != "yuv420p" or "even frame dimensions" not in str(e):
+                raise
+            pix_fmt = "rgb24"
+            frame_iter = make_iter(pix_fmt)
+            first = next(frame_iter)
         if pix_fmt == "yuv420p":
             h, w = first.shape[0] * 2 // 3, first.shape[1]
         else:

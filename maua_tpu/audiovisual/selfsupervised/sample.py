@@ -69,31 +69,25 @@ def generate(
     res = gan.rcfg.output_size or (gan.res, gan.res)
     # encode-path pipelining (PERFORMANCE.md): I420 on device + fetch
     # of batch N overlapping batch N+1's synthesis
-    from ...ops.video import ffmpeg_available, rgb_to_yuv420
+    from ...ops.video import ffmpeg_available, pipelined_frames
 
     yuv = ffmpeg_available() and res[0] % 2 == 0 and res[1] % 2 == 0
     with VideoWriter(out_file, res, fps, audio_file=audio_file, value_range=(0, 255),
                      pix_fmt="yuv420p" if yuv else "rgb24") as vid:
-        pending = None
-        for i in range(0, n_frames, batch_size):
-            b = min(batch_size, n_frames - i)
-            noises = {}
-            for name, mod in zip(names, noise_modules):
-                win = mod(i, b)  # (b, h, w)
-                noises[name] = win[..., None]
-            imgs = gan.synthesizer(latents[i : i + b], noises=noises)
-            imgs = jnp.clip((imgs + 1) * 127.5, 0, 255).astype(jnp.uint8)
-            if yuv:
-                imgs = rgb_to_yuv420(imgs)
-            if pending is not None:
-                for f in np.asarray(pending):
-                    vid.write(f.tobytes())
-            pending = imgs
-            if verbose and (i // batch_size) % 10 == 0:
-                print(f"frame {i}/{n_frames}")
-        if pending is not None:
-            for f in np.asarray(pending):
-                vid.write(f.tobytes())
+        def batches():
+            for i in range(0, n_frames, batch_size):
+                b = min(batch_size, n_frames - i)
+                noises = {}
+                for name, mod in zip(names, noise_modules):
+                    win = mod(i, b)  # (b, h, w)
+                    noises[name] = win[..., None]
+                imgs = gan.synthesizer(latents[i : i + b], noises=noises)
+                yield jnp.clip((imgs + 1) * 127.5, 0, 255).astype(jnp.uint8)
+                if verbose and (i // batch_size) % 10 == 0:
+                    print(f"frame {i}/{n_frames}")
+
+        for f in pipelined_frames(batches(), "yuv420p" if yuv else "rgb24"):
+            vid.write(f.tobytes())
     return out_file
 
 

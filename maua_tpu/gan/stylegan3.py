@@ -372,26 +372,20 @@ class StyleGAN3:
         if not hasattr(self, "_render_fn"):
             self._render_fn = jax.jit(lambda params, ws, m: synthesis(params, ws, self.cfg, m))
         fn = lambda ws, m: self._render_fn(self.params, ws, m)
-        pending = None  # double-buffer: fetch batch N while N+1 synthesizes
-        for s0 in range(0, t, batch_size):
-            ws = latent_w_plus[s0 : s0 + batch_size]
-            m = mats[s0 : s0 + batch_size] if mats is not None else None
-            imgs = fn(ws, m)
-            if getattr(self, "output_size", None) and (imgs.shape[2], imgs.shape[1]) != self.output_size:
-                w_out, h_out = self.output_size
-                imgs = jax.image.resize(imgs, (imgs.shape[0], h_out, w_out, imgs.shape[3]), "linear")
-            if postprocess is not None:
-                imgs = postprocess(imgs)
-            # uint8 HWC frames, same contract as the SG2 wrapper render
-            imgs8 = jnp.clip((jnp.clip(imgs, -1, 1) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
-            if pix_fmt == "yuv420p":
-                from ..ops.video import rgb_to_yuv420
 
-                imgs8 = rgb_to_yuv420(imgs8)
-            if pending is not None:
-                for f in np.asarray(pending):
-                    yield f
-            pending = imgs8
-        if pending is not None:
-            for f in np.asarray(pending):
-                yield f
+        def batches():
+            for s0 in range(0, t, batch_size):
+                ws = latent_w_plus[s0 : s0 + batch_size]
+                m = mats[s0 : s0 + batch_size] if mats is not None else None
+                imgs = fn(ws, m)
+                if getattr(self, "output_size", None) and (imgs.shape[2], imgs.shape[1]) != self.output_size:
+                    w_out, h_out = self.output_size
+                    imgs = jax.image.resize(imgs, (imgs.shape[0], h_out, w_out, imgs.shape[3]), "linear")
+                if postprocess is not None:
+                    imgs = postprocess(imgs)
+                # uint8 HWC frames, same contract as the SG2 wrapper render
+                yield jnp.clip((jnp.clip(imgs, -1, 1) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+        from ..ops.video import pipelined_frames
+
+        yield from pipelined_frames(batches(), pix_fmt)

@@ -403,68 +403,55 @@ class StyleGAN2:
             )
         T = latents.shape[0]
         min_batch = mesh.shape["data"] if mesh is not None else 1
-        lo = 0
-        pending = None  # (device uint8 batch, frame count) awaiting fetch
-        while lo < T:
-            hi = min(lo + batch_size, T)
-            pad = batch_size - (hi - lo)
 
-            def take(arr):
-                if arr is None:
-                    return None
-                sl = jnp.asarray(arr[lo:hi])
-                if pad:
-                    sl = jnp.concatenate([sl, jnp.repeat(sl[-1:], pad, axis=0)], axis=0)
-                if sharding is not None:
-                    sl = sharding(sl)
-                return sl
+        def batches():
+            nonlocal batch_size
+            lo = 0
+            while lo < T:
+                hi = min(lo + batch_size, T)
+                pad = batch_size - (hi - lo)
 
-            def synth():
-                batch_noises = None if noises is None else {k: take(v) for k, v in noises.items()}
-                return self.synthesizer(
-                    take(latents),
-                    translation=take(translation),
-                    zoom=take(zoom),
-                    rotation=take(rotation),
-                    noises=batch_noises,
-                )
+                def take(arr):
+                    if arr is None:
+                        return None
+                    sl = jnp.asarray(arr[lo:hi])
+                    if pad:
+                        sl = jnp.concatenate([sl, jnp.repeat(sl[-1:], pad, axis=0)], axis=0)
+                    if sharding is not None:
+                        sl = sharding(sl)
+                    return sl
 
-            try:
-                imgs = synth()
-            except Exception as e:
-                # halve the render chunk on device OOM and keep going
-                # (`wrappers/stylegan2.py:204-211` role); batch stays a
-                # multiple of the mesh data axis
-                from ..oom import is_oom_error
+                def synth():
+                    batch_noises = None if noises is None else {k: take(v) for k, v in noises.items()}
+                    return self.synthesizer(
+                        take(latents),
+                        translation=take(translation),
+                        zoom=take(zoom),
+                        rotation=take(rotation),
+                        noises=batch_noises,
+                    )
 
-                if not is_oom_error(e) or batch_size <= min_batch:
-                    raise
-                batch_size = max(batch_size // 2, min_batch)
-                print(f"device OOM during render; retrying with batch_size={batch_size}")
-                continue
-            if postprocess is not None:
-                imgs = postprocess(imgs)
-            imgs = jnp.clip((imgs + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
-            if pix_fmt == "yuv420p":
-                from ..ops.video import rgb_to_yuv420
+                try:
+                    imgs = synth()
+                except Exception as e:
+                    # halve the render chunk on device OOM and keep going
+                    # (`wrappers/stylegan2.py:204-211` role); batch stays a
+                    # multiple of the mesh data axis
+                    from ..oom import is_oom_error
 
-                imgs = rgb_to_yuv420(imgs)
-            # double-buffer: dispatch of this batch is async, so fetch
-            # the PREVIOUS batch now — device→host transfer (the e2e
-            # bottleneck through the relay) overlaps this batch's
-            # synthesis instead of serializing after it
-            if pending is not None:
-                prev_imgs, prev_n = pending
-                prev_imgs = np.asarray(prev_imgs)
-                for i in range(prev_n):
-                    yield prev_imgs[i]
-            pending = (imgs, hi - lo)
-            lo = hi
-        if pending is not None:
-            imgs, n = pending
-            imgs = np.asarray(imgs)
-            for i in range(n):
-                yield imgs[i]
+                    if not is_oom_error(e) or batch_size <= min_batch:
+                        raise
+                    batch_size = max(batch_size // 2, min_batch)
+                    print(f"device OOM during render; retrying with batch_size={batch_size}")
+                    continue
+                if postprocess is not None:
+                    imgs = postprocess(imgs)
+                yield jnp.clip((imgs + 1.0) * 127.5, 0, 255).astype(jnp.uint8), hi - lo
+                lo = hi
+
+        from ..ops.video import pipelined_frames
+
+        yield from pipelined_frames(batches(), pix_fmt)
 
 
 def get_generator_class(architecture: str):

@@ -53,6 +53,33 @@ def rgb_to_yuv420(rgb):
     return flat.reshape(B, 3 * H // 2, W)
 
 
+def pipelined_frames(batches, pix_fmt: str = "rgb24"):
+    """Double-buffered device->host frame delivery: dispatch batch N+1
+    (JAX dispatch is async) BEFORE fetching batch N, so synthesis and
+    the device->host transfer — the e2e bottleneck — overlap.
+
+    `batches` yields device frame batches, optionally as
+    (batch, n_valid) tuples when the tail is padded. pix_fmt="yuv420p"
+    converts uint8 RGB batches to planar I420 on device first
+    (rgb_to_yuv420). Yields host frames one at a time."""
+    pending = None
+    for item in batches:
+        batch, n = item if isinstance(item, tuple) else (item, None)
+        if pix_fmt == "yuv420p":
+            batch = rgb_to_yuv420(batch)
+        if pending is not None:
+            prev, prev_n = pending
+            prev = np.asarray(prev)
+            for i in range(prev.shape[0] if prev_n is None else prev_n):
+                yield prev[i]
+        pending = (batch, n)
+    if pending is not None:
+        prev, prev_n = pending
+        prev = np.asarray(prev)
+        for i in range(prev.shape[0] if prev_n is None else prev_n):
+            yield prev[i]
+
+
 class WriteWorker(threading.Thread):
     """Drains a frame queue into an ffmpeg rawvideo pipe
     (`maua/ops/video.py:15-104`)."""

@@ -14,7 +14,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from ..ops.video import VideoWriter, ffmpeg_available, read_video, rgb_to_yuv420
+from ..ops.video import VideoWriter, ffmpeg_available, pipelined_frames, read_video
 from .image import Upscaler
 from . import rife
 
@@ -37,18 +37,15 @@ def upscale_video(
     out_file = output_file or str(Path(video_file).with_suffix("")) + f"_{model_name}.mp4"
     with VideoWriter(out_file, (wo, ho), fps, value_range=(0, 1),
                      pix_fmt="yuv420p" if yuv else "rgb24") as writer:
-        pending = None  # double-buffer: fetch batch N while N+1 upscales
-        for i in range(0, t, batch_size):
-            up = model(frames[i : i + batch_size])  # async dispatch
-            if yuv:
-                up = rgb_to_yuv420(jnp.clip(jnp.round(up * 255.0), 0, 255).astype(jnp.uint8))
-            if pending is not None:
-                for f in np.asarray(pending):
-                    writer.write(f)
-            pending = up
-        if pending is not None:
-            for f in np.asarray(pending):
-                writer.write(f)
+        def batches():
+            for i in range(0, t, batch_size):
+                up = model(frames[i : i + batch_size])  # async dispatch
+                if yuv:
+                    up = jnp.clip(jnp.round(up * 255.0), 0, 255).astype(jnp.uint8)
+                yield up
+
+        for f in pipelined_frames(batches(), "yuv420p" if yuv else "rgb24"):
+            writer.write(f)
     return out_file
 
 

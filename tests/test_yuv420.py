@@ -86,7 +86,7 @@ def test_render_yuv420_frames_feed_writer(tmp_path):
     from maua_tpu.gan.wrappers import StyleGAN2
 
     gen = StyleGAN2(cfg=sg2.SG2Config(img_resolution=32, img_channels=3))
-    ws = gen.get_w_latents("0-3")
+    ws = gen.get_w_latents("0-4")  # seed ranges are end-exclusive: 4 latents
     frames = list(gen.render(ws, batch_size=2, pix_fmt="yuv420p"))
     res = gen.cfg.img_resolution
     assert all(f.shape == (3 * res // 2, res) and f.dtype == np.uint8 for f in frames)
@@ -100,3 +100,34 @@ def test_render_yuv420_frames_feed_writer(tmp_path):
     # rgb24 path renders the same content (YUV-decoded within tolerance)
     rgb_frames = np.stack(list(gen.render(ws, batch_size=2)))
     assert np.abs(vid * 255.0 - rgb_frames.astype(np.float64)).mean() < 6.0
+
+
+def test_pipelined_frames_respects_valid_counts():
+    from maua_tpu.ops.video import pipelined_frames
+
+    batches = [
+        (np.arange(16, dtype=np.uint8).reshape(2, 2, 2, 2), 2),
+        (np.ones((2, 2, 2, 2), np.uint8), 1),  # padded tail: only 1 valid
+    ]
+    frames = list(pipelined_frames(iter(batches)))
+    assert len(frames) == 3
+    assert frames[0].shape == (2, 2, 2)
+    # bare batches (no counts) yield every frame
+    assert len(list(pipelined_frames(iter([np.zeros((3, 2, 2, 3), np.uint8)])))) == 3
+
+
+def test_ffmpeg_renderer_falls_back_on_odd_dims(tmp_path):
+    """Odd frame sizes can't be I420: the FFMPEG renderer must fall
+    back to the rgb24 pipe (whose pad filter handles them) instead of
+    crashing (regression: yuv default broke odd --out_size)."""
+    from maua_tpu.audiovisual.render import FFMPEG
+    from maua_tpu.gan import stylegan2 as sg2
+    from maua_tpu.gan.wrappers import StyleGAN2
+
+    gen = StyleGAN2(cfg=sg2.SG2Config(img_resolution=32, img_channels=3), output_size=(31, 31))
+    ws = gen.get_w_latents("0-4")
+    out = str(tmp_path / "odd.mp4")
+    renderer = FFMPEG(out, fps=4, batch_size=2, pix_fmt="yuv420p")
+    video_file = renderer(gen.render, {"latent_w_plus": ws})
+    vid, _ = read_video(video_file)
+    assert vid.shape[0] == 4

@@ -30,7 +30,7 @@ def main():
     batch = int(os.environ.get("MAUA_BENCH_BATCH", "8"))
 
     gen = StyleGAN2(cfg=sg2.SG2Config(img_resolution=res, dtype="bfloat16"))
-    ws = gen.get_w_latents(f"0-{max(n_frames // 8, 1) - 1}")
+    ws = gen.get_w_latents(f"0-{max(n_frames // 8, 1)}")  # end-exclusive seed range
     lat = jnp.tile(ws, (8, 1, 1))[:n_frames]
 
     # serialized reference: synth -> blocking fetch per batch
