@@ -105,6 +105,29 @@ def test_correlation_metrics():
     assert 0 <= out_dep["rv"] <= 1 + 1e-6
 
 
+def test_correlation_battery_orders_similarity():
+    """The reference's exported battery (`correlation.py:416` harness):
+    X vs X-minus-one-PC must score higher than X vs noise for every
+    matched-shape metric."""
+    rs = np.random.RandomState(1)
+    X = rs.randn(120, 16).astype(np.float32)
+    X -= X.mean()
+    U, s, V = np.linalg.svd(X, full_matrices=False)
+    Y1 = (np.delete(U, 2, 1) @ np.diag(np.delete(s, 2)) @ np.delete(V, 2, 0)).astype(np.float32)
+    Y2 = rs.randn(120, 16).astype(np.float32)
+
+    battery = ("pearson", "spearman", "concordance", "autocorrcorr", "rv", "rv2", "smi",
+               "r1", "r2", "r3", "r4", "rG", "svcca", "pwcca", "op", "rvadj_maye",
+               "rvadj_ghaziri", "coxhead2")
+    for name in battery:
+        fn = correlation.METRICS[name]
+        hi = float(fn(X, Y1))
+        lo = float(fn(X, Y2))
+        assert np.isfinite(hi) and np.isfinite(lo), name
+        assert hi > lo, (name, hi, lo)
+        assert hi <= 1.0 + 1e-4, (name, hi)
+
+
 def test_generate_end_to_end(audio, tmp_path):
     """Full selfsupervised pipeline (`selfsupervised/sample.py:36-101`):
     audio -> music info -> seeded Patch -> render -> decodable video,
