@@ -152,10 +152,27 @@ def test_generate_end_to_end(audio, tmp_path):
 
 
 def test_video_features():
-    from maua_tpu.audiovisual.selfsupervised.video_features import video_feature_matrix
+    from maua_tpu.audiovisual.selfsupervised import video_features as vf
 
     rs = np.random.RandomState(0)
     frames = rs.rand(6, 32, 32, 3).astype(np.float32)
-    M = video_feature_matrix(frames, n_frames_out=12)
-    assert M.shape == (12, 1 + 6 + 1 + 1)
-    assert np.all(np.isfinite(M))
+    feats = vf.extract_video_features(frames, n_frames_out=12)
+    expected_dims = {
+        "luminance": 1, "color": 6, "edges": 1, "flow": 1, "rgb_hist": 96, "hsv_hist": 96,
+        "visual_variance": 1, "absdiff": 1, "low_freq_rms": 1, "mid_freq_rms": 1,
+        "high_freq_rms": 1, "adaptive_freq_rms": 1, "flow_onsets": 1, "spectral_onsets": 1,
+    }
+    for name, dim in expected_dims.items():
+        assert feats[name].shape == (12, dim), name
+        assert np.all(np.isfinite(np.asarray(feats[name]))), name
+    M = vf.video_feature_matrix(frames, n_frames_out=12)
+    assert M.shape == (12, sum(expected_dims.values()))
+
+    # descriptor sanity (`features/video.py:12-190` semantics)
+    assert vf.rgb_hist(frames).max() <= 1.0 + 1e-6
+    dg = vf.directogram(np.stack([np.ones((8, 8, 2), np.float32)] * 5))
+    assert dg.shape == (5, 8) and np.all(dg >= 0)
+    # a cut (hard frame change) spikes the absdiff/onset features
+    cut = np.concatenate([np.zeros((5, 16, 16, 3), np.float32), np.ones((5, 16, 16, 3), np.float32)])
+    ad = vf.absdiff(cut).squeeze()
+    assert ad.argmax() == 4
