@@ -18,13 +18,15 @@ def _text_tokens(text: str, cfg):
     return jnp.asarray(np.array([ids], np.int32))
 
 
-def _build(seed: int, checkpoint=None):
+def _build(seed: int, checkpoint=None, depth: int = 1):
     import jax
 
     from .finetune import restore_checkpoint
     from .transformer import ARConfig, init_params
 
-    cfg = ARConfig(width=128, layers=2, heads=4, image_rows=8, image_cols=8, text_length=16)
+    # depth > 1: the token grid is (rows, cols, depth) flattened in
+    # raster-depth order — widen the sequence accordingly (RQ role)
+    cfg = ARConfig(width=128, layers=2, heads=4, image_rows=8, image_cols=8 * depth, text_length=16)
     params = init_params(jax.random.PRNGKey(seed), cfg)
     if checkpoint:
         params = restore_checkpoint(checkpoint, {"params": params})["params"]
@@ -249,17 +251,31 @@ def api_cmd(args):
 
 def rerank_cmd(args):
     """minDALLE / RQ-transformer role (`maua/cli/autoregressive.py:119-137`):
-    sample num_candidates, CLIP-rerank, keep the best num_outputs."""
+    sample num_candidates, CLIP-rerank, keep the best num_outputs. The
+    rq variant samples depth-D residual codes per position in
+    raster-depth order and decodes through the RQ-VAE sum-of-embeddings
+    path (reference sample grids are (H, W, D), `rq_dalle.py:113-217`)."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from .rerank import generate_and_rerank
 
-    params, cfg = _build(args.seed, args.checkpoint)
-    decode, _, _ = _vq_decoder(cfg)
+    depth = max(int(getattr(args, "rq_depth", 1)), 1) if args.cmd == "rq" else 1
+    params, cfg = _build(args.seed, args.checkpoint, depth=depth)
+    decode, vq_params, vq_cfg = _vq_decoder(cfg)
+    if depth > 1:
+        from . import vq
+
+        rows, cols = cfg.image_rows, cfg.image_cols // depth
+
+        def decode_fn(t):
+            return np.asarray(vq.decode_rq_tokens(
+                vq_params, jnp.asarray(t).reshape(len(t), -1), vq_cfg, rows, cols, depth))
+    else:
+        decode_fn = lambda t: decode(t.reshape(len(t), cfg.image_rows, cfg.image_cols))
     best = generate_and_rerank(
-        params, cfg, _text_tokens(args.prompt, cfg), args.prompt,
-        lambda t: decode(t.reshape(len(t), cfg.image_rows, cfg.image_cols)),
+        params, cfg, _text_tokens(args.prompt, cfg), args.prompt, decode_fn,
         n_candidates=args.num_candidates, top_n=args.num_outputs,
         key=jax.random.PRNGKey(args.seed), temperature=args.temperature,
         top_k=int(args.top_k), top_p=args.top_p or 0.0)
@@ -340,6 +356,8 @@ def main(args=None):
         r.add_argument("--seed", default=0, type=int)
         r.add_argument("--checkpoint", default=None, type=str)
         r.add_argument("--upscale", default=1, type=int, choices=[1, 2, 4, 8])
+        r.add_argument("--rq_depth", default=4 if name == "rq" else 1, type=int,
+                       help="residual quantization depth (codes per position; rq only)")
         r.add_argument("--output_dir", default="output/", type=str)
         r.set_defaults(func=rerank_cmd)
     # fmt: on

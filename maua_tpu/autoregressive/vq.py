@@ -82,6 +82,40 @@ def decode_video_tokens(params: Dict, tokens: jax.Array, cfg: VQConfig, rows: in
     return imgs.reshape(f, b, *imgs.shape[1:])
 
 
+def decode_rq_tokens(params: Dict, tokens: jax.Array, cfg: VQConfig, rows: int, cols: int,
+                     depth: int) -> jax.Array:
+    """Residual-quantized tokens (B, rows*cols*depth, raster-depth
+    order) -> (B, rows*U, cols*U, 3).
+
+    RQ-VAE (the reference's rq_dalle role, `rq_dalle.py:113-217`:
+    sample grids are (H, W, D)) represents each position as a DEPTH-D
+    stack of codes quantizing successive residuals against one shared
+    codebook; the latent is the sum of the code embeddings, decoded by
+    the same decoder. depth=1 degenerates to plain VQ."""
+    b = tokens.shape[0]
+    ids = tokens.reshape(b, rows, cols, depth)
+    z = params["codebook"][ids].sum(axis=3)  # (B, rows, cols, C)
+    return jnp.clip(vae_mod.decode(params["vae"], z, cfg.vae_cfg), -1.0, 1.0)
+
+
+def encode_rq_tokens(params: Dict, images: jax.Array, cfg: VQConfig, depth: int) -> jax.Array:
+    """images (B, H, W, 3) -> (B, (H/U)*(W/U)*depth) residual code ids:
+    each depth level snaps the remaining residual to the nearest
+    codebook entry (RQ-VAE encoding)."""
+    z = vae_mod.encode(params["vae"], images, cfg.vae_cfg)
+    flat = z.reshape(-1, cfg.z_channels)
+    cb = params["codebook"]
+    levels = []
+    resid = flat
+    for _ in range(depth):
+        d = (jnp.sum(resid**2, -1, keepdims=True) - 2.0 * resid @ cb.T + jnp.sum(cb**2, -1))
+        ids = jnp.argmin(d, axis=-1)
+        levels.append(ids)
+        resid = resid - cb[ids]
+    ids = jnp.stack(levels, axis=-1)  # (B*h*w, depth)
+    return ids.reshape(images.shape[0], -1)
+
+
 def encode_tokens(params: Dict, images: jax.Array, cfg: VQConfig) -> jax.Array:
     """images (B, H, W, 3) in [-1, 1] -> (B, (H/U)*(W/U)) image-vocab
     ids: encoder latents snapped to the nearest codebook entry (the
