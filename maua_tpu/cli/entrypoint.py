@@ -43,6 +43,9 @@ COMMANDS = {
     "nca": {
         "run": ("maua_tpu.nca.nca", "Texture NCA: train on a style image / render evolution video"),
     },
+    "serve": {
+        "http": ("maua_tpu.serve", "Warm-model inference server (micro-batched, HTTP)"),
+    },
 }
 
 
