@@ -275,6 +275,102 @@ class GANImageService:
         self._batcher.close()
 
 
+class DiffusionImageService:
+    """text (+ seed, cfg_scale) -> image via a warm SD-class processor.
+
+    Different prompts batch into ONE CFG denoise scan: texts tokenize
+    to the model's fixed context length at request time, conditions
+    encode as a batch, and per-request cfg_scale rides as a (B,1,1,1)
+    broadcast through `cfg_denoiser`. Per-request seeds drive
+    independent initial noise, so results are deterministic per
+    (text, seed) regardless of co-batched traffic — except ancestral
+    samplers, whose in-loop noise is shared per batch.
+
+    Serving runs the full unguided schedule (t_start=0 -> image); grad
+    guidance needs per-request targets and stays on the offline path.
+    """
+
+    name = "diffusion"
+
+    def __init__(
+        self,
+        processor=None,
+        max_batch: int = 4,
+        max_wait_ms: float = 100.0,
+        **processor_kwargs,
+    ):
+        if processor is None:
+            from .diffusion.image import get_diffusion_model
+
+            processor = get_diffusion_model("stable", **processor_kwargs)
+        self.proc = processor
+        self.metrics = ServiceMetrics()
+        self._jit_run = None
+        self._batcher = MicroBatcher(
+            self._run, max_batch=max_batch, max_wait_ms=max_wait_ms, metrics=self.metrics
+        )
+
+    def _build(self):
+        import jax
+        import jax.numpy as jnp
+
+        from .diffusion.wrappers import cfg_denoiser
+        from .text.clip_text import encode_text, tokenize
+
+        p = self.proc
+        sigmas = jnp.asarray(np.asarray(p.get_sigmas(0.0, 1.0)))
+        ds = p.vae_cfg.downscale
+        h = w = p.image_size // ds
+        zc = p.vae_cfg.z_channels
+        uncond_tok = jnp.asarray(tokenize("", p.text_cfg.context_length))
+        ancestral = p.sampler_name in ("euler_ancestral", "dpm_2_ancestral")
+
+        def run(tokens, seeds, scales):
+            cond = encode_text(p.text_params, tokens, p.text_cfg)
+            uncond = encode_text(p.text_params, uncond_tok, p.text_cfg)
+            model_fn = cfg_denoiser(p.denoiser, cond, uncond, scales[:, None, None, None])
+            noise = jax.vmap(lambda s: jax.random.normal(jax.random.PRNGKey(s), (h, w, zc)))(seeds)
+            x = noise * sigmas[0]
+            if ancestral:
+                out = p.sample_fn(model_fn, x, sigmas, key=jax.random.PRNGKey(seeds[0]))
+            else:
+                out = p.sample_fn(model_fn, x, sigmas)
+            img = p.decode(out)
+            return jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+        return jax.jit(run)
+
+    def _run(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        import jax.numpy as jnp
+
+        if self._jit_run is None:
+            self._jit_run = self._build()
+        return np.asarray(
+            self._jit_run(
+                jnp.asarray(batch["tokens"], jnp.int32),
+                jnp.asarray(batch["seed"], jnp.uint32),
+                jnp.asarray(batch["cfg_scale"], jnp.float32),
+            )
+        )
+
+    def request_from_json(self, payload: Dict) -> Dict[str, np.ndarray]:
+        from .text.clip_text import tokenize
+
+        tokens = tokenize(str(payload.get("text", "")), self.proc.text_cfg.context_length)
+        seed = np.asarray([int(payload.get("seed", 0))], np.uint32)
+        scale = np.asarray([float(payload.get("cfg_scale", self.proc.cfg_scale))], np.float32)
+        return {"tokens": tokens, "seed": seed, "cfg_scale": scale}
+
+    def submit(self, payload: Dict) -> Future:
+        return self._batcher.submit(self.request_from_json(payload))
+
+    def render_png(self, payload: Dict, timeout: float = 600.0) -> bytes:
+        return _encode_png(self.submit(payload).result(timeout=timeout))
+
+    def close(self) -> None:
+        self._batcher.close()
+
+
 class UpscaleService:
     """base64 image -> upscaled image through a warm `super` model.
 
@@ -369,6 +465,9 @@ def main(args=None):
     parser.add_argument("--model_file", default=None, type=str, help="GAN checkpoint (random init if omitted)")
     parser.add_argument("--architecture", default="stylegan2", choices=["stylegan2", "stylegan3"])
     parser.add_argument("--upscale_model", default=None, type=str, help="also serve /v1/upscale with this super model")
+    parser.add_argument("--diffusion", action="store_true", help="also serve /v1/diffusion (SD-class text-to-image)")
+    parser.add_argument("--timesteps", default=20, type=int, help="diffusion steps for /v1/diffusion")
+    parser.add_argument("--sampler", default="euler", type=str, help="sampler for /v1/diffusion")
     parser.add_argument("--host", default="127.0.0.1", type=str)
     parser.add_argument("--port", default=8080, type=int)
     parser.add_argument("--max_batch", default=8, type=int)
@@ -385,6 +484,10 @@ def main(args=None):
     services[GANImageService.name] = gan
     if args.upscale_model:
         services[UpscaleService.name] = UpscaleService(args.upscale_model)
+    if args.diffusion:
+        services[DiffusionImageService.name] = DiffusionImageService(
+            timesteps=args.timesteps, sampler=args.sampler
+        )
     if args.warmup:
         gan.render_png({"seed": 0})
         print("warmup compile done")

@@ -130,6 +130,44 @@ def test_http_server(gan_service):
         thread.join(timeout=10)
 
 
+def test_diffusion_service_batches_distinct_prompts():
+    from maua_tpu.diffusion.models import unet as unet_mod
+    from maua_tpu.diffusion.models import vae as vae_mod
+    from maua_tpu.diffusion.processors.stable import StableDiffusion
+    from maua_tpu.serve import DiffusionImageService
+    from maua_tpu.text.clip_text import CLIPTextConfig
+
+    proc = StableDiffusion(
+        sampler="euler",
+        timesteps=3,
+        image_size=32,
+        unet_cfg=unet_mod.UNetConfig(
+            in_channels=4, out_channels=4, model_channels=16, channel_mult=(1, 2),
+            num_res_blocks=1, attention_resolutions=(2,), num_heads=2, context_dim=32,
+            transformer_depth=1,
+        ),
+        vae_cfg=vae_mod.VAEConfig(base_channels=8, channel_mult=(1, 2), num_res_blocks=1, z_channels=4),
+        text_cfg=CLIPTextConfig(width=32, layers=1, heads=2, context_length=8),
+    )
+    svc = DiffusionImageService(processor=proc, max_batch=3, max_wait_ms=150.0)
+    try:
+        futs = [
+            svc.submit({"text": "a red boat", "seed": 1}),
+            svc.submit({"text": "a blue cube", "seed": 2}),
+            svc.submit({"text": "a red boat", "seed": 1, "cfg_scale": 2.0}),
+        ]
+        a, b, c = [f.result(timeout=600) for f in futs]
+        assert a.shape == (32, 32, 3) and a.dtype == np.uint8
+        assert not np.array_equal(a, b)  # prompt/seed changes the image
+        assert not np.array_equal(a, c)  # per-request cfg_scale is honored
+        # determinism per (text, seed, scale) regardless of co-batching
+        a2 = svc.submit({"text": "a red boat", "seed": 1}).result(timeout=600)
+        assert np.array_equal(a, a2)
+        assert svc.render_png({"text": "x", "seed": 0}).startswith(PNG_MAGIC)
+    finally:
+        svc.close()
+
+
 def test_upscale_service_roundtrip():
     import base64
     import io
