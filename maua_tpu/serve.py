@@ -233,6 +233,7 @@ class GANImageService:
         architecture: str = "stylegan2",
         max_batch: int = 8,
         max_wait_ms: float = 15.0,
+        mesh=None,
     ):
         if generator is None:
             from .gan.wrappers import get_generator_class
@@ -240,15 +241,30 @@ class GANImageService:
             generator = get_generator_class(architecture)(model_file=model_file)
         self.gen = generator
         self._w_avg = _find_w_avg(self.gen.params)
+        # serve one model over a chip mesh: the request batch shards
+        # data-parallel on the `data` axis (SURVEY.md section 2.14)
+        self.mesh = mesh
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            if max_batch % n_data:
+                max_batch = max(max_batch // n_data, 1) * n_data
         self.metrics = ServiceMetrics()
         self._batcher = MicroBatcher(
             self._run, max_batch=max_batch, max_wait_ms=max_wait_ms, metrics=self.metrics
         )
 
+    def _shard(self, x):
+        if self.mesh is None:
+            return x
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1)))))
+
     def _run(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
         import jax.numpy as jnp
 
-        ws = self.gen.mapper(jnp.asarray(batch["z"], jnp.float32))
+        ws = self.gen.mapper(self._shard(jnp.asarray(batch["z"], jnp.float32)))
         psi = jnp.asarray(batch["truncation"], jnp.float32)[:, None, None]
         if self._w_avg is not None:
             ws = self._w_avg + psi * (ws - self._w_avg)

@@ -168,6 +168,31 @@ def test_diffusion_service_batches_distinct_prompts():
         svc.close()
 
 
+def test_gan_service_mesh_sharded_matches_single_device(gan_service):
+    import jax
+    from jax.sharding import Mesh
+
+    from maua_tpu.gan.stylegan2 import SG2Config
+    from maua_tpu.gan.wrappers import StyleGAN2
+
+    cfg = SG2Config(img_resolution=32, z_dim=16, w_dim=16, channel_base=1024, channel_max=32, num_fp16_res=0)
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]).reshape(4, 1), ("data", "tensor"))
+    svc = GANImageService(generator=StyleGAN2(cfg=cfg), max_batch=6, max_wait_ms=150.0, mesh=mesh)
+    try:
+        # batch rounds down to a multiple of the data axis
+        assert svc._batcher.max_batch == 4
+        futs = [svc.submit({"seed": s}) for s in range(4)]
+        sharded = [f.result(timeout=120) for f in futs]
+        # same params (PRNGKey(0) init in both wrappers) -> sharded
+        # serving must match the unsharded service up to one uint8
+        # quantization step (partitioned conv reduction order)
+        ref = [gan_service.submit({"seed": s}).result(timeout=120) for s in range(4)]
+        for s, r in zip(sharded, ref):
+            assert np.abs(s.astype(np.int16) - r.astype(np.int16)).max() <= 1
+    finally:
+        svc.close()
+
+
 def test_upscale_service_roundtrip():
     import base64
     import io
