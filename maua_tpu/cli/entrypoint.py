@@ -72,6 +72,9 @@ def main(argv=None):
     module_path, _ = subs[sub]
     import importlib
 
+    from ..utility import enable_compilation_cache
+
+    enable_compilation_cache()  # no-op unless MAUA_COMPILE_CACHE is set
     mod = importlib.import_module(module_path)
     return mod.main(rest)
 

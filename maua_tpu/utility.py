@@ -145,3 +145,29 @@ def parse_kwarg_list(items) -> dict:
             raise ValueError(f"unsupported kwarg type {t!r} (one of {sorted(casts)})")
         out[k] = casts[t](v)
     return out
+
+
+def enable_compilation_cache(cache_dir=None) -> bool:
+    """Persist XLA compilations across processes.
+
+    Big-model jit compiles take minutes (SG3 1024 and the SD UNet run
+    5-10 min on a 1-core TPU-VM host) and by default die with the
+    process; the persistent cache turns warm restarts into seconds.
+    Opt-in: set MAUA_COMPILE_CACHE=<dir> (the CLI entrypoint calls
+    this automatically) or call directly. Returns False (no-op) when
+    disabled or when the backend can't serialize executables — on CPU
+    the AOT cache is host-machine-feature sensitive, which is why this
+    is not default-on.
+    """
+    cache_dir = cache_dir or os.environ.get("MAUA_COMPILE_CACHE")
+    if not cache_dir:
+        return False
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser(str(cache_dir)))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        return True
+    except Exception as e:  # backend without serialization support
+        print(f"compilation cache unavailable ({e})")
+        return False

@@ -127,3 +127,23 @@ def test_nima_perceptor():
     scores = np.asarray(p.score(imgs))
     assert scores.shape == (2,)
     assert np.all((scores >= 1) & (scores <= 10))
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    import jax
+
+    from maua_tpu.utility import enable_compilation_cache
+
+    # disabled by default
+    monkeypatch.delenv("MAUA_COMPILE_CACHE", raising=False)
+    assert enable_compilation_cache() is False
+    # opt-in via env var points jax at the directory
+    prev = jax.config.jax_compilation_cache_dir
+    monkeypatch.setenv("MAUA_COMPILE_CACHE", str(tmp_path / "cc"))
+    try:
+        assert enable_compilation_cache() is True
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+    finally:
+        # restore: later compiles in this process must not write into
+        # the pytest tmp dir after it is cleaned up
+        jax.config.update("jax_compilation_cache_dir", prev)
