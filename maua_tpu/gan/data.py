@@ -49,26 +49,75 @@ class ImageDataset:
     """Epoch iterator over the cached array with device-side
     normalize + random flip (`__main__.py:186-203` decode pipeline)."""
 
-    def __init__(self, cache_file: str, batch_size: int, seed: int = 0, mesh=None):
+    def __init__(self, cache_file: str, batch_size: int, seed: int = 0, mesh=None, prefetch: int = 2):
         self.data = np.load(cache_file, mmap_mode="r")
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.mesh = mesh
+        self.prefetch = prefetch
 
     def __len__(self):
         return len(self.data) // self.batch_size
 
+    def _load_batch(self, order, i) -> jax.Array:
+        idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+        batch = np.asarray(self.data[np.sort(idx)], np.float32) / 127.5 - 1.0
+        arr = jnp.asarray(batch)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            arr = jax.device_put(arr, NamedSharding(self.mesh, P("data", None, None, None)))
+        return arr
+
     def __iter__(self) -> Iterator[jax.Array]:
         order = self.rng.permutation(len(self.data))
-        for i in range(len(self)):
-            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
-            batch = np.asarray(self.data[np.sort(idx)], np.float32) / 127.5 - 1.0
-            arr = jnp.asarray(batch)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.prefetch <= 0:
+            for i in range(len(self)):
+                yield self._load_batch(order, i)
+            return
+        # background producer: mmap decode + host->device transfer of
+        # batch N+1..N+prefetch overlap the train step on batch N
+        # (device_put is async; the bounded queue caps staged HBM)
+        import queue
+        import threading
 
-                arr = jax.device_put(arr, NamedSharding(self.mesh, P("data", None, None, None)))
-            yield arr
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def produce():
+            try:
+                for i in range(len(self)):
+                    if not put(self._load_batch(order, i)):
+                        return
+                put(None)
+            except BaseException as e:  # surface in the consumer
+                put(e)
+
+        thread = threading.Thread(target=produce, daemon=True, name="maua-data-prefetch")
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # unblock the producer if the consumer bailed early
+            stop.set()
+            while not q.empty():
+                q.get_nowait()
+            thread.join(timeout=5)
 
 
 def augment_batch(key, batch: jax.Array, p_flip: float = 0.5, p_translate: float = 0.2,

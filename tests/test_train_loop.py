@@ -38,6 +38,23 @@ def test_build_cache_and_dataset(image_dir):
     assert -1.01 <= float(batch.min()) and float(batch.max()) <= 1.01
 
 
+def test_dataset_prefetch_matches_sync(image_dir):
+    cache = build_cache(image_dir, 16)
+    sync = [np.asarray(b) for b in ImageDataset(cache, batch_size=4, seed=7, prefetch=0)]
+    pref = [np.asarray(b) for b in ImageDataset(cache, batch_size=4, seed=7, prefetch=2)]
+    assert len(sync) == len(pref) == 3
+    for a, b in zip(sync, pref):
+        assert np.array_equal(a, b)
+    # abandoning the iterator early must not wedge the producer thread
+    import threading
+
+    before = threading.active_count()
+    it = iter(ImageDataset(cache, batch_size=4, seed=7, prefetch=1))
+    next(it)
+    it.close()
+    assert threading.active_count() <= before + 1
+
+
 def test_augment_batch():
     rs = np.random.RandomState(1)
     batch = rs.rand(8, 16, 16, 3).astype(np.float32) * 2 - 1
