@@ -71,3 +71,52 @@ def shard_params(mesh: Mesh, params, axis: str = "tensor"):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, params)
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> bool:
+    """Multi-host bring-up (SURVEY.md section 2.14 comm backend:
+    `jax.distributed.initialize` replaces torch.distributed env
+    rendezvous). On TPU pods all arguments auto-detect from the
+    metadata server; pass them explicitly elsewhere. Call once per
+    host process before first jax use. Returns False (no-op) when
+    already initialized or single-host."""
+    if jax.process_count() > 1:
+        return False  # already initialized
+    if coordinator_address is None and not jax.default_backend().startswith("tpu"):
+        return False  # nothing to auto-detect off-TPU
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except (RuntimeError, ValueError) as e:
+        print(f"multi-host init skipped ({e})")
+        return False
+
+
+def make_multihost_mesh(
+    axes: Tuple[str, ...] = ("data", "tensor"),
+    ici_shape: Optional[Tuple[int, ...]] = None,
+    dcn_shape: Optional[Tuple[int, ...]] = None,
+) -> Mesh:
+    """Mesh spanning ICI within a slice and DCN across slices/hosts
+    (SURVEY.md section 5: "a single Mesh over ICI (devices) x DCN
+    (hosts)"). The `data` axis crosses DCN (per-host frame/batch
+    shards; gradient/EMA reductions are the only cross-host traffic)
+    while `tensor` stays inside a slice so TP collectives ride ICI.
+    Falls back to a flat mesh on a single host/slice."""
+    devices = jax.devices()
+    n_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if n_slices <= 1 and jax.process_count() == 1:
+        return make_mesh(axes=axes)
+    from jax.experimental import mesh_utils
+
+    per_slice = len(devices) // n_slices
+    ici = ici_shape or (per_slice,) + (1,) * (len(axes) - 1)
+    dcn = dcn_shape or (n_slices,) + (1,) * (len(axes) - 1)
+    arr = mesh_utils.create_hybrid_device_mesh(ici, dcn, devices=devices)
+    return Mesh(arr, axes)

@@ -57,3 +57,16 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_multihost_mesh_helpers_single_host():
+    import jax
+
+    from maua_tpu.parallel.mesh import initialize_multihost, make_multihost_mesh
+
+    # single-host: init is a documented no-op, mesh falls back to flat
+    assert initialize_multihost() is False
+    mesh = make_multihost_mesh()
+    assert mesh.axis_names == ("data", "tensor")
+    assert mesh.shape["data"] == len(jax.devices())
+    assert mesh.shape["tensor"] == 1
