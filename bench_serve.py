@@ -54,16 +54,25 @@ def main():
             t.join()
         return n_requests / (time.perf_counter() - t0)
 
-    rps1 = closed_loop(1)
-    occ_before = svc.metrics.snapshot()["mean_occupancy"]
-    rps16 = closed_loop(16)
-    snap = svc.metrics.snapshot()
+    def run_metrics(concurrency: int):
+        # per-run occupancy: ServiceMetrics accumulates for the life
+        # of the service, so diff the counters around the run
+        before = svc.metrics.snapshot()
+        rps = closed_loop(concurrency)
+        after = svc.metrics.snapshot()
+        batches = after["batches"] - before["batches"]
+        served = after["served"] - before["served"]
+        occ = served / max(batches, 1)
+        return rps, occ, after
+
+    rps1, occ1, _ = run_metrics(1)
+    rps16, occ16, snap = run_metrics(16)
     svc.close()
     print(
         f"GAN serving {res}x{res} (max_batch {max_batch}): "
         f"{rps1:.2f} rps @ concurrency 1, {rps16:.2f} rps @ 16 "
-        f"({rps16 / max(rps1, 1e-9):.2f}x); mean occupancy {occ_before:.2f} -> {snap['mean_occupancy']:.2f}, "
-        f"max {snap['max_occupancy']}, p50 {snap['p50_ms']} ms, p95 {snap['p95_ms']} ms"
+        f"({rps16 / max(rps1, 1e-9):.2f}x); mean occupancy {occ1:.2f} -> {occ16:.2f}, "
+        f"max {snap['max_occupancy']}"
     )
 
 

@@ -64,9 +64,9 @@ class ImageDataset:
         batch = np.asarray(self.data[np.sort(idx)], np.float32) / 127.5 - 1.0
         arr = jnp.asarray(batch)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import shard_batch
 
-            arr = jax.device_put(arr, NamedSharding(self.mesh, P("data", None, None, None)))
+            arr = shard_batch(self.mesh, arr)
         return arr
 
     def __iter__(self) -> Iterator[jax.Array]:
@@ -96,7 +96,10 @@ class ImageDataset:
         def produce():
             try:
                 for i in range(len(self)):
-                    if not put(self._load_batch(order, i)):
+                    # re-check stop before decoding the next batch: a
+                    # blocked put can succeed during the shutdown drain,
+                    # and the next decode+transfer must not start then
+                    if stop.is_set() or not put(self._load_batch(order, i)):
                         return
                 put(None)
             except BaseException as e:  # surface in the consumer

@@ -79,13 +79,29 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     """Multi-host bring-up (SURVEY.md section 2.14 comm backend:
     `jax.distributed.initialize` replaces torch.distributed env
     rendezvous). On TPU pods all arguments auto-detect from the
-    metadata server; pass them explicitly elsewhere. Call once per
-    host process before first jax use. Returns False (no-op) when
-    already initialized or single-host."""
-    if jax.process_count() > 1:
-        return False  # already initialized
-    if coordinator_address is None and not jax.default_backend().startswith("tpu"):
-        return False  # nothing to auto-detect off-TPU
+    metadata server; pass them explicitly elsewhere. MUST run before
+    any jax call that initializes the XLA backend (so this function
+    deliberately avoids jax.devices()/process_count()). Returns False
+    (no-op) when already initialized or when there is no coordinator
+    to rendezvous with."""
+    if jax.distributed.is_initialized():
+        return False
+    # only attempt when there is something to rendezvous with: an
+    # explicit coordinator, a cluster env (set by jax launchers), or a
+    # cloud TPU pod environment whose metadata auto-detects — checked
+    # WITHOUT touching the backend.
+    import os
+
+    cluster_env = any(
+        os.environ.get(v)
+        for v in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+            "CLOUD_TPU_TASK_ID", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+        )
+    )
+    if coordinator_address is None and not cluster_env:
+        return False
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -110,13 +126,19 @@ def make_multihost_mesh(
     while `tensor` stays inside a slice so TP collectives ride ICI.
     Falls back to a flat mesh on a single host/slice."""
     devices = jax.devices()
+    has_slices = hasattr(devices[0], "slice_index")
     n_slices = len({getattr(d, "slice_index", 0) for d in devices})
-    if n_slices <= 1 and jax.process_count() == 1:
+    # non-TPU backends have no slice topology: the granule is the host
+    # process (create_hybrid_device_mesh(process_is_granule=True))
+    n_granules = n_slices if has_slices else jax.process_count()
+    if n_granules <= 1:
         return make_mesh(axes=axes)
     from jax.experimental import mesh_utils
 
-    per_slice = len(devices) // n_slices
-    ici = ici_shape or (per_slice,) + (1,) * (len(axes) - 1)
-    dcn = dcn_shape or (n_slices,) + (1,) * (len(axes) - 1)
-    arr = mesh_utils.create_hybrid_device_mesh(ici, dcn, devices=devices)
+    per_granule = len(devices) // n_granules
+    ici = ici_shape or (per_granule,) + (1,) * (len(axes) - 1)
+    dcn = dcn_shape or (n_granules,) + (1,) * (len(axes) - 1)
+    arr = mesh_utils.create_hybrid_device_mesh(
+        ici, dcn, devices=devices, process_is_granule=not has_slices
+    )
     return Mesh(arr, axes)

@@ -256,10 +256,9 @@ class GANImageService:
     def _shard(self, x):
         if self.mesh is None:
             return x
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.mesh import shard_batch
 
-        return jax.device_put(x, NamedSharding(self.mesh, P("data", *([None] * (x.ndim - 1)))))
+        return shard_batch(self.mesh, x)
 
     def _run(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
         import jax.numpy as jnp
@@ -286,6 +285,10 @@ class GANImageService:
 
     def render_png(self, payload: Dict, timeout: float = 300.0) -> bytes:
         return _encode_png(self.submit(payload).result(timeout=timeout))
+
+    def warmup(self, timeout: float = 1200.0) -> None:
+        """Compile the batch program before accepting traffic."""
+        self.submit({"seed": 0}).result(timeout=timeout)
 
     def close(self) -> None:
         self._batcher.close()
@@ -382,6 +385,10 @@ class DiffusionImageService:
 
     def render_png(self, payload: Dict, timeout: float = 600.0) -> bytes:
         return _encode_png(self.submit(payload).result(timeout=timeout))
+
+    def warmup(self, timeout: float = 1200.0) -> None:
+        """Compile the batch program before accepting traffic."""
+        self.submit({"text": "", "seed": 0}).result(timeout=timeout)
 
     def close(self) -> None:
         self._batcher.close()
@@ -505,8 +512,11 @@ def main(args=None):
             timesteps=args.timesteps, sampler=args.sampler
         )
     if args.warmup:
-        gan.render_png({"seed": 0})
-        print("warmup compile done")
+        for name, svc in services.items():
+            warm = getattr(svc, "warmup", None)
+            if warm is not None:
+                warm()
+                print(f"warmup compile done: {name}")
 
     server = make_http_server(services, host=args.host, port=args.port)
     print(f"serving {sorted(services)} on http://{args.host}:{server.server_address[1]} "
