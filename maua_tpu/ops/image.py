@@ -123,24 +123,27 @@ def luminance(x: jax.Array) -> jax.Array:
     return 0.2126 * x[..., 0] + 0.7152 * x[..., 1] + 0.0722 * x[..., 2]
 
 
-_RGB2YCBCR = jnp.array(
-    [[0.299, 0.587, 0.114], [-0.168736, -0.331264, 0.5], [0.5, -0.418688, -0.081312]]
+# numpy at module scope: a jnp constant here would dispatch a device
+# op at import time (forcing backend init before the CLI even parses
+# --help); functions convert lazily
+_RGB2YCBCR = np.array(
+    [[0.299, 0.587, 0.114], [-0.168736, -0.331264, 0.5], [0.5, -0.418688, -0.081312]], np.float32
 )
 
 
 def rgb_to_ycbcr(x: jax.Array) -> jax.Array:
-    ycc = jnp.einsum("...c,kc->...k", x, _RGB2YCBCR, precision="highest")
+    ycc = jnp.einsum("...c,kc->...k", x, jnp.asarray(_RGB2YCBCR), precision="highest")
     return ycc.at[..., 1:].add(0.5)
 
 
-_YCBCR2RGB = jnp.array(np.linalg.inv(np.array(
+_YCBCR2RGB = np.linalg.inv(np.array(
     [[0.299, 0.587, 0.114], [-0.168736, -0.331264, 0.5], [0.5, -0.418688, -0.081312]], np.float64
-)).astype(np.float32))
+)).astype(np.float32)
 
 
 def ycbcr_to_rgb(x: jax.Array) -> jax.Array:
     x = x.at[..., 1:].add(-0.5)
-    return jnp.einsum("...c,kc->...k", x, _YCBCR2RGB, precision="highest")
+    return jnp.einsum("...c,kc->...k", x, jnp.asarray(_YCBCR2RGB), precision="highest")
 
 
 def original_colors(content: jax.Array, generated: jax.Array) -> jax.Array:

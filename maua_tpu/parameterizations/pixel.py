@@ -24,7 +24,7 @@ from ..loss import replace_grad
 from . import Parameterization
 
 # https://alienryderflex.com/hsp.html luma weights (`pixel.py:211-213`)
-_MAGIC_COLOR = jnp.asarray([0.299, 0.587, 0.114])
+_MAGIC_COLOR = np.asarray([0.299, 0.587, 0.114], np.float32)  # numpy: no device op at import
 
 
 def sort_pallet(pallet: jax.Array, pallet_inertia: float = 2.0) -> jax.Array:

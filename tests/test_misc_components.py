@@ -147,3 +147,26 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         # restore: later compiles in this process must not write into
         # the pytest tmp dir after it is cleaned up
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_no_module_scope_device_ops():
+    """Module-scope jnp/jax.random calls dispatch a device op at import
+    time, forcing backend init before the CLI can even print --help
+    (and hanging outright if the accelerator transport is down)."""
+    import ast
+    import pathlib
+
+    import maua_tpu
+
+    root = pathlib.Path(maua_tpu.__file__).parent
+    offenders = []
+    for f in root.rglob("*.py"):
+        tree = ast.parse(f.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Assign) and node.col_offset == 0:
+                for call in ast.walk(node.value):
+                    if isinstance(call, ast.Call):
+                        s = ast.unparse(call.func)
+                        if s.startswith(("jnp.", "jax.numpy", "jax.random", "jax.device")):
+                            offenders.append(f"{f.relative_to(root)}:{node.lineno}: {s}")
+    assert not offenders, offenders
