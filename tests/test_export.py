@@ -1,0 +1,67 @@
+"""StableHLO export artifacts: roundtrip, generator export, metadata."""
+
+import subprocess
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from maua_tpu.export import export_fn, export_generator, exported_meta, load_exported
+
+
+def test_export_fn_roundtrip(tmp_path):
+    w = jax.random.normal(jax.random.PRNGKey(0), (4, 3))
+
+    def fn(x):
+        return jnp.tanh(x @ w)  # w baked in as a constant
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4))
+    path = export_fn(fn, (x,), str(tmp_path / "fn.stablehlo"))
+    meta = exported_meta(path)
+    assert any("2,4" in a.replace(" ", "") for a in meta["in_avals"])
+    out = load_exported(path)(x)
+    assert np.allclose(np.asarray(out), np.asarray(fn(x)), atol=1e-6)
+
+
+def test_export_generator_matches_service_output(tmp_path):
+    from maua_tpu.gan.stylegan2 import SG2Config
+    from maua_tpu.gan.wrappers import StyleGAN2
+
+    cfg = SG2Config(img_resolution=32, z_dim=16, w_dim=16, channel_base=1024,
+                    channel_max=32, num_fp16_res=0)
+    gen = StyleGAN2(cfg=cfg)
+    path = export_generator(gen, str(tmp_path / "g.stablehlo"), batch_size=2, truncation=0.8)
+
+    z = np.random.RandomState(0).randn(2, 16).astype(np.float32)
+    exported = np.asarray(load_exported(path)(z))
+    ws = gen.mapper(jnp.asarray(z), truncation=0.8)
+    direct = np.asarray(jnp.clip((gen.synthesizer(ws) + 1.0) * 127.5, 0, 255).astype(jnp.uint8))
+    assert exported.shape == (2, 32, 32, 3) and exported.dtype == np.uint8
+    assert np.array_equal(exported, direct)
+
+
+def test_exported_artifact_loads_without_model_code(tmp_path):
+    """The deployment contract: a fresh process that never imports the
+    model definitions replays the artifact."""
+    from maua_tpu.gan.stylegan2 import SG2Config
+    from maua_tpu.gan.wrappers import StyleGAN2
+
+    cfg = SG2Config(img_resolution=16, z_dim=8, w_dim=8, channel_base=512,
+                    channel_max=16, num_fp16_res=0)
+    path = export_generator(StyleGAN2(cfg=cfg), str(tmp_path / "g.stablehlo"), batch_size=1)
+
+    script = f"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np, zipfile
+with zipfile.ZipFile({path!r}) as zf:
+    exported = jax.export.deserialize(bytearray(zf.read("module.stablehlo")))
+out = exported.call(np.zeros((1, 8), np.float32))
+assert out.shape == (1, 16, 16, 3) and str(out.dtype) == "uint8"
+print("ARTIFACT_OK")
+"""
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True, text=True, timeout=300)
+    assert "ARTIFACT_OK" in r.stdout, r.stderr[-800:]
