@@ -80,21 +80,39 @@ def export_generator(
     gen,
     path: str,
     batch_size: int = 1,
-    truncation: float = 1.0,
+    truncation: Optional[float] = None,
     platforms: Optional[Sequence[str]] = None,
 ) -> str:
-    """Export a GAN wrapper (StyleGAN2/3 facade) as z -> uint8 frames.
+    """Export a GAN wrapper (StyleGAN2/3 facade) as a self-contained
+    frames module at a fixed batch size (the serving contract: one
+    static shape, see `serve.py`).
 
-    Bakes the mapper + synthesizer + truncation + uint8 conversion into
-    one self-contained module at a fixed batch size (the serving
-    contract: one static shape, see `serve.py`).
+    truncation=None (default) exports `(z, psi) -> uint8 frames` with
+    per-sample truncation as a runtime argument — what
+    `serve.ArtifactGANService` consumes. A float bakes it in and the
+    module signature is `z -> uint8 frames`.
     """
     import jax.numpy as jnp
 
-    def synth(z):
-        ws = gen.mapper(z, truncation=truncation)
-        img = gen.synthesizer(ws)
+    from .serve import _find_w_avg
+
+    def to_u8(img):
         return jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
 
     z = jnp.zeros((batch_size, gen.z_dim), jnp.float32)
-    return export_fn(synth, (z,), path, platforms=platforms)
+    if truncation is not None:
+        def synth(z):
+            return to_u8(gen.synthesizer(gen.mapper(z, truncation=truncation)))
+
+        return export_fn(synth, (z,), path, platforms=platforms)
+
+    w_avg = _find_w_avg(gen.params)
+
+    def synth(z, psi):
+        ws = gen.mapper(z)
+        if w_avg is not None:
+            ws = w_avg + psi[:, None, None] * (ws - w_avg)
+        return to_u8(gen.synthesizer(ws))
+
+    psi = jnp.ones((batch_size,), jnp.float32)
+    return export_fn(synth, (z, psi), path, platforms=platforms)

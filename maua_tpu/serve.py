@@ -294,6 +294,65 @@ class GANImageService:
         self._batcher.close()
 
 
+class ArtifactGANService:
+    """Serve frames from a StableHLO export (`export.export_generator`
+    with truncation=None) — the deployment mode where the serving
+    process ships NO model code, only the runtime and one artifact.
+
+    The artifact fixes the batch shape, so the micro-batcher's
+    max_batch is read from its signature rather than configured.
+    """
+
+    name = "gan"
+
+    def __init__(self, artifact: str, max_wait_ms: float = 15.0):
+        import re
+
+        from .export import exported_meta, load_exported
+
+        self._call = load_exported(artifact)
+        meta = exported_meta(artifact)
+        if len(meta["in_avals"]) != 2:
+            raise ValueError(
+                f"artifact {artifact!r} must have the (z, psi) signature "
+                f"(export_generator(truncation=None)); got {meta['in_avals']}"
+            )
+        m = re.search(r"\[(\d+),(\d+)\]", meta["in_avals"][0].replace(" ", ""))
+        if m is None:
+            raise ValueError(f"cannot parse z shape from {meta['in_avals'][0]!r}")
+        batch, self.z_dim = int(m.group(1)), int(m.group(2))
+        self.metrics = ServiceMetrics()
+        self._batcher = MicroBatcher(
+            self._run, max_batch=batch, max_wait_ms=max_wait_ms, metrics=self.metrics
+        )
+
+    def _run(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
+        return np.asarray(
+            self._call(batch["z"].astype(np.float32), batch["truncation"].astype(np.float32))
+        )
+
+    def request_from_json(self, payload: Dict) -> Dict[str, np.ndarray]:
+        if "z" in payload:
+            z = np.asarray(payload["z"], np.float32).reshape(1, self.z_dim)
+        else:
+            seed = int(payload.get("seed", 0))
+            z = np.random.RandomState(seed).randn(1, self.z_dim).astype(np.float32)
+        psi = np.asarray([float(payload.get("truncation", 1.0))], np.float32)
+        return {"z": z, "truncation": psi}
+
+    def submit(self, payload: Dict) -> Future:
+        return self._batcher.submit(self.request_from_json(payload))
+
+    def render_png(self, payload: Dict, timeout: float = 300.0) -> bytes:
+        return _encode_png(self.submit(payload).result(timeout=timeout))
+
+    def warmup(self, timeout: float = 1200.0) -> None:
+        self.submit({"seed": 0}).result(timeout=timeout)
+
+    def close(self) -> None:
+        self._batcher.close()
+
+
 class DiffusionImageService:
     """text (+ seed, cfg_scale) -> image via a warm SD-class processor.
 
@@ -486,6 +545,7 @@ def main(args=None):
     # fmt: off
     parser = argparse.ArgumentParser(description="warm-model inference server (micro-batched)")
     parser.add_argument("--model_file", default=None, type=str, help="GAN checkpoint (random init if omitted)")
+    parser.add_argument("--artifact", default=None, type=str, help="serve /v1/gan from a StableHLO export instead of a checkpoint")
     parser.add_argument("--architecture", default="stylegan2", choices=["stylegan2", "stylegan3"])
     parser.add_argument("--upscale_model", default=None, type=str, help="also serve /v1/upscale with this super model")
     parser.add_argument("--diffusion", action="store_true", help="also serve /v1/diffusion (SD-class text-to-image)")
@@ -500,11 +560,15 @@ def main(args=None):
     # fmt: on
 
     services: Dict[str, object] = {}
-    gan = GANImageService(
-        model_file=args.model_file, architecture=args.architecture,
-        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-    )
-    services[GANImageService.name] = gan
+    if args.artifact:
+        services[ArtifactGANService.name] = ArtifactGANService(
+            args.artifact, max_wait_ms=args.max_wait_ms
+        )
+    else:
+        services[GANImageService.name] = GANImageService(
+            model_file=args.model_file, architecture=args.architecture,
+            max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        )
     if args.upscale_model:
         services[UpscaleService.name] = UpscaleService(args.upscale_model)
     if args.diffusion:

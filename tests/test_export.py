@@ -42,6 +42,29 @@ def test_export_generator_matches_service_output(tmp_path):
     assert np.array_equal(exported, direct)
 
 
+def test_artifact_gan_service_matches_live_service(tmp_path):
+    from maua_tpu.gan.stylegan2 import SG2Config
+    from maua_tpu.gan.wrappers import StyleGAN2
+    from maua_tpu.serve import ArtifactGANService, GANImageService
+
+    cfg = SG2Config(img_resolution=32, z_dim=16, w_dim=16, channel_base=1024,
+                    channel_max=32, num_fp16_res=0)
+    gen = StyleGAN2(cfg=cfg)
+    path = export_generator(gen, str(tmp_path / "g.stablehlo"), batch_size=4)
+
+    live = GANImageService(generator=gen, max_batch=4, max_wait_ms=10.0)
+    art = ArtifactGANService(path, max_wait_ms=10.0)
+    try:
+        assert art.z_dim == 16 and art._batcher.max_batch == 4  # from the signature
+        for payload in ({"seed": 3}, {"seed": 5, "truncation": 0.6}):
+            a = art.submit(payload).result(timeout=300)
+            b = live.submit(payload).result(timeout=300)
+            assert np.array_equal(a, b), payload
+    finally:
+        live.close()
+        art.close()
+
+
 def test_exported_artifact_loads_without_model_code(tmp_path):
     """The deployment contract: a fresh process that never imports the
     model definitions replays the artifact."""
@@ -59,7 +82,7 @@ import jax; jax.config.update("jax_platforms", "cpu")
 import numpy as np, zipfile
 with zipfile.ZipFile({path!r}) as zf:
     exported = jax.export.deserialize(bytearray(zf.read("module.stablehlo")))
-out = exported.call(np.zeros((1, 8), np.float32))
+out = exported.call(np.zeros((1, 8), np.float32), np.ones((1,), np.float32))
 assert out.shape == (1, 16, 16, 3) and str(out.dtype) == "uint8"
 print("ARTIFACT_OK")
 """
