@@ -76,6 +76,27 @@ def load_exported(path: str) -> Callable:
     return exported.call
 
 
+def export_diffusion(
+    processor,
+    path: str,
+    batch_size: int = 2,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Export the full text->image sampler of an SD-class processor:
+    `(tokens (B,L) i32, seeds (B,) u32, cfg_scales (B,) f32) -> uint8
+    frames`. Text encoder, CFG denoise scan, VAE decode, and all
+    weights bake into one module; tokenization stays host-side
+    (`text.clip_text.tokenize`)."""
+    import jax.numpy as jnp
+
+    from .serve import text2img_fn
+
+    tokens = jnp.zeros((batch_size, processor.text_cfg.context_length), jnp.int32)
+    seeds = jnp.zeros((batch_size,), jnp.uint32)
+    scales = jnp.ones((batch_size,), jnp.float32)
+    return export_fn(text2img_fn(processor), (tokens, seeds, scales), path, platforms=platforms)
+
+
 def export_generator(
     gen,
     path: str,

@@ -353,6 +353,41 @@ class ArtifactGANService:
         self._batcher.close()
 
 
+def text2img_fn(p) -> Callable:
+    """Build the batched text->image program over an SD-class
+    processor: `(tokens (B,L) i32, seeds (B,) u32, scales (B,) f32) ->
+    uint8 frames`. The whole sampler scan is one jittable (and
+    `export.export_diffusion`-able) function; per-request cfg scales
+    broadcast as (B,1,1,1) through `cfg_denoiser`."""
+    import jax
+    import jax.numpy as jnp
+
+    from .diffusion.wrappers import cfg_denoiser
+    from .text.clip_text import encode_text, tokenize
+
+    sigmas = jnp.asarray(np.asarray(p.get_sigmas(0.0, 1.0)))
+    ds = p.vae_cfg.downscale
+    h = w = p.image_size // ds
+    zc = p.vae_cfg.z_channels
+    uncond_tok = jnp.asarray(tokenize("", p.text_cfg.context_length))
+    ancestral = p.sampler_name in ("euler_ancestral", "dpm_2_ancestral")
+
+    def run(tokens, seeds, scales):
+        cond = encode_text(p.text_params, tokens, p.text_cfg)
+        uncond = encode_text(p.text_params, uncond_tok, p.text_cfg)
+        model_fn = cfg_denoiser(p.denoiser, cond, uncond, scales[:, None, None, None])
+        noise = jax.vmap(lambda s: jax.random.normal(jax.random.PRNGKey(s), (h, w, zc)))(seeds)
+        x = noise * sigmas[0]
+        if ancestral:
+            out = p.sample_fn(model_fn, x, sigmas, key=jax.random.PRNGKey(seeds[0]))
+        else:
+            out = p.sample_fn(model_fn, x, sigmas)
+        img = p.decode(out)
+        return jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+    return run
+
+
 class DiffusionImageService:
     """text (+ seed, cfg_scale) -> image via a warm SD-class processor.
 
@@ -390,33 +425,8 @@ class DiffusionImageService:
 
     def _build(self):
         import jax
-        import jax.numpy as jnp
 
-        from .diffusion.wrappers import cfg_denoiser
-        from .text.clip_text import encode_text, tokenize
-
-        p = self.proc
-        sigmas = jnp.asarray(np.asarray(p.get_sigmas(0.0, 1.0)))
-        ds = p.vae_cfg.downscale
-        h = w = p.image_size // ds
-        zc = p.vae_cfg.z_channels
-        uncond_tok = jnp.asarray(tokenize("", p.text_cfg.context_length))
-        ancestral = p.sampler_name in ("euler_ancestral", "dpm_2_ancestral")
-
-        def run(tokens, seeds, scales):
-            cond = encode_text(p.text_params, tokens, p.text_cfg)
-            uncond = encode_text(p.text_params, uncond_tok, p.text_cfg)
-            model_fn = cfg_denoiser(p.denoiser, cond, uncond, scales[:, None, None, None])
-            noise = jax.vmap(lambda s: jax.random.normal(jax.random.PRNGKey(s), (h, w, zc)))(seeds)
-            x = noise * sigmas[0]
-            if ancestral:
-                out = p.sample_fn(model_fn, x, sigmas, key=jax.random.PRNGKey(seeds[0]))
-            else:
-                out = p.sample_fn(model_fn, x, sigmas)
-            img = p.decode(out)
-            return jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
-
-        return jax.jit(run)
+        return jax.jit(text2img_fn(self.proc))
 
     def _run(self, batch: Dict[str, np.ndarray]) -> np.ndarray:
         import jax.numpy as jnp

@@ -65,6 +65,33 @@ def test_artifact_gan_service_matches_live_service(tmp_path):
         art.close()
 
 
+def test_export_diffusion_roundtrip(tmp_path):
+    from maua_tpu.diffusion.models import unet as unet_mod
+    from maua_tpu.diffusion.models import vae as vae_mod
+    from maua_tpu.diffusion.processors.stable import StableDiffusion
+    from maua_tpu.export import export_diffusion
+    from maua_tpu.serve import text2img_fn
+    from maua_tpu.text.clip_text import CLIPTextConfig, tokenize
+
+    proc = StableDiffusion(
+        sampler="euler", timesteps=2, image_size=16,
+        unet_cfg=unet_mod.UNetConfig(in_channels=4, out_channels=4, model_channels=8,
+                                     channel_mult=(1, 2), num_res_blocks=1,
+                                     attention_resolutions=(2,), num_heads=2,
+                                     context_dim=16, transformer_depth=1),
+        vae_cfg=vae_mod.VAEConfig(base_channels=8, channel_mult=(1, 2), num_res_blocks=1, z_channels=4),
+        text_cfg=CLIPTextConfig(width=16, layers=1, heads=2, context_length=8),
+    )
+    path = export_diffusion(proc, str(tmp_path / "sd.stablehlo"), batch_size=2)
+    tokens = np.asarray(tokenize(["a red boat", "a blue cube"], 8), np.int32)
+    seeds = np.asarray([1, 2], np.uint32)
+    scales = np.asarray([7.5, 2.0], np.float32)
+    exported = np.asarray(load_exported(path)(tokens, seeds, scales))
+    direct = np.asarray(text2img_fn(proc)(tokens, seeds, scales))
+    assert exported.shape == (2, 16, 16, 3) and exported.dtype == np.uint8
+    assert np.array_equal(exported, direct)
+
+
 def test_exported_artifact_loads_without_model_code(tmp_path):
     """The deployment contract: a fresh process that never imports the
     model definitions replays the artifact."""
