@@ -118,6 +118,30 @@ def position_table(params: Dict, cfg: ARConfig, t: int, frame_ids: Optional[jax.
     )
 
 
+def transformer_block(blk: Dict, x: jax.Array, cfg: ARConfig, mask: jax.Array) -> jax.Array:
+    """One pre-LN causal block (attention + MLP) on x (B, T, width).
+
+    Module-level so the pipeline-parallel path
+    (`parallel/pipeline.py`) can stack per-stage block params and apply
+    the identical computation per stage."""
+    b, t = x.shape[:2]
+    neg = jnp.asarray(-1e9, jnp.float32)
+    h = _ln(blk["ln1"], x)
+    qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    hd = cfg.width // cfg.heads
+    q = q.reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) / math.sqrt(hd)
+    logits = jnp.where(mask[None, None], logits, neg)
+    probs = jax.nn.softmax(logits, -1).astype(x.dtype)
+    att = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, t, cfg.width)
+    x = x + att @ blk["proj"]["w"] + blk["proj"]["b"]
+    h = _ln(blk["ln2"], x)
+    return x + jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
+
+
 def forward(
     params: Dict,
     tokens: jax.Array,  # (B, T)
@@ -140,23 +164,9 @@ def forward(
 
     if mask is None:
         mask = jnp.tril(jnp.ones((t, t), bool))
-    neg = jnp.asarray(-1e9, jnp.float32)
 
     def block(blk, x):
-        h = _ln(blk["ln1"], x)
-        qkv = h @ blk["qkv"]["w"] + blk["qkv"]["b"]
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        hd = cfg.width // cfg.heads
-        q = q.reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) / math.sqrt(hd)
-        logits = jnp.where(mask[None, None], logits, neg)
-        probs = jax.nn.softmax(logits, -1).astype(x.dtype)
-        att = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(b, t, cfg.width)
-        x = x + att @ blk["proj"]["w"] + blk["proj"]["b"]
-        h = _ln(blk["ln2"], x)
-        return x + jax.nn.gelu(h @ blk["fc1"]["w"] + blk["fc1"]["b"]) @ blk["fc2"]["w"] + blk["fc2"]["b"]
+        return transformer_block(blk, x, cfg, mask)
 
     if remat:
         # rematerialize each block's activations on the backward pass —
