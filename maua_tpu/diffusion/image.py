@@ -243,23 +243,36 @@ def image_sample(
     tile_size: Optional[int] = None,
     stitch: bool = True,
     max_batch: int = 4,
+    match_hist: bool = False,
+    sharpness: float = 0.0,
     verbose: bool = True,
     key=None,
     **model_kwargs,
 ) -> jax.Array:
     """Text-to-image / image-to-image entry point
     (`maua/diffusion/image.py:217-282`). Returns (1, H, W, 3) in
-    [-1, 1]."""
+    [-1, 1]. `match_hist` histogram-matches the init to the --style
+    image before each scale; `sharpness` > 0 sharpens after each scale
+    (the reference's pre/post hooks, `image.py:256-259`)."""
+    from functools import partial
+
+    from ..ops.image import match_histogram, sharpen
+
     model = get_diffusion_model(
         diffusion, timesteps=timesteps, sampler=sampler, guidance_speed=guidance_speed,
         clip_scale=clip_scale, lpips_scale=lpips_scale, style_scale=style_scale,
         color_match_scale=color_match_scale, cfg_scale=cfg_scale, image=image, **model_kwargs,
     )
+    pre_hook = None
+    if match_hist and style is not None:
+        style_img = jnp.asarray(StylePrompt(path=style).img)  # already [-1, 1]
+        pre_hook = lambda img: match_histogram(img, style_img)
+    post_hook = partial(sharpen, strength=sharpness) if sharpness > 0 else None
     schedule = {tuple(s): float(k) for s, k in zip(sizes, list(skips) + [skips[-1]] * (len(sizes) - len(skips)))}
     return MultiResolutionDiffusionProcessor()(
         diffusion=model, init=init, text=text, image=image, content=content, style=style,
         schedule=schedule, super_res_model=super_res_model, tile_size=tile_size, stitch=stitch,
-        max_batch=max_batch, verbose=verbose, key=key,
+        max_batch=max_batch, pre_hook=pre_hook, post_hook=post_hook, verbose=verbose, key=key,
     )
 
 
@@ -284,25 +297,41 @@ def main(args=None):
     parser.add_argument("--cfg_scale", default=5.0, type=float)
     parser.add_argument("--super_res", default=None, type=str)
     parser.add_argument("--tile_size", default=None, type=int)
+    parser.add_argument("--stitch", action=argparse.BooleanOptionalAction, default=True,
+                        help="tiled synthesis of images larger than --tile_size")
     parser.add_argument("--max_batch", default=4, type=int)
+    parser.add_argument("--match_hist", action="store_true",
+                        help="match the init histogram to the --style image before each scale")
+    parser.add_argument("--sharpness", default=0.0, type=float,
+                        help="sharpen after each diffusion scale (0 disables, 1.0 leaves unchanged)")
+    parser.add_argument("--number", default=1, type=int, help="how many images to render")
+    parser.add_argument("--device", default=None, type=str,
+                        help='"cpu" forces the CPU backend; default uses the TPU')
     parser.add_argument("--out_dir", default="output/", type=str)
     args = parser.parse_args(args)
     # fmt: on
 
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     sizes = [tuple(int(v) for v in s.split(",")) for s in args.sizes.split(";")]
     skips = [float(s) for s in args.skips.split(",")]
-    img = image_sample(
-        init=args.init, text=args.text, image=args.image, content=args.content, style=args.style,
-        sizes=sizes, skips=skips, diffusion=args.diffusion, timesteps=args.timesteps,
-        sampler=args.sampler, guidance_speed=args.guidance_speed, clip_scale=args.clip_scale,
-        lpips_scale=args.lpips_scale, style_scale=args.style_scale,
-        color_match_scale=args.color_match_scale, cfg_scale=args.cfg_scale,
-        super_res_model=args.super_res, tile_size=args.tile_size, max_batch=args.max_batch,
-    )
     Path(args.out_dir).mkdir(parents=True, exist_ok=True)
-    out = f"{args.out_dir}/{get_output_name(args.text, args.image, args.style, args.init)}.png"
-    save_image(np.asarray(img), out)
-    print(out)
+    for n in range(args.number):
+        img = image_sample(
+            init=args.init, text=args.text, image=args.image, content=args.content, style=args.style,
+            sizes=sizes, skips=skips, diffusion=args.diffusion, timesteps=args.timesteps,
+            sampler=args.sampler, guidance_speed=args.guidance_speed, clip_scale=args.clip_scale,
+            lpips_scale=args.lpips_scale, style_scale=args.style_scale,
+            color_match_scale=args.color_match_scale, cfg_scale=args.cfg_scale,
+            super_res_model=args.super_res, tile_size=args.tile_size, stitch=args.stitch,
+            max_batch=args.max_batch, match_hist=args.match_hist, sharpness=args.sharpness,
+            key=jax.random.PRNGKey(n),
+        )
+        suffix = f"_{n}" if args.number > 1 else ""
+        out = f"{args.out_dir}/{get_output_name(args.text, args.image, args.style, args.init)}{suffix}.png"
+        save_image(np.asarray(img), out)
+        print(out)
 
 
 if __name__ == "__main__":

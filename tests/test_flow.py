@@ -119,6 +119,21 @@ def test_video_flow_diffusion_end_to_end(tmp_path, monkeypatch):
     assert out.shape == (3, 32, 32, 3)
     assert np.all(np.isfinite(out))
 
+    # turbo + wrap_around + first_skip/first_frame_init: diffuse every
+    # 2nd frame, flow-interpolate the rest, close the loop with 1 extra
+    # frame (reference maua/diffusion/video.py:382-416 flag surface)
+    import cv2 as _cv2
+
+    init_png = str(tmp_path / "ff.png")
+    _cv2.imwrite(init_png, np.full((32, 32, 3), 128, np.uint8))
+    out2 = VideoFlowDiffusionProcessor()(
+        sd, vid_path, text="test", size=(32, 32), skip=0.6, first_skip=0.3,
+        first_frame_init=init_png, turbo=2, wrap_around=1, hist_persist=True,
+        flow_exaggeration=1.5, verbose=False, max_frames=3,
+    )
+    assert out2.shape == (3, 32, 32, 3)
+    assert np.all(np.isfinite(out2))
+
 
 def test_flo_roundtrip(tmp_path):
     """Middlebury .flo write/read roundtrip (`maua/flow/utils.py:69-90`)."""
