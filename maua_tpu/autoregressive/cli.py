@@ -90,6 +90,18 @@ def _save_images(imgs, args, stem: str) -> int:
             w, h = (int(v) for v in str(stretch).split(","))
             pil = pil.resize((w, h))
         pil.save(f"{args.output_dir}/{stem}_{i}.png")
+    if getattr(args, "make_grid", False) and len(imgs) > 0:
+        # square-ish grid of all outputs (reference rq_dalle --make_grid)
+        import math
+
+        cols = math.ceil(math.sqrt(len(imgs)))
+        rows = math.ceil(len(imgs) / cols)
+        h, w = imgs[0].shape[:2]
+        grid = np.zeros((rows * h, cols * w, imgs[0].shape[2]), np.float32)
+        for i, im in enumerate(imgs):
+            r, c = divmod(i, cols)
+            grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = im
+        tensor2img(grid[None]).save(f"{args.output_dir}/{stem}_grid.png")
     print(args.output_dir)
     return 0
 
@@ -261,6 +273,16 @@ def rerank_cmd(args):
 
     from .rerank import generate_and_rerank
 
+    if getattr(args, "prompt_flag", None):
+        args.prompt = args.prompt_flag
+    if args.prompt is None:
+        raise SystemExit("a prompt is required (positional or --text_prompts)")
+    if getattr(args, "sampling_ratio", None):
+        args.num_outputs = max(1, round(args.num_candidates * args.sampling_ratio))
+    if getattr(args, "clip_model", None):
+        print(f"note: --clip_model {args.clip_model} accepted for parity; reranking uses "
+              "the in-tree CLIP tower (converted zoo weights unavailable: zero egress)")
+
     depth = max(int(getattr(args, "rq_depth", 1)), 1) if args.cmd == "rq" else 1
     params, cfg = _build(args.seed, args.checkpoint, depth=depth)
     decode, vq_params, vq_cfg = _vq_decoder(cfg)
@@ -278,7 +300,8 @@ def rerank_cmd(args):
         params, cfg, _text_tokens(args.prompt, cfg), args.prompt, decode_fn,
         n_candidates=args.num_candidates, top_n=args.num_outputs,
         key=jax.random.PRNGKey(args.seed), temperature=args.temperature,
-        top_k=int(args.top_k), top_p=args.top_p or 0.0)
+        top_k=int(args.top_k), top_p=args.top_p or 0.0,
+        batch_size=getattr(args, "batch_size", 0))
     stem = args.prompt.replace(" ", "_")[:64] + ("_mindalle" if args.cmd == "min" else "_rq")
     return _save_images(np.asarray(best), args, stem)
 
@@ -347,18 +370,28 @@ def main(args=None):
     for name, help_ in (("min", "minDALLE-role sampling + CLIP rerank"),
                         ("rq", "RQ-transformer-role sampling + CLIP rerank")):
         r = sub.add_parser(name, help=help_)
-        r.add_argument("prompt", type=str)
-        r.add_argument("--num_candidates", default=8, type=int)
+        r.add_argument("prompt", type=str, nargs="?", default=None)
+        r.add_argument("--text_prompts", dest="prompt_flag", default=None, type=str,
+                       help="alternative to the positional prompt (reference rq_dalle flag)")
+        r.add_argument("--num_candidates", "--num_samples", dest="num_candidates", default=8, type=int)
         r.add_argument("--num_outputs", default=4, type=int)
+        r.add_argument("--sampling_ratio", default=None, type=float,
+                       help="keep this fraction of candidates by CLIP score (overrides --num_outputs)")
+        r.add_argument("--batch_size", default=0, type=int,
+                       help="sample candidates in chunks of this size (0 = all at once)")
         r.add_argument("--top_k", default=64, type=float)
         r.add_argument("--top_p", default=None, type=float)
         r.add_argument("--temperature", default=1.0, type=float)
         r.add_argument("--seed", default=0, type=int)
-        r.add_argument("--checkpoint", default=None, type=str)
+        r.add_argument("--checkpoint", "--checkpoint_dir", dest="checkpoint", default=None, type=str)
+        r.add_argument("--clip_model", default=None, type=str,
+                       help="reranker CLIP weights (accepted for reference parity; named zoo "
+                            "towers need converted weights — ignored when absent)")
+        r.add_argument("--make_grid", action="store_true", help="also save all outputs as one grid PNG")
         r.add_argument("--upscale", default=1, type=int, choices=[1, 2, 4, 8])
         r.add_argument("--rq_depth", default=4 if name == "rq" else 1, type=int,
                        help="residual quantization depth (codes per position; rq only)")
-        r.add_argument("--output_dir", default="output/", type=str)
+        r.add_argument("--output_dir", "--out_dir", dest="output_dir", default="output/", type=str)
         r.set_defaults(func=rerank_cmd)
     # fmt: on
 

@@ -71,6 +71,17 @@ def main(argv=None):
     rest = argv[2:] if len(argv) > 1 and argv[1] in subs else argv[1:]
     module_path, _ = subs[sub]
     import importlib
+    import os
+
+    # MAUA_PLATFORM=cpu forces the CPU backend for any subcommand. The
+    # axon sitecustomize force-sets jax_platforms="axon,cpu" AFTER env
+    # vars are read, so JAX_PLATFORMS alone is ignored — the in-process
+    # config update below is the only override that sticks.
+    plat = os.environ.get("MAUA_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
     from ..utility import enable_compilation_cache
 

@@ -36,16 +36,22 @@ def sample_mcmc_klmc2(
     n_steps: int = 100,
     step_size: float = 0.05,
     friction: float = 1.0,
+    alpha: float = 0.0,
+    tau: float = 1.0,
     use_hvp: bool = True,
     key=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Kinetic Langevin MCMC (KLMC2, `klmc2_animation.py:151-318`):
-    x'' = score(x) - gamma x' + sqrt(2 gamma) noise, integrated with a
-    second-order scheme using score jvp (Hessian-vector products).
+    x'' = score(x) - gamma x' + sqrt(2 gamma tau) noise, integrated with
+    a second-order scheme using score jvp (Hessian-vector products).
+    `alpha` adds the reference's quadratic penalty (weight decay) to the
+    potential (score -= alpha * x, `klmc2_animation.py:388`); `tau`
+    scales the injected-noise temperature (`:389`).
 
     Returns (final x, trajectory (n_steps, ...))."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    score = score_from_denoiser(denoiser, sigma)
+    base_score = score_from_denoiser(denoiser, sigma)
+    score = (lambda x: base_score(x) - alpha * x) if alpha > 0 else base_score
     gamma = friction
     h = step_size
 
@@ -59,7 +65,7 @@ def sample_mcmc_klmc2(
             s_mid = s + 0.5 * h * hvp
         else:
             s_mid = s
-        noise = jax.random.normal(k1, x.shape)
+        noise = jax.random.normal(k1, x.shape) * jnp.sqrt(tau)
         v = v * jnp.exp(-gamma * h) + h * s_mid + jnp.sqrt(1 - jnp.exp(-2 * gamma * h)) * noise
         x = x + h * v
         return (x, v), x
@@ -79,6 +85,8 @@ def klmc2_animation(
     text: Optional[str] = None,
     cond_scale: float = 1.0,
     friction: float = 1.0,
+    alpha: float = 0.0,
+    tau: float = 1.0,
     use_hvp: bool = True,
     key=None,
 ) -> np.ndarray:
@@ -98,7 +106,7 @@ def klmc2_animation(
     cond, uncond = diffusion.conditioning([TextPrompt(text)] if text else [])
     model_fn = cfg_denoiser(diffusion.denoiser, cond, uncond, cond_scale)
     _, traj = sample_mcmc_klmc2(model_fn, x0, sigma=sigma, n_steps=n_frames, step_size=step_size,
-                                friction=friction, use_hvp=use_hvp, key=k2)
+                                friction=friction, alpha=alpha, tau=tau, use_hvp=use_hvp, key=k2)
 
     frames = []
     for i in range(0, n_frames, batch_decode):
@@ -123,18 +131,22 @@ def main(args=None):
     parser.add_argument("--sigma", default=0.75, type=float, help="noise level to sample at")
     parser.add_argument("--h", default=0.2, type=float, help="step size (0 to 1)")
     parser.add_argument("--gamma", default=0.5, type=float, help="friction (lower -> smoother)")
+    parser.add_argument("--alpha", default=1e-3, type=float, help="quadratic penalty (weight decay) strength")
+    parser.add_argument("--tau", default=1.0, type=float, help="temperature (noise added per step)")
     parser.add_argument("--hvp_method", default="forward", choices=["forward", "zero"],
                         help="'forward' = real jvp Hessian-vector products, 'zero' = first-order KLMC")
+    parser.add_argument("--model_path", default=None, type=str,
+                        help="custom stable-diffusion checkpoint to load (CompVis format)")
     parser.add_argument("--size", default="512,512", type=str)
     parser.add_argument("--out_dir", default="output/", type=str)
     args = parser.parse_args(args)
 
-    diffusion = get_diffusion_model("stable", timesteps=50)
+    diffusion = get_diffusion_model(args.model_path or "stable", timesteps=50)
     shape = tuple(int(s) for s in args.size.split(","))
     frames = klmc2_animation(
         diffusion, shape=shape, n_frames=args.n, sigma=args.sigma, step_size=args.h,
         text=args.prompt, cond_scale=args.cond_scale, friction=args.gamma,
-        use_hvp=args.hvp_method == "forward",
+        alpha=args.alpha, tau=args.tau, use_hvp=args.hvp_method == "forward",
     )
     out_file = f"{args.out_dir}/{args.prompt.replace(' ', '_')}_klmc2.mp4"
     write_video(frames, out_file, fps=args.fps, value_range=(-1, 1))

@@ -17,7 +17,9 @@ def main(args=None):
     parser.add_argument("--out_size", default=None, type=str, help="w,h output size")
     parser.add_argument("--resize_strategy", default="stretch", type=str)
     parser.add_argument("--resize_layer", default=0, type=int)
-    parser.add_argument("--sampling", default="random", choices=["random", "langevin", "polarity", "jacnorm"])
+    parser.add_argument("--sampling", "--latent_sampling", dest="sampling", default="random",
+                        choices=["random", "standard", "langevin", "polarity", "jacnorm", "jacobian"],
+                        help="'standard'/'jacobian' are the reference spellings of 'random'/'jacnorm'")
     parser.add_argument("--langevin_critic", default="discriminator", type=str,
                         help="'discriminator' for DDLS, or a text prompt for CLIP-guided langevin")
     parser.add_argument("--translation", default=None, type=str, help="x,y latent-space translation (stylegan3)")
@@ -30,6 +32,7 @@ def main(args=None):
     from .analysis import generate_images
     from .wrappers import get_generator_class
 
+    sampling = {"standard": "random", "jacobian": "jacnorm"}.get(args.sampling, args.sampling)
     out_size = tuple(int(v) for v in args.out_size.split(",")) if args.out_size else None
     translation = tuple(float(v) for v in args.translation.split(",")) if args.translation else None
     gan = get_generator_class(args.architecture)(
@@ -38,7 +41,7 @@ def main(args=None):
     )
     generate_images(
         gan, seeds=args.seeds, truncation=args.truncation, batch_size=args.batch_size,
-        out_dir=args.out_dir, grid=args.grid, sampling_strategy=args.sampling,
+        out_dir=args.out_dir, grid=args.grid, sampling_strategy=sampling,
         class_idx=args.class_idx, translation=translation, rotation=args.rotation,
         langevin_critic=args.langevin_critic,
     )

@@ -54,6 +54,9 @@ class FitConfig:
     n_eval_images: int = 64
     out_dir: str = "workspace/gan_training"
     augment_p: float = 0.2
+    ckpt_every: int = 0  # periodic scored checkpoints (0 = best/final only)
+    ckpt_top_k: int = 10  # keep this many periodic checkpoints (`--ckpt_top_k`)
+    monitor_metric: str = "fid"  # metric gating lr decay/early stop/top-k (`--monitor_metric`)
 
 
 def fit(
@@ -74,9 +77,10 @@ def fit(
     os.makedirs(fit_cfg.out_dir, exist_ok=True)
 
     ewma: Dict[str, float] = {}
-    best_fid = float("inf")
+    best_score = float("inf")
     evals_since_best = 0
     lr_scale = 1.0
+    kept_ckpts = []  # (monitor score, path) of periodic checkpoints, lower = better
     step = int(jax.device_get(state["step"]))
     data_iter = iter(dataset)
 
@@ -132,9 +136,26 @@ def fit(
                 grid[r * h : (r + 1) * h, c * w : (c + 1) * w] = (fakes[i] + 1) / 2
             tensor2img(np.clip(grid, 0, 1)[None]).save(f"{fit_cfg.out_dir}/grid_{step:07d}.png")
 
-            # metric-gated callbacks (trainer.py:290-306)
-            if scores["fid"] < best_fid:
-                best_fid = scores["fid"]
+            # metric-gated callbacks (trainer.py:290-306). monitor is
+            # lower-is-better (FID/KID family, the reference's default
+            # "Frechet SwAV Distance" role).
+            monitor = scores.get(fit_cfg.monitor_metric, scores["fid"])
+
+            # periodic scored checkpoints, keep top-k (`__main__.py
+            # --ckpt_kimg/--ckpt_top_k` via ModelCheckpoint(save_top_k))
+            if fit_cfg.ckpt_every > 0 and step % fit_cfg.ckpt_every == 0:
+                path = f"{fit_cfg.out_dir}/ckpt_{step:07d}"
+                save_checkpoint(path, state)
+                kept_ckpts.append((monitor, path))
+                kept_ckpts.sort(key=lambda sp: sp[0])
+                while len(kept_ckpts) > fit_cfg.ckpt_top_k:
+                    _, worst = kept_ckpts.pop()
+                    import shutil
+
+                    shutil.rmtree(worst, ignore_errors=True)
+
+            if monitor < best_score:
+                best_score = monitor
                 evals_since_best = 0
                 save_checkpoint(f"{fit_cfg.out_dir}/ckpt_best", state)
             else:
@@ -147,7 +168,8 @@ def fit(
                     )
                 if evals_since_best >= fit_cfg.early_stop_patience:
                     if verbose:
-                        print(f"early stop at step {step} (best FID {best_fid:.3f})")
+                        print(f"early stop at step {step} "
+                              f"(best {fit_cfg.monitor_metric} {best_score:.3f})")
                     break
     save_checkpoint(f"{fit_cfg.out_dir}/ckpt_final", state)
     return state

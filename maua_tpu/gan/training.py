@@ -38,7 +38,9 @@ class GenericModel:
     family: str  # 'dcgan' | 'hypermixer' | 'involution' | 'steerable'
     resolution: int = 64
     z_dim: int = 100
-    base: int = 64
+    base: int = 64  # generator width (`--ngf`)
+    d_base: int = 0  # discriminator width (`--ndf`); 0 = same as base
+    dim: int = 0  # hypermixer token width (`--w_dim`); 0 = family default
 
 
 def _generic_init(key, m: GenericModel):
@@ -46,16 +48,18 @@ def _generic_init(key, m: GenericModel):
 
     kg, kd = jax.random.split(key)
     depth = max((m.resolution // 4).bit_length() - 1, 1) if m.family == "steerable" else None
+    d_base = m.d_base or m.base
     if m.family == "dcgan":
-        return me.init_dcgan_g(kg, m.z_dim, m.base, m.resolution), me.init_dcgan_d(kd, m.base, m.resolution)
+        return me.init_dcgan_g(kg, m.z_dim, m.base, m.resolution), me.init_dcgan_d(kd, d_base, m.resolution)
     if m.family == "hypermixer":
-        return (me.init_hypermixer_g(kg, z_dim=m.z_dim, resolution=m.resolution),
-                me.init_dcgan_d(kd, m.base, m.resolution))
+        g_kw = {"dim": m.dim} if m.dim else {}
+        return (me.init_hypermixer_g(kg, z_dim=m.z_dim, resolution=m.resolution, **g_kw),
+                me.init_dcgan_d(kd, d_base, m.resolution))
     if m.family == "involution":
-        return me.init_involution_g(kg, m.z_dim, m.base, m.resolution), me.init_involution_d(kd, m.base, m.resolution)
+        return me.init_involution_g(kg, m.z_dim, m.base, m.resolution), me.init_involution_d(kd, d_base, m.resolution)
     if m.family == "steerable":
         return (me.init_steerable_g(kg, m.z_dim, m.base, m.resolution, depth=depth),
-                me.init_steerable_d(kd, m.base, m.resolution, depth=depth))
+                me.init_steerable_d(kd, d_base, m.resolution, depth=depth))
     raise ValueError(f"unknown model family {m.family!r}")
 
 
@@ -113,11 +117,16 @@ def r1_penalty(d_params, real: jax.Array, d_cfg) -> jax.Array:
 
 
 def path_length_penalty(
-    g_params, ws: jax.Array, key, g_cfg: sg2.SG2Config, pl_mean: jax.Array, decay: float = 0.01
+    g_params, ws: jax.Array, key, g_cfg: sg2.SG2Config, pl_mean: jax.Array,
+    decay: float = 0.01, batch_shrink: int = 1
 ) -> Tuple[jax.Array, jax.Array]:
     """Path-length regularization
     (`losses/path_length_regularization.py:8-34`): penalize deviation
-    of |J_w^T y| from its running mean."""
+    of |J_w^T y| from its running mean. `batch_shrink` evaluates the
+    penalty on batch//shrink samples (the reference's
+    `--pl_batch_shrink` cost knob)."""
+    if batch_shrink > 1:
+        ws = ws[: max(ws.shape[0] // batch_shrink, 1)]
 
     def synth(ws_in):
         img = sg2.synthesis(g_params, ws_in, g_cfg, noise_mode="none")
@@ -169,10 +178,22 @@ class TrainConfig:
     r1_interval: int = 16
     pl_weight: float = 2.0
     pl_interval: int = 4
+    pl_decay: float = 0.01  # running-mean EMA (`path_length_regularization.py --pl_decay`)
+    pl_batch_shrink: int = 2  # PL on batch//shrink samples (`--pl_batch_shrink`)
+    n_d_steps: int = 1  # D updates per G update (`__main__.py --n_D_steps`)
     ema_beta: float = 0.999
     loss: str = "logistic"  # 'logistic' | 'bce'
+    latent: str = "normal"  # latent distribution (`training/latent_spaces/`)
     blur_init_sigma: float = 0.0  # 0 disables the InitialBlur fade
     blur_fade_kimg: float = 200.0
+
+
+def _latent_sampler(kind: str):
+    """Latent-space plugin (`maua/GAN/training/latent_spaces/`): the
+    reference ships `normal`; `uniform` is an extra here."""
+    if kind == "uniform":
+        return lambda k, shape: jax.random.uniform(k, shape, minval=-1.0, maxval=1.0) * jnp.sqrt(3.0)
+    return jax.random.normal
 
 
 def make_optimizers(cfg: TrainConfig):
@@ -182,12 +203,13 @@ def make_optimizers(cfg: TrainConfig):
 
 
 def init_train_state(key, g_cfg, d_cfg, t_cfg: TrainConfig) -> Dict:
-    if isinstance(g_cfg, sg2.SG2Config):
-        kg, kd = jax.random.split(key)
-        g_params = sg2.init_params(kg, g_cfg)
-        d_params = init_d_params(kd, d_cfg)
-    else:
-        g_params, d_params = _generic_init(key, g_cfg)
+    kg, kd = jax.random.split(key)
+    # G and D initialize independently so families can mix
+    # (`__main__.py -G/-D`: any generator with any discriminator)
+    g_params = (sg2.init_params(kg, g_cfg) if isinstance(g_cfg, sg2.SG2Config)
+                else _generic_init(kg, g_cfg)[0])
+    d_params = (init_d_params(kd, d_cfg) if isinstance(d_cfg, D2Config)
+                else _generic_init(kd, d_cfg)[1])
     g_opt, d_opt = make_optimizers(t_cfg)
     return {
         "g_params": g_params,
@@ -230,10 +252,12 @@ def train_step(
         maybe_blur = lambda img: img
     real = maybe_blur(real)
 
-    # ---- D update
-    def d_loss(d_params):
-        z = jax.random.normal(kz_d, (batch, g_cfg.z_dim))
-        fake = maybe_blur(generate(state["g_params"], z, g_cfg, noise_key=kn_d))
+    sample_z = _latent_sampler(t_cfg.latent)
+
+    # ---- D update(s): n_d_steps per G step (`__main__.py --n_D_steps`)
+    def d_loss(d_params, kz, kn):
+        z = sample_z(kz, (batch, g_cfg.z_dim))
+        fake = maybe_blur(generate(state["g_params"], z, g_cfg, noise_key=kn))
         fake_logits = disc_forward(d_params, jax.lax.stop_gradient(fake), d_cfg)
         real_logits = disc_forward(d_params, real, d_cfg)
         loss = d_loss_fn(real_logits, fake_logits)
@@ -246,13 +270,17 @@ def train_step(
         loss = loss + (t_cfg.r1_gamma / 2) * r1 * t_cfg.r1_interval
         return loss, (jnp.mean(real_logits), jnp.mean(fake_logits), r1)
 
-    (d_l, (rl, fl, r1)), d_grads = jax.value_and_grad(d_loss, has_aux=True)(state["d_params"])
-    d_updates, d_opt_state = d_opt.update(d_grads, state["d_opt"], state["d_params"])
-    d_params = optax.apply_updates(state["d_params"], d_updates)
+    d_params, d_opt_state = state["d_params"], state["d_opt"]
+    for i in range(max(t_cfg.n_d_steps, 1)):
+        (d_l, (rl, fl, r1)), d_grads = jax.value_and_grad(d_loss, has_aux=True)(
+            d_params, jax.random.fold_in(kz_d, i), jax.random.fold_in(kn_d, i)
+        )
+        d_updates, d_opt_state = d_opt.update(d_grads, d_opt_state, d_params)
+        d_params = optax.apply_updates(d_params, d_updates)
 
     # ---- G update
     def g_loss(g_params):
-        z = jax.random.normal(kz_g, (batch, g_cfg.z_dim))
+        z = sample_z(kz_g, (batch, g_cfg.z_dim))
         if is_sg2:
             ws = sg2.mapping(g_params, z, g_cfg)
             fake = sg2.synthesis(g_params, ws, g_cfg, noise_mode="random", noise_key=kn_g)
@@ -265,7 +293,8 @@ def train_step(
         do_pl = (state["step"] % t_cfg.pl_interval) == 0
         pl, new_pl_mean = jax.lax.cond(
             do_pl,
-            lambda: path_length_penalty(g_params, ws, kpl, g_cfg, state["pl_mean"]),
+            lambda: path_length_penalty(g_params, ws, kpl, g_cfg, state["pl_mean"],
+                                        decay=t_cfg.pl_decay, batch_shrink=t_cfg.pl_batch_shrink),
             lambda: (jnp.zeros(()), state["pl_mean"]),
         )
         loss = loss + t_cfg.pl_weight * pl * t_cfg.pl_interval

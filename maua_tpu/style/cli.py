@@ -13,7 +13,7 @@ def main(args=None):
     parser = argparse.ArgumentParser(description="neural style transfer")
     parser.add_argument("--content", required=True, type=str)
     parser.add_argument("--styles", required=True, nargs="+", type=str)
-    parser.add_argument("--init", default=None, type=str)
+    parser.add_argument("--init", "--init_img", dest="init", default=None, type=str)
     parser.add_argument("--init_type", default="content", choices=["content", "random", "init_img"])
     parser.add_argument("--match_hist", default="avg", type=str)
     parser.add_argument("--size", default=512, type=int)

@@ -53,19 +53,28 @@ def interpolate_video(
     video_file: str,
     output_file: Optional[str] = None,
     factor: int = 2,
+    slower: int = 1,
+    decimate: int = 1,
     max_frames: Optional[int] = None,
     params=None,
     cfg: rife.RIFEConfig = rife.RIFEConfig(),
 ) -> str:
-    """RIFE 2^n framerate boost (`super/video/framerate/__init__.py`)."""
+    """RIFE 2^n framerate boost (`super/video/framerate/__init__.py`).
+
+    Output frame rate = original_fps * factor / slower / decimate
+    (`maua/cli/super.py:106-110`): `slower` keeps every frame but slows
+    playback; `decimate` drops all but every d'th interpolated frame."""
     frames, fps = read_video(video_file, max_frames=max_frames)
     t, h, w, _ = frames.shape
     yuv = ffmpeg_available() and h % 2 == 0 and w % 2 == 0
     pix_fmt = "yuv420p" if yuv else "rgb24"
+    out_fps = fps * factor / max(slower, 1) / max(decimate, 1)
     out_file = output_file or str(Path(video_file).with_suffix("")) + f"_{factor}x.mp4"
-    with VideoWriter(out_file, (w, h), fps * factor, value_range=(0, 1), pix_fmt=pix_fmt) as writer:
-        for frame in rife.interpolate(frames, factor=factor, params=params, cfg=cfg, pix_fmt=pix_fmt):
-            writer.write(frame)
+    with VideoWriter(out_file, (w, h), out_fps, value_range=(0, 1), pix_fmt=pix_fmt) as writer:
+        for i, frame in enumerate(rife.interpolate(frames, factor=factor, params=params, cfg=cfg,
+                                                   pix_fmt=pix_fmt)):
+            if i % max(decimate, 1) == 0:
+                writer.write(frame)
     return out_file
 
 
@@ -73,24 +82,36 @@ def main(args=None):
     """CLI (reference `maua/super/video` drivers)."""
     import argparse
 
-    parser = argparse.ArgumentParser(description="video super-resolution / frame interpolation")
-    parser.add_argument("video_file", type=str)
+    parser = argparse.ArgumentParser(
+        description="video super-resolution / frame interpolation. interpolate-mode output "
+                    "frame rate = original_fps * interpolation_factor / slower / decimate")
+    parser.add_argument("video_files", type=str, nargs="+")
     parser.add_argument("--mode", default="upscale", choices=["upscale", "interpolate"])
     parser.add_argument("--model_name", default="RealESRGAN-x4plus", type=str)
-    parser.add_argument("--factor", default=2, type=int, help="framerate multiplier (interpolate mode)")
+    parser.add_argument("-if", "--interpolation_factor", "--factor", dest="factor", default=2,
+                        type=int, help="framerate multiplier (interpolate mode)")
+    parser.add_argument("-s", "--slower", default=1, type=int,
+                        help="factor to decrease output framerate by (interpolate mode)")
+    parser.add_argument("-d", "--decimate", default=1, type=int,
+                        help="alternative to --slower that keeps only every d'th frame")
     parser.add_argument("--batch_size", default=4, type=int)
     parser.add_argument("--max_frames", default=None, type=int)
-    parser.add_argument("--output_file", default=None, type=str)
+    parser.add_argument("--output_file", default=None, type=str,
+                        help="only valid with a single input video")
     args = parser.parse_args(args)
 
-    if args.mode == "upscale":
-        out = upscale_video(args.video_file, output_file=args.output_file,
-                            model_name=args.model_name, batch_size=args.batch_size,
-                            max_frames=args.max_frames)
-    else:
-        out = interpolate_video(args.video_file, output_file=args.output_file,
-                                factor=args.factor, max_frames=args.max_frames)
-    print(out)
+    if args.output_file and len(args.video_files) > 1:
+        raise SystemExit("--output_file requires a single input video")
+    for video_file in args.video_files:
+        if args.mode == "upscale":
+            out = upscale_video(video_file, output_file=args.output_file,
+                                model_name=args.model_name, batch_size=args.batch_size,
+                                max_frames=args.max_frames)
+        else:
+            out = interpolate_video(video_file, output_file=args.output_file,
+                                    factor=args.factor, slower=args.slower,
+                                    decimate=args.decimate, max_frames=args.max_frames)
+        print(out)
     return 0
 
 

@@ -93,6 +93,25 @@ def test_min_rq_rerank_subcommands(tmp_path):
     assert all(f.startswith("tiny_prompt_mindalle") for f in os.listdir(out))
 
 
+def test_rerank_batched_grid_and_ratio(tmp_path):
+    """`--batch_size` samples candidates in fixed chunks, `--sampling_ratio`
+    sets top-n as a fraction of candidates, `--text_prompts` is the flag
+    form of the prompt, `--make_grid` saves a composite PNG
+    (`maua/autoregressive/rq_dalle.py` / `min_dalle.py` surface)."""
+    out = str(tmp_path / "batched")
+    rc = cli.main(["min", "--text_prompts", "batched prompt", "--num_candidates", "5",
+                   "--batch_size", "2", "--sampling_ratio", "0.4", "--make_grid",
+                   "--output_dir", out])
+    assert rc == 0
+    files = sorted(os.listdir(out))
+    grids = [f for f in files if f.endswith("_grid.png")]
+    assert len(grids) == 1
+    assert len(files) - len(grids) == 2  # round(5 * 0.4) kept
+    # prompt is required in one of the two spellings
+    with pytest.raises(SystemExit):
+        cli.main(["min", "--num_candidates", "2", "--output_dir", out])
+
+
 def test_generate_upscale_and_stretch(tmp_path):
     """--upscale routes outputs through the RealESRGAN registry;
     --stretch_size resizes the saved PNGs (`ru_dalle_generate`

@@ -74,6 +74,30 @@ def test_klmc2_animation(sd):
     assert not np.allclose(frames, steered)
 
 
+def test_klmc2_alpha_tau():
+    """`--alpha` (quadratic penalty, `klmc2_animation.py:388`) pulls the
+    chain toward the origin; `--tau` scales injected noise (`:389`,
+    tau=0 makes the integrator deterministic)."""
+    from maua_tpu.diffusion.klmc2 import sample_mcmc_klmc2
+
+    # toy denoiser: score pulls toward +3 (denoiser(x) = target)
+    denoiser = lambda x, sigma: jnp.full_like(x, 3.0)
+    x0 = jnp.zeros((1, 4, 4, 1))
+    key = jax.random.PRNGKey(0)
+    xf, _ = sample_mcmc_klmc2(denoiser, x0, sigma=1.0, n_steps=60, step_size=0.1,
+                              use_hvp=False, key=key)
+    xa, _ = sample_mcmc_klmc2(denoiser, x0, sigma=1.0, n_steps=60, step_size=0.1,
+                              alpha=5.0, use_hvp=False, key=key)
+    # the alpha penalty holds the chain closer to 0 than the free chain
+    assert float(jnp.abs(xa).mean()) < float(jnp.abs(xf).mean())
+    # tau=0: no injected noise -> identical runs regardless of key
+    xt1, _ = sample_mcmc_klmc2(denoiser, x0, sigma=1.0, n_steps=10, step_size=0.1,
+                               tau=0.0, use_hvp=False, key=jax.random.PRNGKey(1))
+    xt2, _ = sample_mcmc_klmc2(denoiser, x0, sigma=1.0, n_steps=10, step_size=0.1,
+                               tau=0.0, use_hvp=False, key=jax.random.PRNGKey(2))
+    assert np.allclose(np.asarray(xt1), np.asarray(xt2))
+
+
 def test_pipeline_cli_mains_parse():
     """Every directly-runnable pipeline module exposes an argparse main
     (reference `__main__` blocks / fire CLIs)."""

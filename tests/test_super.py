@@ -131,6 +131,19 @@ def test_video_upscale_and_interpolate(monkeypatch, tmp_path):
     assert interp_frames.shape[0] >= 6
     assert abs(fps2 - 16) < 1.0
 
+    # --slower/--decimate: out fps = fps * factor / slower / decimate
+    # (`maua/cli/super.py:106-110`); decimate also drops frames
+    out3 = interpolate_video(src, str(tmp_path / "dec.mp4"), factor=2, decimate=2,
+                             params=params, cfg=cfg)
+    dec_frames, fps3 = read_video(out3)
+    assert abs(fps3 - 8) < 1.0
+    assert dec_frames.shape[0] <= (interp_frames.shape[0] + 1) // 2 + 1
+    out4 = interpolate_video(src, str(tmp_path / "slow.mp4"), factor=2, slower=2,
+                             params=params, cfg=cfg)
+    slow_frames, fps4 = read_video(out4)
+    assert abs(fps4 - 8) < 1.0
+    assert slow_frames.shape[0] == interp_frames.shape[0]
+
 
 def test_srvgg_converter_roundtrip():
     """SRVGGNetCompact torch state dict -> pytree (regression: srvgg
