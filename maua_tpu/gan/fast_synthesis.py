@@ -176,6 +176,23 @@ def _conv(x, k, dtype):
     return jax.lax.conv_general_dilated(x, jnp.asarray(k, dtype), (1, 1), pad, dimension_numbers=_DN)
 
 
+def _conv_i8(x, k):
+    """int8 x int8 -> int32 conv (the v5e MXU runs int8 at ~1.5x the
+    bf16 rate at these tail shapes — workspace/profiling/bench_int8_conv.py).
+    Accumulation is exact: max |acc| <= taps^2 * C * 127^2 < 2^31."""
+    pad = ((k.shape[0] // 2, (k.shape[0] - 1) // 2), (k.shape[1] // 2, (k.shape[1] - 1) // 2))
+    return jax.lax.conv_general_dilated(
+        x, jnp.asarray(k), (1, 1), pad, dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _quantize_act(x: jax.Array, amax: np.ndarray) -> jax.Array:
+    """Per-channel symmetric int8 quantization with calibrated amax."""
+    s = jnp.asarray(127.0 / amax, jnp.float32)
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * s), -127.0, 127.0).astype(jnp.int8)
+
+
 def build_fast_plan(params: Dict, cfg: SG2Config, min_channels: int = 128) -> Dict:
     """Extract composed cell kernels for every block whose channel
     count is below `min_channels` (where direct convs starve the MXU).
@@ -295,7 +312,7 @@ def _add_cell_noise(y: jax.Array, n, co: int):
     return (y.reshape(b, h, w, 4, co) + n).reshape(b, h, w, 4 * co)
 
 
-def _fused_epilogue(y, demod, n_cell, bias, clamp, pre_next=None):
+def _fused_epilogue(y, demod, n_cell, bias, clamp, pre_next=None, quant_out=False):
     """Post-conv chain (demod scale + cell noise + bias + lrelu + clamp
     [+ next layer's input scale]) as ONE fused HBM pass.
 
@@ -315,9 +332,10 @@ def _fused_epilogue(y, demod, n_cell, bias, clamp, pre_next=None):
 
     b, h, w, c = y.shape
     n4 = None if n_cell is None else n_cell.reshape(n_cell.shape[0], h, w, 4)
-    if os.environ.get("MAUA_FUSED_EPILOGUE", "0") != "1":
+    if quant_out or os.environ.get("MAUA_FUSED_EPILOGUE", "0") != "1":
         return _xla_epilogue(y, demod, n4, bias, 0.2, float(np.sqrt(2.0)),
-                             float(clamp) if clamp is not None else None, pre_next)
+                             float(clamp) if clamp is not None else None, pre_next,
+                             quant_out=quant_out)
     return modconv_epilogue(
         y, demod, n4, bias,
         clamp=float(clamp) if clamp is not None else None, pre_next=pre_next,
@@ -332,10 +350,17 @@ def synthesis_fast(
     noise_mode: str = "random",
     noises: Optional[Dict] = None,
     noise_key: Optional[jax.Array] = None,
+    _amax_tape: Optional[Dict] = None,
 ) -> jax.Array:
     """Exact fast-path synthesis: identical math to
     `stylegan2.synthesis`, with the low-channel tail running on
-    space-to-depth grids."""
+    space-to-depth grids.
+
+    If the plan was passed through `quantize_plan`, the tail convs run
+    int8 on the MXU (calibrated per-channel activation quantization;
+    dequant scales folded into the demod epilogue). `_amax_tape` is the
+    calibration hook: when a dict is supplied, per-channel |max| of each
+    quantizable conv input is recorded into it during the trace."""
     from .stylegan2 import synthesis_layer, torgb_layer, _layer_noise
 
     syn = params["synthesis"]
@@ -388,26 +413,52 @@ def synthesis_fast(
         if s2d_mode:
             x = depth_to_space(x)  # chained fast blocks hand off s2d
 
+        quant = "q0" in entry
+
         # conv0 (up): input direct grid (res/2), output s2d cells
         styles0 = fc_forward(p0["affine"], block_ws[:, 0].astype(jnp.float32))
         x_in = x.astype(dtype) * styles0.astype(dtype)[:, None, None, :]
-        y = _conv(x_in, entry["k0"], dtype)  # (B, res/2, res/2, 4*co)
+        if _amax_tape is not None:
+            _amax_tape[f"{res}.a0"] = jnp.max(jnp.abs(x_in.astype(jnp.float32)), axis=(0, 1, 2))
         d0 = jax.lax.rsqrt(jnp.square(styles0) @ jnp.asarray(entry["w0_sq"]) + 1e-8)
         n0 = _cell_noise(p0, f"b{res}.conv0", res, batch, noise_mode, noises,
                          jax.random.fold_in(noise_key, 2 * bi), dtype)
         # fused epilogue also applies conv1's input style scale, saving
         # a further full-tensor HBM pass
         styles1 = fc_forward(p1["affine"], block_ws[:, 1].astype(jnp.float32))
-        y = _fused_epilogue(y, jnp.tile(d0, (1, 4)), n0, jnp.tile(p0["bias"], (4,)),
-                            cfg.conv_clamp, pre_next=_tile_styles_in(styles1, 2))
-
-        # conv1 (same): s2d -> s2d (input scale already applied above)
-        z = _conv(y, entry["k1"], dtype)
         d1 = jax.lax.rsqrt(jnp.square(styles1) @ jnp.asarray(entry["w1_sq"]) + 1e-8)
-        n1 = _cell_noise(p1, f"b{res}.conv1", res, batch, noise_mode, noises,
-                         jax.random.fold_in(noise_key, 2 * bi + 1), dtype)
-        x = _fused_epilogue(z, jnp.tile(d1, (1, 4)), n1, jnp.tile(p1["bias"], (4,)),
-                            cfg.conv_clamp)
+        pre1 = _tile_styles_in(styles1, 2)
+        if quant:
+            y = _conv_i8(_quantize_act(x_in, entry["a0"]), entry["q0"]).astype(jnp.float32)
+            # dequant scale (per-out-channel weight scale) folds into
+            # the demod; the next conv's quantization (127/a1) folds
+            # into pre_next so the epilogue emits int8 directly
+            y = _fused_epilogue(
+                y, jnp.tile(d0, (1, 4)) * jnp.asarray(entry["s0"])[None], n0,
+                jnp.tile(p0["bias"], (4,)), cfg.conv_clamp,
+                pre_next=pre1 * jnp.asarray(127.0 / entry["a1"], jnp.float32)[None],
+                quant_out=True,
+            )
+            z = _conv_i8(y, entry["q1"]).astype(jnp.float32)
+            x = _fused_epilogue(
+                z, jnp.tile(d1, (1, 4)) * jnp.asarray(entry["s1"])[None],
+                _cell_noise(p1, f"b{res}.conv1", res, batch, noise_mode, noises,
+                            jax.random.fold_in(noise_key, 2 * bi + 1), jnp.float32),
+                jnp.tile(p1["bias"], (4,)), cfg.conv_clamp,
+            ).astype(dtype)
+        else:
+            y = _conv(x_in, entry["k0"], dtype)  # (B, res/2, res/2, 4*co)
+            y = _fused_epilogue(y, jnp.tile(d0, (1, 4)), n0, jnp.tile(p0["bias"], (4,)),
+                                cfg.conv_clamp, pre_next=pre1)
+            if _amax_tape is not None:
+                _amax_tape[f"{res}.a1"] = jnp.max(jnp.abs(y.astype(jnp.float32)), axis=(0, 1, 2))
+
+            # conv1 (same): s2d -> s2d (input scale already applied above)
+            z = _conv(y, entry["k1"], dtype)
+            n1 = _cell_noise(p1, f"b{res}.conv1", res, batch, noise_mode, noises,
+                             jax.random.fold_in(noise_key, 2 * bi + 1), dtype)
+            x = _fused_epilogue(z, jnp.tile(d1, (1, 4)), n1, jnp.tile(p1["bias"], (4,)),
+                                cfg.conv_clamp)
 
         # img path: upsample previous img into this block's s2d cells
         if img is not None:
@@ -432,9 +483,58 @@ def synthesis_fast(
     return img.astype(jnp.float32)
 
 
-def make_fast_synthesis(params: Dict, cfg: SG2Config, min_channels: int = 128):
-    """Build the plan and return a jitted fast synthesis closure."""
+def quantize_plan(params: Dict, plan: Dict, cfg: SG2Config, ws: Optional[jax.Array] = None,
+                  batch: int = 8, seed: int = 0, margin: float = 1.05) -> Dict:
+    """Calibrate and quantize the fast-tail convs to int8 (opt-in).
+
+    The v5e MXU runs int8 x int8 -> int32 at ~1.5x the bf16 rate at the
+    tail shapes (workspace/profiling/bench_int8_conv.py), and the int8
+    epilogue output halves the activation HBM write. Exactness becomes
+    approximation: per-channel symmetric activation quantization with
+    amax calibrated over `batch` mapped latents (x `margin`, clipped at
+    runtime), per-output-channel weight scales folded into the demod
+    epilogue. Use only where ~bf16-grade output is acceptable
+    (tests/test_fast_synthesis.py pins PSNR vs the f32 reference).
+
+    Mutates and returns `plan` with `q0/s0/a0/q1/s1/a1` per fast block;
+    `synthesis_fast` auto-dispatches on their presence."""
+    if not plan["blocks"]:
+        return plan
+    if ws is None:
+        from .stylegan2 import mapping
+
+        z = jax.random.normal(jax.random.PRNGKey(seed), (batch, cfg.z_dim))
+        ws = mapping(params, z, cfg)
+
+    def run(ws):
+        tape: Dict = {}
+        synthesis_fast(params, plan, ws, cfg, noise_mode="random",
+                       noise_key=jax.random.PRNGKey(seed + 1), _amax_tape=tape)
+        return tape
+
+    tape = jax.device_get(jax.jit(run)(ws))
+    for res, entry in plan["blocks"].items():
+        a0 = np.maximum(np.asarray(tape[f"{res}.a0"], np.float32) * margin, 1e-6)
+        a1 = np.maximum(np.asarray(tape[f"{res}.a1"], np.float32) * margin, 1e-6)
+        for kname, a, sk, qk in (("k0", a0, "s0", "q0"), ("k1", a1, "s1", "q1")):
+            # fold the activation dequant (a/127 per input channel) into
+            # the weight, then quantize per output channel
+            w = entry[kname] * (a / 127.0)[None, None, :, None]
+            s = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, 1e-12).astype(np.float32)
+            entry[qk] = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+            entry[sk] = s
+        entry["a0"], entry["a1"] = a0, a1
+    return plan
+
+
+def make_fast_synthesis(params: Dict, cfg: SG2Config, min_channels: int = 128,
+                        int8: bool = False):
+    """Build the plan and return a jitted fast synthesis closure.
+
+    int8=True additionally calibrates + quantizes the tail convs
+    (`quantize_plan`) — faster, no longer bit-exact."""
     plan = build_fast_plan(params, cfg, min_channels)
-    fn = partial(synthesis_fast, params, plan, cfg=cfg)
+    if int8:
+        plan = quantize_plan(params, plan, cfg)
     return jax.jit(lambda ws, **kw: synthesis_fast(params, plan, ws, cfg, **kw),
                    static_argnames=("noise_mode",)), plan

@@ -45,10 +45,15 @@ except Exception:  # pragma: no cover
 _SQRT2 = float(np.sqrt(2.0))
 
 
-def _xla_epilogue(z, post, noise, bias, alpha, gain, clamp, pre_next):
+def _xla_epilogue(z, post, noise, bias, alpha, gain, clamp, pre_next, quant_out=False):
     """Reference chain, identical op order/dtypes to the fast-path tail.
 
-    z: (B, H, W, C); post/pre_next: (B, C); noise: (B|1, H, W, G)."""
+    z: (B, H, W, C); post/pre_next: (B, C); noise: (B|1, H, W, G).
+
+    quant_out: emit int8 — the caller folds the activation quantization
+    scale (127/amax) into pre_next, so the output IS the next int8
+    conv's operand (saves a full-tensor HBM pass AND writes 1 byte per
+    element instead of 2)."""
     dt = z.dtype
     b, h, w, c = z.shape
     y = z * post[:, None, None, :].astype(dt)
@@ -61,6 +66,8 @@ def _xla_epilogue(z, post, noise, bias, alpha, gain, clamp, pre_next):
         y = jnp.clip(y, -clamp, clamp)
     if pre_next is not None:
         y = y * pre_next[:, None, None, :].astype(dt)
+    if quant_out:
+        y = jnp.clip(jnp.round(y.astype(jnp.float32)), -127.0, 127.0).astype(jnp.int8)
     return y
 
 
