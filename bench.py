@@ -112,37 +112,76 @@ def main():
 
     fps = batch * n_batches / min(times)
 
-    # end-to-end fps: frames delivered to the HOST (what an encode
-    # pipeline consumes), the production path: I420 conversion on
-    # device (half the bytes of rgb24, ops/video.rgb_to_yuv420) and
-    # double-buffered fetch (batch N transfers while N+1 synthesizes,
-    # as in gan/wrappers.render). On the axon relay the device->host
-    # link dominates, so this is reported separately from on-device
-    # synthesis fps — the two bound different deployment modes.
-    from maua_tpu.ops.video import rgb_to_yuv420
+    # end-to-end fps: frames delivered to the HOST as I420 (what the
+    # ffmpeg encode pipe consumes), the production path
+    # (ops/video.pipelined_frames pix_fmt="dct"): on-device DPCM DCT
+    # compression (ops/framecodec) shipping ~3-4x fewer bytes than
+    # I420 at >=40 dB, fetched over parallel relay streams
+    # (fetch_parallel), decoded on host by the C++ kernel
+    # (native/framecodec.cpp), double-buffered against synthesis.
+    from maua_tpu.ops import framecodec as fc
+    from maua_tpu.ops.video import fetch_slices, presplit, rgb_to_yuv420
 
-    e2e_batch = min(batch, 8)
+    e2e_batch = min(batch, 16)
 
     def render_frames(params, base_ws, noises_b, k):
         ws = base_ws[:e2e_batch] + 0.1 * jax.random.normal(k, (e2e_batch, cfg.num_ws, cfg.w_dim), jnp.float32)
         img = fs.synthesis_fast(params, plan, ws, cfg, noises=noises_b)
-        img8 = jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
-        return rgb_to_yuv420(img8)
+        return jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
 
-    render_full = jax.jit(render_frames)
+    render_rgb = jax.jit(render_frames)
     noises_b = {k: v[:e2e_batch] for k, v in noises.items()}
-    np.asarray(render_full(params, base_ws, noises_b, jax.random.PRNGKey(9)))  # warmup
+    rgb0 = np.asarray(render_rgb(params, base_ws, noises_b, jax.random.PRNGKey(9)))
+    codec = fc.calibrate_chunk(rgb0)
+    encode = jax.jit(lambda x: fc.encode_chunk(x, codec))
+    print(f"bench.py e2e: codec {codec.bits_per_pixel(e2e_batch):.2f} bits/pixel "
+          f"(I420 is 12), chunk {codec.chunk_bytes(e2e_batch)/1e6:.2f} MB", file=sys.stderr)
+
+    def render_chunk_packed(k):
+        # presplit dispatches the slice ops NOW so later-dispatched
+        # chunks don't queue ahead of this chunk's fetches
+        intra, deltas = encode(render_rgb(params, base_ws, noises_b, k))
+        return [intra] + presplit(deltas)
+
+    def fetch_decode(slices):
+        intra = np.asarray(slices[0])
+        deltas = fetch_slices(slices[1:]) if len(slices) > 1 else None
+        return fc.decode_chunk(intra, deltas, codec)
+
+    # warmup + quality gate: the delivered frames must stay visually
+    # lossless vs the uncompressed I420 of the same batch
+    t0 = time.perf_counter()
+    chunk0 = render_chunk_packed(jax.random.PRNGKey(9))
+    float(jnp.sum(chunk0[0].astype(jnp.uint32)))
+    t_synth_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    slices_h = [np.asarray(s) for s in chunk0]  # serial fetch (cache fills)
+    t_fetch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dec0 = fc.decode_chunk(slices_h[0], np.concatenate(slices_h[1:]), codec)
+    t_decode = time.perf_counter() - t0
+    print(f"bench.py e2e stages (warm, {e2e_batch} frames): synth+encode {t_synth_enc:.3f}s, "
+          f"serial fetch {t_fetch:.3f}s, host decode {t_decode:.3f}s", file=sys.stderr)
+    ref0 = np.asarray(rgb_to_yuv420(render_rgb(params, base_ws, noises_b, jax.random.PRNGKey(9))))
+    mse = np.mean((dec0.astype(np.float64) - ref0.astype(np.float64)) ** 2)
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
+    print(f"bench.py e2e: delivered-frame PSNR {psnr:.2f} dB", file=sys.stderr)
+    if psnr < 40.0:
+        print(f"bench.py: delivered-frame PSNR {psnr:.2f} dB < 40 — refusing to report "
+              "a lossy e2e number", file=sys.stderr)
+        raise SystemExit(4)
+
     n_e2e = 4
     e2e_times = []
     for trial in range(3):
         e2e_keys = jax.random.split(jax.random.PRNGKey(10 + trial), n_e2e)
         t0 = time.perf_counter()
-        pending = render_full(params, base_ws, noises_b, e2e_keys[0])
+        pending = render_chunk_packed(e2e_keys[0])
         for i in range(1, n_e2e):
-            nxt = render_full(params, base_ws, noises_b, e2e_keys[i])  # async dispatch
-            np.asarray(pending)  # fetch overlaps the dispatched batch
+            nxt = render_chunk_packed(e2e_keys[i])  # async dispatch
+            fetch_decode(pending)  # fetch+decode overlap the dispatched batch
             pending = nxt
-        np.asarray(pending)
+        fetch_decode(pending)
         e2e_times.append(time.perf_counter() - t0)
     e2e_fps = n_e2e * e2e_batch / min(e2e_times)
 

@@ -45,9 +45,12 @@ class FFMPEG:
     def __call__(self, synthesizer_render, synthesizer_inputs: Dict, postprocess: Optional[Callable] = None):
         from ..ops.video import VideoWriter, ffmpeg_available
 
-        # the encoder output is yuv420p either way; converting on device
-        # halves the device->host frame bytes (ops/video.rgb_to_yuv420)
-        pix_fmt = self.pix_fmt or ("yuv420p" if ffmpeg_available() else "rgb24")
+        # the encoder output is yuv420p either way; compressing on
+        # device (ops/framecodec DPCM DCT, pix_fmt="dct") cuts the
+        # device->host frame bytes ~4-8x vs rgb24 at >=40 dB — the
+        # default delivery path. "dct" self-degrades to plain I420 for
+        # non-16-aligned sizes (ops/video.pipelined_frames).
+        pix_fmt = self.pix_fmt or ("dct" if ffmpeg_available() else "rgb24")
         latents, translation, zoom, rotation, noises = _split_inputs(synthesizer_inputs)
 
         def make_iter(fmt):
@@ -62,19 +65,20 @@ class FFMPEG:
         except ValueError as e:
             # odd frame dimensions can't be I420; fall back to the
             # rgb24 pipe whose pad filter handles them
-            if pix_fmt != "yuv420p" or "even frame dimensions" not in str(e):
+            if pix_fmt not in ("yuv420p", "dct") or "even frame dimensions" not in str(e):
                 raise
             pix_fmt = "rgb24"
             frame_iter = make_iter(pix_fmt)
             first = next(frame_iter)
-        if pix_fmt == "yuv420p":
+        writer_fmt = "yuv420p" if pix_fmt in ("yuv420p", "dct") else pix_fmt
+        if writer_fmt == "yuv420p":
             h, w = first.shape[0] * 2 // 3, first.shape[1]
         else:
             h, w = first.shape[0], first.shape[1]
         duration = latents.shape[0] / self.fps
         with VideoWriter(
             self.output_file, (w, h), self.fps, audio_file=self.audio_file, audio_duration=duration,
-            value_range=(0, 255), pix_fmt=pix_fmt, **self.writer_kwargs,
+            value_range=(0, 255), pix_fmt=writer_fmt, **self.writer_kwargs,
         ) as video:
             video.write(first.tobytes())
             for frame in frame_iter:

@@ -493,18 +493,30 @@ def quantize_plan(params: Dict, plan: Dict, cfg: SG2Config, ws: Optional[jax.Arr
     approximation: per-channel symmetric activation quantization with
     amax calibrated over `batch` mapped latents (x `margin`, clipped at
     runtime), per-output-channel weight scales folded into the demod
-    epilogue. Use only where ~bf16-grade output is acceptable
-    (tests/test_fast_synthesis.py pins PSNR vs the f32 reference).
+    epilogue. Quality: ~32 dB PSNR vs the f32 reference with the tail
+    blocks quantized (vs ~47 dB for the bf16 path) — W8A8 with max
+    calibration, so use only where speed matters more than the last
+    bits of fidelity (tests/test_fast_synthesis.py pins >30 dB).
 
     Mutates and returns `plan` with `q0/s0/a0/q1/s1/a1` per fast block;
     `synthesis_fast` auto-dispatches on their presence."""
     if not plan["blocks"]:
         return plan
+    # recalibration: strip any existing quant keys so the calibration
+    # trace takes the float path (which is what writes the amax tape)
+    for entry in plan["blocks"].values():
+        for k in ("q0", "q1", "s0", "s1", "a0", "a1"):
+            entry.pop(k, None)
     if ws is None:
         from .stylegan2 import mapping
 
         z = jax.random.normal(jax.random.PRNGKey(seed), (batch, cfg.z_dim))
-        ws = mapping(params, z, cfg)
+        c = None
+        if cfg.c_dim > 0:
+            # conditional model: calibrate over random one-hot labels
+            labels = jax.random.randint(jax.random.PRNGKey(seed + 7), (batch,), 0, cfg.c_dim)
+            c = jax.nn.one_hot(labels, cfg.c_dim)
+        ws = mapping(params, z, cfg, c=c)
 
     def run(ws):
         tape: Dict = {}

@@ -29,7 +29,8 @@ def _build() -> Optional[ctypes.CDLL]:
     if _BUILD_FAILED:
         return None
     so_path = _BUILD_DIR / "libmaua_native.so"
-    srcs = [_NATIVE_DIR / "efficient_quantile.cpp", _NATIVE_DIR / "inverse_conv.cpp"]
+    srcs = [_NATIVE_DIR / "efficient_quantile.cpp", _NATIVE_DIR / "inverse_conv.cpp",
+            _NATIVE_DIR / "framecodec.cpp"]
     if not so_path.exists() or any(s.stat().st_mtime > so_path.stat().st_mtime for s in srcs):
         _BUILD_DIR.mkdir(exist_ok=True)
         cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
@@ -54,6 +55,13 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int,
+    ]
+    lib.framecodec_decode_plane_f32.restype = ctypes.c_int
+    lib.framecodec_decode_plane_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64), ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float),
     ]
     return lib
 
@@ -146,6 +154,52 @@ def _inverse_conv_py(z, w, is_upper, dilation):
                                 acc -= w[k, m, c_in, c_out] * x[bb, j_, i_, c_in]
                     x[bb, j, i, c_out] = (acc + z[bb, j, i, c_out]) / w[kcenter, kcenter, c_out, c_out]
     return x
+
+
+def _decode_plane(packed: np.ndarray, H: int, W: int, levels, groups, qstep: float) -> np.ndarray:
+    """One plane of the DCT frame codec: packed (B, nb*nw*4) uint8 ->
+    centered f32 (B, H, W). See native/framecodec.cpp."""
+    from .ops.framecodec import _ZIGZAG
+
+    lib = _lib()
+    assert lib is not None
+    B = packed.shape[0]
+    nw = len(groups)
+    lev = np.ascontiguousarray(np.asarray(levels, np.int64))
+    off = np.zeros(nw + 1, np.int64)
+    idx = []
+    for gi, grp in enumerate(groups):
+        idx.extend(grp)
+        off[gi + 1] = len(idx)
+    idx = np.ascontiguousarray(np.asarray(idx, np.int64))
+    zz = np.ascontiguousarray(np.asarray(_ZIGZAG, np.int64))
+    out = np.empty((B, H, W), np.float32)
+    packed = np.ascontiguousarray(packed)
+    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    rc = lib.framecodec_decode_plane_f32(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), B, H, W, nw,
+        i64p(lev), i64p(off), i64p(idx) if len(idx) else i64p(off), i64p(zz),
+        float(qstep), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise ValueError(f"framecodec_decode_plane_f32 failed with code {rc}")
+    return out
+
+
+def framecodec_decode_planes(packed: np.ndarray, cfg):
+    """(B, frame_bytes) uint8 -> centered f32 (y, u, v) planes via the
+    C++ kernel; raises if the native lib is unavailable (the caller
+    falls back to numpy)."""
+    if _lib() is None:
+        raise RuntimeError("native lib unavailable")
+    B = packed.shape[0]
+    H, W = cfg.height, cfg.width
+    sy = cfg.n_blocks_y * cfg.words_y * 4
+    sc = cfg.n_blocks_c * cfg.words_c * 4
+    y = _decode_plane(packed[:, :sy], H, W, cfg.levels_y, cfg.groups_y, cfg.qstep_y)
+    u = _decode_plane(packed[:, sy : sy + sc], H // 2, W // 2, cfg.levels_c, cfg.groups_c, cfg.qstep_c)
+    v = _decode_plane(packed[:, sy + sc :], H // 2, W // 2, cfg.levels_c, cfg.groups_c, cfg.qstep_c)
+    return y, u, v
 
 
 # -------------------------------------------------- on-device variants

@@ -53,31 +53,148 @@ def rgb_to_yuv420(rgb):
     return flat.reshape(B, 3 * H // 2, W)
 
 
-def pipelined_frames(batches, pix_fmt: str = "rgb24"):
+_FETCH_POOL = None
+_FETCH_STREAMS = int(os.environ.get("MAUA_FETCH_STREAMS", "8"))
+
+
+def _fetch_pool():
+    import concurrent.futures
+
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        _FETCH_POOL = concurrent.futures.ThreadPoolExecutor(max_workers=_FETCH_STREAMS)
+    return _FETCH_POOL
+
+
+def presplit(arr, n_streams: Optional[int] = None):
+    """Split a device array into leading-axis slices for parallel
+    fetching, dispatching the slice ops NOW.
+
+    Call this when the producing computation is enqueued — device ops
+    execute in dispatch order, so slicing lazily at fetch time would
+    queue the slices behind every later-dispatched computation and
+    serialize the pipeline (the double-buffering killer). Returns a
+    list of device arrays for fetch_slices."""
+    n = _FETCH_STREAMS if n_streams is None else n_streams
+    shape = getattr(arr, "shape", None)
+    nbytes = getattr(arr, "nbytes", 0)
+    n = min(n, shape[0] if shape else 1)
+    if n <= 1 or nbytes < (1 << 20):
+        return [arr]
+    bounds = np.linspace(0, shape[0], n + 1).astype(int)
+    return [arr[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+
+
+def fetch_slices(slices) -> np.ndarray:
+    """Fetch presplit slices over a thread pool and reassemble.
+
+    The axon relay (and gRPC-style transports generally) runs a single
+    device->host stream at ~15 MB/s but scales to ~36 MB/s with 8
+    concurrent fetches (workspace/profiling/bench_fetch_parallel.py) —
+    each slice is its own transfer, so threads overlap the round
+    trips."""
+    if len(slices) == 1:
+        return np.asarray(slices[0])
+    futs = [_fetch_pool().submit(np.asarray, s) for s in slices]
+    return np.concatenate([f.result() for f in futs], axis=0)
+
+
+def fetch_parallel(arr, n_streams: Optional[int] = None) -> np.ndarray:
+    """presplit + fetch_slices in one call — for one-shot fetches where
+    nothing else will be dispatched in between."""
+    return fetch_slices(presplit(arr, n_streams))
+
+
+def pipelined_frames(batches, pix_fmt: str = "rgb24", codec_quality: float = 1.0):
     """Double-buffered device->host frame delivery: dispatch batch N+1
     (JAX dispatch is async) BEFORE fetching batch N, so synthesis and
-    the device->host transfer — the e2e bottleneck — overlap.
+    the device->host transfer — the e2e bottleneck — overlap. Fetches
+    are sliced over parallel streams (fetch_parallel).
 
     `batches` yields device frame batches, optionally as
-    (batch, n_valid) tuples when the tail is padded. pix_fmt="yuv420p"
-    converts uint8 RGB batches to planar I420 on device first
-    (rgb_to_yuv420). Yields host frames one at a time."""
+    (batch, n_valid) tuples when the tail is padded.
+
+    pix_fmt="yuv420p" converts uint8 RGB batches to planar I420 on
+    device first (rgb_to_yuv420) — half the bytes of rgb24 — and
+    yields (3H/2, W) uint8 frames.
+
+    pix_fmt="dct" compresses each batch on device with the DPCM DCT
+    codec (ops/framecodec): ~2-4x fewer bytes again at >=40 dB vs the
+    I420 frame. The codec self-calibrates on the first batch (fetched
+    raw once); yields (3H/2, W) uint8 I420 frames decoded on host.
+    Falls back to yuv420p for non-16-aligned frames."""
+    if pix_fmt == "dct":
+        yield from _dct_pipelined_frames(batches, codec_quality)
+        return
     pending = None
     for item in batches:
         batch, n = item if isinstance(item, tuple) else (item, None)
         if pix_fmt == "yuv420p":
             batch = rgb_to_yuv420(batch)
+        slices = presplit(batch)  # dispatch slice ops before the next batch
         if pending is not None:
             prev, prev_n = pending
-            prev = np.asarray(prev)
+            prev = fetch_slices(prev)
             for i in range(prev.shape[0] if prev_n is None else prev_n):
                 yield prev[i]
-        pending = (batch, n)
+        pending = (slices, n)
     if pending is not None:
         prev, prev_n = pending
-        prev = np.asarray(prev)
+        prev = fetch_slices(prev)
         for i in range(prev.shape[0] if prev_n is None else prev_n):
             yield prev[i]
+
+
+def _dct_pipelined_frames(batches, quality: float):
+    """DPCM DCT delivery: each batch is one chunk (frame 0 intra, the
+    rest closed-loop deltas). The first batch is fetched raw for codec
+    calibration and emitted via the host converter."""
+    import itertools
+
+    import jax
+
+    from . import framecodec as fc
+
+    it = iter(batches)
+    first = next(it, None)
+    if first is None:
+        return
+    fbatch, fn = first if isinstance(first, tuple) else (first, None)
+    H, W = fbatch.shape[1], fbatch.shape[2]
+    if H % 16 or W % 16:
+        yield from pipelined_frames(itertools.chain([first], it), "yuv420p")
+        return
+
+    rgb0 = fetch_parallel(fbatch)
+    codec = fc.calibrate_chunk(rgb0, quality=quality)
+    encode = jax.jit(lambda x: fc.encode_chunk(x, codec))
+    y0, u0, v0 = fc._host_yuv_planes(rgb0)
+    i420 = fc._planes_to_output(y0, u0, v0, H, W, "yuv420")
+    for i in range(i420.shape[0] if fn is None else fn):
+        yield i420[i]
+
+    pending = None
+    for item in it:
+        batch, n = item if isinstance(item, tuple) else (item, None)
+        intra, deltas = encode(batch)  # async dispatch BEFORE fetching the previous chunk
+        slices = [intra] + presplit(deltas)
+        if pending is not None:
+            yield from _emit_chunk(pending, codec)
+        pending = (slices, n)
+    if pending is not None:
+        yield from _emit_chunk(pending, codec)
+
+
+def _emit_chunk(pending, codec):
+    from . import framecodec as fc
+
+    slices, n = pending
+    futs = [_fetch_pool().submit(np.asarray, s) for s in slices]
+    intra = futs[0].result()
+    deltas = np.concatenate([f.result() for f in futs[1:]], axis=0) if len(futs) > 1 else None
+    frames = fc.decode_chunk(intra, deltas, codec)
+    for i in range(frames.shape[0] if n is None else n):
+        yield frames[i]
 
 
 class WriteWorker(threading.Thread):

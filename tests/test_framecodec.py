@@ -1,0 +1,195 @@
+"""On-device DCT frame codec (maua_tpu/ops/framecodec.py): bitstream
+round-trip exactness, rate, and the >=40 dB visually-lossless contract
+vs the uncompressed I420 frame on real synthesis output."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maua_tpu.ops import framecodec as fc
+from maua_tpu.ops.video import rgb_to_yuv420
+
+
+def _psnr(a, b, peak=255.0):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return 10 * np.log10(peak * peak / max(mse, 1e-12))
+
+
+def _test_frames(B=2, H=64, W=64, seed=0):
+    """Structured content: smooth gradients + edges + texture noise."""
+    rs = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = 128 + 80 * np.sin(xx / 9.0) * np.cos(yy / 13.0)
+    edges = 60.0 * ((xx.astype(int) // 16 + yy.astype(int) // 16) % 2)
+    frames = []
+    for b in range(B):
+        noise = rs.randn(H, W, 3).astype(np.float32) * 6.0
+        rgb = np.stack([base + 20 * b, 255 - base, edges + 60], axis=-1) + noise
+        frames.append(np.clip(rgb, 0, 255).astype(np.uint8))
+    return np.stack(frames)
+
+
+def _sg2_frames(T=6, res=64, jitter=0.15):
+    """Consecutive frames from the SG2 synthesis path (random init,
+    shared noise buffers, jittered ws) — the production content class."""
+    from maua_tpu.gan import stylegan2 as sg2
+
+    cfg_g = sg2.SG2Config(img_resolution=res, channel_base=1024, channel_max=64, num_fp16_res=0)
+    params = sg2.init_params(jax.random.PRNGKey(0), cfg_g)
+    base = jax.random.normal(jax.random.PRNGKey(1), (1, cfg_g.num_ws, cfg_g.w_dim))
+    frames = []
+    for t in range(T):
+        ws = base + jitter * jax.random.normal(jax.random.PRNGKey(10 + t), base.shape)
+        img = sg2.synthesis(params, ws, cfg_g, noise_mode="const")
+        frames.append(np.asarray(jnp.clip((img + 1) * 127.5, 0, 255).astype(jnp.uint8))[0])
+    return np.stack(frames)
+
+
+def test_zigzag_is_permutation():
+    assert sorted(fc._ZIGZAG.tolist()) == list(range(64))
+    # classic zigzag prefix
+    assert fc._ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+
+
+def test_dct_orthonormal():
+    D = fc._DCT
+    assert np.abs(D @ D.T - np.eye(8)).max() < 1e-6
+
+
+def test_grouping_covers_all_live_positions():
+    cfg = fc.default_config(32, 32)
+    seen = [i for g in cfg.groups_y for i in g]
+    assert len(seen) == len(set(seen))
+    live = {i for i, l in enumerate(cfg.levels_y) if l > 1}
+    assert set(seen) == live
+    for g in cfg.groups_y:  # word capacity respected
+        prod = 1
+        for i in g:
+            prod *= cfg.levels_y[i]
+        assert prod < 2**32
+
+
+def test_pack_unpack_exact():
+    """Device mixed-radix pack -> host unpack is the identity on the
+    quantized values (the lossy step is quantization only)."""
+    cfg = fc.default_config(32, 32)
+    rs = np.random.RandomState(1)
+    nb = cfg.n_blocks_y
+    L = np.asarray(cfg.levels_y, np.int64)
+    q = (rs.randint(0, 1 << 30, size=(2, nb, 64)) % L[None, None, :]).astype(np.int32)
+    packed = np.asarray(fc._pack_device(jnp.asarray(q), cfg.levels_y, cfg.groups_y))
+    assert packed.shape == (2, nb * cfg.words_y * 4)
+    vals = fc._host_unpack(packed, nb, cfg.levels_y, cfg.groups_y, cfg.qstep_y)
+    expect = (q - (L - 1)[None, None, :] // 2) * cfg.qstep_y
+    live = L > 1
+    assert np.allclose(vals[:, :, live], expect[:, :, live].astype(np.float32))
+    assert np.all(vals[:, :, ~live] == 0)
+
+
+@pytest.mark.parametrize("calibrated", [False, True])
+def test_roundtrip_psnr(calibrated):
+    frames = _test_frames()
+    cfg = fc.calibrate(frames) if calibrated else fc.default_config(64, 64)
+    ref_i420 = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
+    packed = np.asarray(jax.jit(lambda x: fc.encode_frames(x, cfg))(jnp.asarray(frames)))
+    assert packed.shape == (2, cfg.frame_bytes)
+    dec = fc.decode_frames(packed, cfg)
+    assert dec.shape == ref_i420.shape and dec.dtype == np.uint8
+    psnr = _psnr(dec, ref_i420)
+    assert psnr >= 40.0, psnr
+    # and it must actually compress vs I420 (12 bits/pixel)
+    assert cfg.bits_per_pixel < 9.0, cfg.bits_per_pixel
+
+
+def test_dpcm_chunk_roundtrip_psnr_and_rate():
+    """The production path: DPCM chunk on SG2 content. Every frame
+    (not just the intra frame) must hold >=40 dB vs uncompressed I420,
+    and the chunk rate must beat intra-only coding."""
+    frames = _sg2_frames(T=6)
+    codec = fc.calibrate_chunk(frames[:4])  # calibrate on a prefix
+    intra, deltas = jax.jit(lambda x: fc.encode_chunk(x, codec))(jnp.asarray(frames))
+    intra, deltas = np.asarray(intra), np.asarray(deltas)
+    assert intra.shape == (codec.intra.frame_bytes,)
+    assert deltas.shape == (5, codec.delta.frame_bytes)
+    dec = fc.decode_chunk(intra, deltas, codec)
+    ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
+    per_frame = [_psnr(dec[t], ref[t]) for t in range(6)]
+    assert min(per_frame) >= 40.0, per_frame
+    assert codec.delta.frame_bytes < codec.intra.frame_bytes
+    assert codec.bits_per_pixel(6) < 12.0  # beats raw I420
+
+
+def test_rgb_decode_path():
+    frames = _test_frames(B=1)
+    cfg = fc.calibrate(frames)
+    packed = np.asarray(fc.encode_frames(jnp.asarray(frames), cfg))
+    rgb = fc.decode_frames(packed, cfg, out="rgb")
+    assert rgb.shape == frames.shape and rgb.dtype == np.uint8
+    # chroma subsampling bounds RGB fidelity; just require closeness
+    assert _psnr(rgb, frames) > 28.0
+
+
+def test_native_decoder_matches_numpy():
+    from maua_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    frames = _test_frames()
+    cfg = fc.calibrate(frames)
+    packed = np.asarray(fc.encode_frames(jnp.asarray(frames), cfg))
+    ny, nu, nv = native.framecodec_decode_planes(packed, cfg)
+    sy = cfg.n_blocks_y * cfg.words_y * 4
+    sc = cfg.n_blocks_c * cfg.words_c * 4
+    py = fc._host_idct(fc._host_unpack(packed[:, :sy], cfg.n_blocks_y, cfg.levels_y,
+                                       cfg.groups_y, cfg.qstep_y), 64, 64)
+    pu = fc._host_idct(fc._host_unpack(packed[:, sy:sy + sc], cfg.n_blocks_c, cfg.levels_c,
+                                       cfg.groups_c, cfg.qstep_c), 32, 32)
+    assert np.abs(ny - py).max() < 1e-3
+    assert np.abs(nu - pu).max() < 1e-3
+    assert nv.shape == (2, 32, 32)
+
+
+def test_unaligned_size_rejected():
+    with pytest.raises(ValueError):
+        fc.default_config(60, 64)
+
+
+def test_dct_pipelined_frames_delivery():
+    """pipelined_frames(pix_fmt="dct"): the production delivery path —
+    per-batch DPCM chunks, self-calibrated, >=40 dB per frame, valid
+    counts respected."""
+    from maua_tpu.ops.video import pipelined_frames
+
+    frames = _sg2_frames(T=8)
+
+    def batches():
+        yield jnp.asarray(frames[:3]), 3
+        yield jnp.asarray(frames[3:6]), 3
+        yield jnp.asarray(np.concatenate([frames[6:8], frames[7:8]])), 2  # padded tail
+
+    out = list(pipelined_frames(batches(), "dct"))
+    assert len(out) == 8
+    ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
+    for t in range(8):
+        assert out[t].shape == ref[t].shape
+        assert _psnr(out[t], ref[t]) >= 40.0, t
+
+
+def test_dct_pipelined_falls_back_on_unaligned():
+    from maua_tpu.ops.video import pipelined_frames
+
+    frames = _test_frames(B=2, H=24, W=24)  # even but not 16-aligned
+    out = list(pipelined_frames(iter([(jnp.asarray(frames), 2)]), "dct"))
+    assert len(out) == 2 and out[0].shape == (36, 24)
+
+
+def test_fetch_parallel_matches_direct():
+    from maua_tpu.ops.video import fetch_parallel
+
+    x = jnp.arange(4 * 1024 * 512, dtype=jnp.int32).reshape(16, -1)
+    assert np.array_equal(fetch_parallel(x, n_streams=4), np.asarray(x))
+    # small arrays take the direct path
+    y = jnp.ones((3, 4))
+    assert np.array_equal(fetch_parallel(y), np.ones((3, 4)))
