@@ -83,12 +83,24 @@ def _extract_state_dict(obj):
 class _TolerantUnpickler(pickle.Unpickler):
     """Unpickler that resolves NVIDIA persistence / dnnlib classes to
     dummy containers so the tensor payload can be read without the
-    original source tree (replacement for `GAN/load.py:130-164`)."""
+    original source tree (replacement for `GAN/load.py:130-164`).
+
+    stylegan2-ada(-pytorch) pickles every network class through
+    `torch_utils.persistence`: each module reduces to
+    `_reconstruct_persistent_obj(meta)` where meta is a dnnlib.EasyDict
+    carrying the class source plus `state` = the module's raw __dict__
+    (so tensors sit in `_parameters`/`_buffers` and submodules in
+    `_modules`). We resolve that reconstructor to one that rebuilds a
+    plain attribute container from `state`, and every other missing
+    class to a dict-subclass stub (EasyDict is a dict subclass, so its
+    SETITEMS opcodes need a real dict underneath)."""
 
     def find_class(self, module, name):
         try:
             return super().find_class(module, name)
         except (ImportError, AttributeError):
+            if name == "_reconstruct_persistent_obj":
+                return _reconstruct_persistent_obj
             return _make_stub(module, name)
 
 
@@ -99,11 +111,11 @@ def _make_stub(module, name):
     key = (module, name)
     if key not in _STUB_CACHE:
 
-        class Stub:
+        class Stub(dict):
             _module, _name = module, name
 
             def __init__(self, *a, **kw):
-                pass
+                super().__init__()
 
             def __setstate__(self, state):
                 self.__dict__.update(state if isinstance(state, dict) else {"state": state})
@@ -113,6 +125,23 @@ def _make_stub(module, name):
     return _STUB_CACHE[key]
 
 
+def _reconstruct_persistent_obj(meta):
+    """Stand-in for torch_utils.persistence._reconstruct_persistent_obj:
+    rebuild an attribute container from the pickled module state
+    (ignoring the embedded source code)."""
+    obj = _make_stub("torch_utils.persistence", "PersistentObj")()
+    state = None
+    if isinstance(meta, dict):
+        state = meta.get("state")
+    if state is None and hasattr(meta, "__dict__"):
+        state = meta.__dict__.get("state")
+    if isinstance(state, dict):
+        obj.__dict__.update(state)
+    elif meta is not None:
+        obj.__dict__["meta"] = meta
+    return obj
+
+
 def _load_nvidia_pickle(path: str, key: str = "G_ema"):
     """Extract tensors for one network (`key`) from an NVIDIA legacy .pkl."""
     torch = _torch()
@@ -120,20 +149,32 @@ def _load_nvidia_pickle(path: str, key: str = "G_ema"):
         data = f.read()
     obj = _TolerantUnpickler(io.BytesIO(data)).load()
     g = obj.get(key, obj) if isinstance(obj, dict) else obj
-    # persistence-pickled modules carry their tensors in nested dicts
+    # persistence-pickled modules carry their tensors in nested dicts;
+    # reconstructed torch modules keep nn.Module internals verbatim —
+    # state_dict naming comes from _parameters/_buffers/_modules
     sd = {}
 
-    def walk(prefix, node):
+    def walk(prefix, node, depth=0):
+        if depth > 64:
+            return
         if isinstance(node, torch.Tensor):
             sd[prefix.rstrip(".")] = node
-        elif isinstance(node, dict):
+            return
+        d = getattr(node, "__dict__", None) or {}
+        for sub in ("_parameters", "_buffers"):
+            for k, v in (d.get(sub) or {}).items():
+                if isinstance(v, torch.Tensor) and isinstance(k, str):
+                    sd[prefix + k] = v
+        for k, v in (d.get("_modules") or {}).items():
+            if v is not None and isinstance(k, str):
+                walk(prefix + k + ".", v, depth + 1)
+        if isinstance(node, dict):
             for k, v in node.items():
-                if isinstance(k, str):
-                    walk(prefix + k + ".", v)
-        elif hasattr(node, "__dict__"):
-            for k, v in vars(node).items():
-                if not k.startswith("_"):
-                    walk(prefix + k + ".", v)
+                if isinstance(k, str) and not k.startswith("_"):
+                    walk(prefix + k + ".", v, depth + 1)
+        for k, v in d.items():
+            if isinstance(k, str) and not k.startswith("_"):
+                walk(prefix + k + ".", v, depth + 1)
 
     if hasattr(g, "state_dict"):
         return g.state_dict()
