@@ -120,6 +120,29 @@ def get_flow_model(which: Sequence[str] = ("farneback",)) -> Callable:
                 except Exception as e:
                     print(f"raft checkpoint load failed ({e}); using random init")
             fns.append(lambda a, b, _p=params: raft_mod.raft_flow(a, b, params=_p))
+        elif name in ("spynet", "pwc", "liteflownet"):
+            # TPU-native SpyNet (flow/spynet.py) covers the sniklaus
+            # pyramidal-estimator role; weights convert from the
+            # published pytorch-spynet checkpoints in modelzoo/
+            import os
+
+            from . import spynet as spynet_mod
+            from ..utility import MODELZOO
+
+            sp_params = None
+            for fname in ("spynet.pth", "network-sintel-final.pytorch", "spynet_sintel_final.pth"):
+                ckpt = os.path.join(MODELZOO, fname)
+                if os.path.exists(ckpt):
+                    try:
+                        import torch
+
+                        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+                        sd = {k: v.float().numpy() for k, v in sd.items()}
+                        sp_params = spynet_mod.params_from_torch(sd)
+                        break
+                    except Exception as e:
+                        print(f"spynet checkpoint load failed ({e}); using random init")
+            fns.append(lambda a, b, _p=sp_params: spynet_mod.spynet_flow(a, b, params=_p))
         else:
             print(f"flow model {name} unavailable in this build; using farneback")
             fns.append(farneback_flow)
