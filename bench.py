@@ -185,17 +185,26 @@ def main():
         e2e_times.append(time.perf_counter() - t0)
     e2e_fps = n_e2e * e2e_batch / min(e2e_times)
 
+    # MFU: analytic model FLOPs per frame over achieved frame rate,
+    # against the v5e bf16 peak (MFU accounting, PERFORMANCE.md)
+    from maua_tpu.profiling import mfu, sg2_frame_flops
+
+    frame_flops = sg2_frame_flops(cfg)
     print(json.dumps({
         "metric": f"stylegan2_{resolution}_e2e_frames_per_sec_per_chip",
         "value": round(e2e_fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(e2e_fps / 30.0, 3),
+        "delivered_psnr_db": round(psnr, 2),
+        "codec_bits_per_pixel": round(codec.bits_per_pixel(e2e_batch), 2),
     }))
     print(json.dumps({
         "metric": f"stylegan2_{resolution}_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
+        "model_tflops_per_s": round(frame_flops * fps / 1e12, 1),
+        "mfu": round(mfu(frame_flops * fps, 1.0), 3),
     }))
 
 

@@ -65,11 +65,16 @@ def main():
         times.append(time.perf_counter() - t0)
 
     sps = n_steps * n_images / min(times)
+    from maua_tpu.profiling import mfu, unet_step_flops
+
+    step_flops = 2 * unet_step_flops(cfg, 64)  # CFG = cond + uncond UNet evals
     print(json.dumps({
         "metric": "sd512_cfg_denoiser_steps_per_sec",
         "value": round(sps, 3),
         "unit": "steps/s",
         "vs_baseline": round(sps, 3),
+        "model_tflops_per_s": round(step_flops * sps / 1e12, 1),
+        "mfu": round(mfu(step_flops * sps, 1.0), 3),
     }))
 
 

@@ -52,11 +52,16 @@ def main():
         times.append(time.perf_counter() - t0)
 
     fps = batch * n_chunks / min(times)
+    from maua_tpu.profiling import mfu, sg3_frame_flops
+
+    frame_flops = sg3_frame_flops(cfg)
     print(json.dumps({
         "metric": "stylegan3_1024_frames_per_sec_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
+        "model_tflops_per_s": round(frame_flops * fps / 1e12, 1),
+        "mfu": round(mfu(frame_flops * fps, 1.0), 3),
     }))
 
 

@@ -48,11 +48,16 @@ def main():
         times.append(time.perf_counter() - t0)
 
     ips = batch * n_batches / min(times)
+    from maua_tpu.profiling import mfu, rrdb_flops
+
+    img_flops = rrdb_flops(cfg, size, size)
     print(json.dumps({
         "metric": "realesrgan_x4_256to1024_images_per_sec",
         "value": round(ips, 3),
         "unit": "img/s",
         "vs_baseline": round(ips, 3),
+        "model_tflops_per_s": round(img_flops * ips / 1e12, 1),
+        "mfu": round(mfu(img_flops * ips, 1.0), 3),
     }))
 
 
