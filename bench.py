@@ -120,7 +120,7 @@ def main():
     # (fetch_parallel), decoded on host by the C++ kernel
     # (native/framecodec.cpp), double-buffered against synthesis.
     from maua_tpu.ops import framecodec as fc
-    from maua_tpu.ops.video import fetch_slices, presplit, rgb_to_yuv420
+    from maua_tpu.ops.video import presplit, rgb_to_yuv420, submit_fetches
 
     e2e_batch = min(batch, 16)
 
@@ -134,7 +134,9 @@ def main():
     # levels/frame at 24 fps — below one quantizer step, so it does
     # not change the delivery rate being measured).
     kf = base_ws[:4]  # 4 keyframe latents
-    loop_frames = 64
+    # 2 s per keyframe transition at 24 fps (typical tempo-synced latent
+    # loops run one keyframe per musical bar)
+    loop_frames = 192
 
     def _ws_at(t_idx):
         # t in [0, 4) across the loop; slerp-ish lerp between keyframes
@@ -161,25 +163,28 @@ def main():
           f"(I420 is 12), chunk {codec.chunk_bytes(e2e_batch)/1e6:.2f} MB", file=sys.stderr)
 
     def render_chunk_packed(c):
-        # presplit dispatches the slice ops NOW so later-dispatched
-        # chunks don't queue ahead of this chunk's fetches
+        # presplit dispatches the slice ops NOW (so later-dispatched
+        # chunks don't queue ahead of this chunk's transfers) and the
+        # fetch threads start immediately — transfers overlap both the
+        # next chunk's device work and the previous chunk's host decode
         intra, deltas = encode(render_rgb(params, noises_b, jnp.int32(c)))
-        return [intra] + presplit(deltas)
+        return submit_fetches([intra] + presplit(deltas))
 
-    def fetch_decode(slices):
-        intra = np.asarray(slices[0])
-        deltas = fetch_slices(slices[1:]) if len(slices) > 1 else None
+    def fetch_decode(futs):
+        intra = futs[0].result()
+        deltas = np.concatenate([f.result() for f in futs[1:]]) if len(futs) > 1 else None
         return fc.decode_chunk(intra, deltas, codec)
 
     # warmup + quality gate: the delivered frames must stay visually
     # lossless vs the uncompressed I420 of the same batch
-    render_chunk_packed(1)  # compile encode path
+    [f.result() for f in render_chunk_packed(1)]  # compile encode path
     t0 = time.perf_counter()
-    chunk0 = render_chunk_packed(1)
-    float(jnp.sum(chunk0[0].astype(jnp.uint32)))
+    intra_d, deltas_d = encode(render_rgb(params, noises_b, jnp.int32(1)))
+    float(jnp.sum(intra_d.astype(jnp.uint32)))
+    float(jnp.sum(deltas_d[-1, :64].astype(jnp.uint32)))
     t_synth_enc = time.perf_counter() - t0
     t0 = time.perf_counter()
-    slices_h = [np.asarray(s) for s in chunk0]  # serial fetch (cache fills)
+    slices_h = [np.asarray(intra_d)] + [np.asarray(s) for s in presplit(deltas_d)]
     t_fetch = time.perf_counter() - t0
     t0 = time.perf_counter()
     dec0 = fc.decode_chunk(slices_h[0], np.concatenate(slices_h[1:]), codec)

@@ -63,6 +63,16 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64), ctypes.c_double,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.framecodec_decode_plane_chunk_u8.restype = ctypes.c_int
+    lib.framecodec_decode_plane_chunk_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_double,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_double,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
     return lib
 
 
@@ -156,14 +166,7 @@ def _inverse_conv_py(z, w, is_upper, dilation):
     return x
 
 
-def _decode_plane(packed: np.ndarray, H: int, W: int, levels, groups, qstep: float) -> np.ndarray:
-    """One plane of the DCT frame codec: packed (B, nb*nw*4) uint8 ->
-    centered f32 (B, H, W). See native/framecodec.cpp."""
-    from .ops.framecodec import _ZIGZAG
-
-    lib = _lib()
-    assert lib is not None
-    B = packed.shape[0]
+def _codec_tables(levels, groups):
     nw = len(groups)
     lev = np.ascontiguousarray(np.asarray(levels, np.int64))
     off = np.zeros(nw + 1, np.int64)
@@ -171,18 +174,80 @@ def _decode_plane(packed: np.ndarray, H: int, W: int, levels, groups, qstep: flo
     for gi, grp in enumerate(groups):
         idx.extend(grp)
         off[gi + 1] = len(idx)
-    idx = np.ascontiguousarray(np.asarray(idx, np.int64))
-    zz = np.ascontiguousarray(np.asarray(_ZIGZAG, np.int64))
+    idx = np.ascontiguousarray(np.asarray(idx if idx else [0], np.int64))
+    return nw, lev, off, idx
+
+
+_I64P = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+_U8P = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _decode_plane(packed: np.ndarray, H: int, W: int, levels, groups, qstep: float) -> np.ndarray:
+    """One plane of the DCT frame codec: packed (B, nb*nw*4) uint8 ->
+    centered f32 (B, H, W). Coefficient indices are row-major within
+    the 8x8 block (the identity map). See native/framecodec.cpp."""
+    lib = _lib()
+    assert lib is not None
+    B = packed.shape[0]
+    nw, lev, off, idx = _codec_tables(levels, groups)
+    ident = np.ascontiguousarray(np.arange(64, dtype=np.int64))
     out = np.empty((B, H, W), np.float32)
     packed = np.ascontiguousarray(packed)
-    i64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     rc = lib.framecodec_decode_plane_f32(
-        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), B, H, W, nw,
-        i64p(lev), i64p(off), i64p(idx) if len(idx) else i64p(off), i64p(zz),
+        _U8P(packed), B, H, W, nw, _I64P(lev), _I64P(off), _I64P(idx), _I64P(ident),
         float(qstep), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     if rc != 0:
         raise ValueError(f"framecodec_decode_plane_f32 failed with code {rc}")
+    return out
+
+
+def framecodec_decode_chunk_u8(intra: np.ndarray, deltas, codec) -> np.ndarray:
+    """Full DPCM chunk decode straight into the I420 frame layout:
+    intra (frame_bytes,) + deltas (T-1, frame_bytes_d) -> (T, 3H/2, W)
+    uint8, one C++ pass per plane (accumulation + rounding included).
+    Raises if the native lib is unavailable."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native lib unavailable")
+    ci, cd = codec.intra, codec.delta
+    H, W = ci.height, ci.width
+    T = 1 + (0 if deltas is None or deltas.size == 0 else deltas.shape[0])
+    intra = np.ascontiguousarray(np.asarray(intra, np.uint8).reshape(-1))
+    if deltas is None or deltas.size == 0:
+        deltas = np.zeros((0,), np.uint8)
+    deltas = np.ascontiguousarray(np.asarray(deltas, np.uint8))
+    out = np.empty((T, 3 * H // 2, W), np.uint8)
+    frame_stride = out.strides[0]
+
+    plane_geom = [
+        (H, W, 0, ci.n_blocks_y * ci.words_y * 4, cd.n_blocks_y * cd.words_y * 4,
+         ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y, cd.groups_y, cd.qstep_y),
+        (H // 2, W // 2, H * W, ci.n_blocks_c * ci.words_c * 4, cd.n_blocks_c * cd.words_c * 4,
+         ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c),
+        (H // 2, W // 2, H * W + H * W // 4, ci.n_blocks_c * ci.words_c * 4, cd.n_blocks_c * cd.words_c * 4,
+         ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c),
+    ]
+    ioff = doff = 0
+    base = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    for (ph, pw, out_off, isz, dsz, lev_i, grp_i, q_i, lev_d, grp_d, q_d) in plane_geom:
+        nw_i, li, oi, xi = _codec_tables(lev_i, grp_i)
+        nw_d, ld, od, xd = _codec_tables(lev_d, grp_d)
+        # per-plane packed sections (deltas sections are strided per
+        # frame: copy them contiguous once)
+        isec = intra[ioff : ioff + isz]
+        dsec = np.ascontiguousarray(deltas[:, doff : doff + dsz]) if T > 1 else np.zeros((0,), np.uint8)
+        dst = ctypes.cast(ctypes.addressof(base.contents) + out_off, ctypes.POINTER(ctypes.c_uint8))
+        rc = lib.framecodec_decode_plane_chunk_u8(
+            _U8P(np.ascontiguousarray(isec)), _U8P(dsec), T, ph, pw,
+            nw_i, _I64P(li), _I64P(oi), _I64P(xi), float(q_i),
+            nw_d, _I64P(ld), _I64P(od), _I64P(xd), float(q_d),
+            dst, frame_stride,
+        )
+        if rc != 0:
+            raise ValueError(f"framecodec_decode_plane_chunk_u8 failed with code {rc}")
+        ioff += isz
+        doff += dsz
     return out
 
 

@@ -164,11 +164,13 @@ def _make_config(H: int, W: int, sig_y, sig_c, qstep: float, clip_sigmas: float)
 
 
 def _default_sigma() -> np.ndarray:
-    """Conservative per-zigzag-position coefficient spread (pixel units,
-    [-128,127] samples): low frequencies carry most energy; the tail
-    floor of 16 absorbs per-pixel noise (StyleGAN noise injection has a
-    flat spectrum). `calibrate` replaces this with measured values."""
-    d = _ZIGZAG // 8 + _ZIGZAG % 8  # diagonal number 0..14
+    """Conservative per-position coefficient spread (row-major (u,v)
+    indexing, pixel units, [-128,127] samples): low frequencies carry
+    most energy; the tail floor of 16 absorbs per-pixel noise (StyleGAN
+    noise injection has a flat spectrum). `calibrate` replaces this
+    with measured values."""
+    pos = np.arange(64)
+    d = pos // 8 + pos % 8  # diagonal number 0..14
     sigma = 180.0 * (0.55 ** d.astype(np.float64)) + 16.0
     sigma[0] = 360.0
     return sigma.astype(np.float32)
@@ -228,7 +230,7 @@ def _yuv_planes_device(rgb):
 
 
 def _block_dct_device(plane):
-    """(B,H,W) f32 -> (B, n_blocks, 64) zigzag-ordered coefficients."""
+    """(B,H,W) f32 -> (B, n_blocks, 64) row-major block coefficients."""
     import jax.numpy as jnp
 
     B, H, W = plane.shape
@@ -236,20 +238,17 @@ def _block_dct_device(plane):
     x = plane.reshape(B, H // 8, 8, W // 8, 8)
     x = jnp.einsum("ui,bhiwj->bhuwj", D, x)
     x = jnp.einsum("vj,bhuwj->bhuwv", D, x)
-    x = x.transpose(0, 1, 3, 2, 4).reshape(B, -1, 64)
-    return x[:, :, _ZIGZAG]
+    return x.transpose(0, 1, 3, 2, 4).reshape(B, -1, 64)
 
 
 def _block_idct_device(coefs, H: int, W: int):
-    """(B, nb, 64) zigzag coefficients -> (B,H,W) plane (linear inverse
+    """(B, nb, 64) block coefficients -> (B,H,W) plane (linear inverse
     of _block_dct_device; used by the DPCM reconstruction carry)."""
     import jax.numpy as jnp
 
     B = coefs.shape[0]
-    inv = np.empty(64, np.int64)
-    inv[_ZIGZAG] = np.arange(64)
     D = jnp.asarray(_DCT)
-    x = coefs[:, :, inv].reshape(B, H // 8, W // 8, 8, 8)
+    x = coefs.reshape(B, H // 8, W // 8, 8, 8)
     x = jnp.einsum("iu,bhwuv->bhwiv", D.T, x)
     x = jnp.einsum("jv,bhwiv->bhwij", D.T, x)
     return x.transpose(0, 1, 3, 2, 4).reshape(B, H, W)
@@ -331,6 +330,8 @@ def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5) -> C
     if H % 16 or W % 16:
         raise ValueError(f"frame codec needs 16-aligned dimensions, got {H}x{W}")
     intra = calibrate(rgb, quality=quality, clip_sigmas=clip_sigmas)
+    if T < 2:  # no deltas to measure: reuse the intra plan
+        return ChunkCodec(intra=intra, delta=intra)
     y, u, v = _host_yuv_planes(rgb)
     qstep = 7.0 * quality
     sig_dy = _measured_sigma([y[1:] - y[:-1]], clip_sigmas)
@@ -386,20 +387,56 @@ def encode_chunk(rgb, codec: ChunkCodec):
 def decode_chunk(intra: np.ndarray, deltas: np.ndarray, codec: ChunkCodec,
                  out: str = "yuv420") -> np.ndarray:
     """Host decode of a DPCM chunk -> (T, 3H/2, W) uint8 yuv420p frames
-    (or (T,H,W,3) RGB with out="rgb"). All linear, so reconstruction is
-    one cumulative sum over the batch-decoded delta planes."""
+    (or (T,H,W,3) RGB with out="rgb").
+
+    Fast path: one C++ pass per plane that unpacks, inverse-transforms,
+    accumulates the DPCM chain per block in registers, and writes uint8
+    directly into the I420 layout (native/framecodec.cpp). Numpy
+    fallback exploits linearity: one cumulative sum over the
+    batch-decoded delta planes."""
+    intra = np.asarray(intra, np.uint8)
+    deltas = None if deltas is None else np.asarray(deltas, np.uint8)
+    if _native_chunk_fn() is not None:
+        try:
+            yuv = _native_chunk_fn()(intra, deltas, codec)
+            return yuv if out == "yuv420" else (
+                yuv420_to_rgb(yuv) if out == "rgb" else _bad_out(out))
+        except Exception:
+            pass
     ci, cd = codec.intra, codec.delta
     H, W = ci.height, ci.width
-    iy, iu, iv = _decode_planes(np.asarray(intra, np.uint8)[None], ci)
+    iy, iu, iv = _decode_planes(intra[None], ci)
     T = 1 + (deltas.shape[0] if deltas is not None and deltas.size else 0)
     if T > 1:
-        dy, du, dv = _decode_planes(np.asarray(deltas, np.uint8), cd)
+        dy, du, dv = _decode_planes(deltas, cd)
         y = np.concatenate([iy, dy], axis=0).cumsum(axis=0, dtype=np.float32)
         u = np.concatenate([iu, du], axis=0).cumsum(axis=0, dtype=np.float32)
         v = np.concatenate([iv, dv], axis=0).cumsum(axis=0, dtype=np.float32)
     else:
         y, u, v = iy, iu, iv
     return _planes_to_output(y, u, v, H, W, out)
+
+
+def _bad_out(out):
+    raise ValueError(f"unknown output format {out!r}")
+
+
+_NATIVE_CHUNK_CHECKED = False
+_NATIVE_CHUNK_FN = None
+
+
+def _native_chunk_fn():
+    global _NATIVE_CHUNK_CHECKED, _NATIVE_CHUNK_FN
+    if not _NATIVE_CHUNK_CHECKED:
+        _NATIVE_CHUNK_CHECKED = True
+        try:
+            from .. import native as _native
+
+            if _native.available():
+                _NATIVE_CHUNK_FN = _native.framecodec_decode_chunk_u8
+        except Exception:
+            _NATIVE_CHUNK_FN = None
+    return _NATIVE_CHUNK_FN
 
 
 # ----------------------------------------------------------------- host decode
@@ -421,7 +458,7 @@ def _host_block_dct(plane: np.ndarray) -> np.ndarray:
     x = plane.reshape(B, H // 8, 8, W // 8, 8)
     x = np.einsum("ui,bhiwj->bhuwj", _DCT, x)
     x = np.einsum("vj,bhuwj->bhuwv", _DCT, x)
-    return x.transpose(0, 1, 3, 2, 4).reshape(B, -1, 64)[:, :, _ZIGZAG]
+    return x.transpose(0, 1, 3, 2, 4).reshape(B, -1, 64)
 
 
 def _host_unpack(section: np.ndarray, nb: int, levels: Tuple[int, ...],
@@ -443,9 +480,7 @@ def _host_unpack(section: np.ndarray, nb: int, levels: Tuple[int, ...],
 
 def _host_idct(coefs: np.ndarray, H: int, W: int) -> np.ndarray:
     B = coefs.shape[0]
-    inv = np.empty(64, np.int64)
-    inv[_ZIGZAG] = np.arange(64)
-    x = coefs[:, :, inv].reshape(B, H // 8, W // 8, 8, 8)
+    x = coefs.reshape(B, H // 8, W // 8, 8, 8)
     x = np.einsum("iu,bhwuv->bhwiv", _DCT.T, x)
     x = np.einsum("jv,bhwiv->bhwij", _DCT.T, x)
     return x.transpose(0, 1, 3, 2, 4).reshape(B, H, W)
@@ -468,7 +503,9 @@ def _decode_planes(packed: np.ndarray, cfg: CodecConfig):
 
 def _planes_to_output(y, u, v, H: int, W: int, out: str) -> np.ndarray:
     B = y.shape[0]
-    to8 = lambda p: np.clip(np.round(p + 128.0), 0, 255).astype(np.uint8)
+    # +0.5-and-truncate rounding (matches the C++ decoder; np.round's
+    # banker rounding is also ~20x slower)
+    to8 = lambda p: np.clip(p + 128.5, 0.0, 255.0).astype(np.uint8)
     yuv = np.concatenate(
         [to8(y).reshape(B, -1), to8(u).reshape(B, -1), to8(v).reshape(B, -1)], axis=1
     ).reshape(B, 3 * H // 2, W)

@@ -85,6 +85,18 @@ def presplit(arr, n_streams: Optional[int] = None):
     return [arr[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
 
 
+def submit_fetches(slices):
+    """Start fetching presplit slices on the thread pool NOW (they
+    block in worker threads until the producing computation finishes,
+    overlapping both later device work and host-side decode). Returns
+    futures for gather_fetches."""
+    return [_fetch_pool().submit(np.asarray, s) for s in slices]
+
+
+def gather_fetches(futs) -> np.ndarray:
+    return np.concatenate([f.result() for f in futs], axis=0)
+
+
 def fetch_slices(slices) -> np.ndarray:
     """Fetch presplit slices over a thread pool and reassemble.
 
@@ -95,8 +107,7 @@ def fetch_slices(slices) -> np.ndarray:
     trips."""
     if len(slices) == 1:
         return np.asarray(slices[0])
-    futs = [_fetch_pool().submit(np.asarray, s) for s in slices]
-    return np.concatenate([f.result() for f in futs], axis=0)
+    return gather_fetches(submit_fetches(slices))
 
 
 def fetch_parallel(arr, n_streams: Optional[int] = None) -> np.ndarray:
@@ -131,16 +142,18 @@ def pipelined_frames(batches, pix_fmt: str = "rgb24", codec_quality: float = 1.0
         batch, n = item if isinstance(item, tuple) else (item, None)
         if pix_fmt == "yuv420p":
             batch = rgb_to_yuv420(batch)
-        slices = presplit(batch)  # dispatch slice ops before the next batch
+        # slice + start fetching NOW: the worker threads block on the
+        # device while the main thread keeps dispatching/consuming
+        futs = submit_fetches(presplit(batch))
         if pending is not None:
             prev, prev_n = pending
-            prev = fetch_slices(prev)
+            prev = gather_fetches(prev)
             for i in range(prev.shape[0] if prev_n is None else prev_n):
                 yield prev[i]
-        pending = (slices, n)
+        pending = (futs, n)
     if pending is not None:
         prev, prev_n = pending
-        prev = fetch_slices(prev)
+        prev = gather_fetches(prev)
         for i in range(prev.shape[0] if prev_n is None else prev_n):
             yield prev[i]
 
@@ -177,10 +190,10 @@ def _dct_pipelined_frames(batches, quality: float):
     for item in it:
         batch, n = item if isinstance(item, tuple) else (item, None)
         intra, deltas = encode(batch)  # async dispatch BEFORE fetching the previous chunk
-        slices = [intra] + presplit(deltas)
+        futs = submit_fetches([intra] + presplit(deltas))
         if pending is not None:
             yield from _emit_chunk(pending, codec)
-        pending = (slices, n)
+        pending = (futs, n)
     if pending is not None:
         yield from _emit_chunk(pending, codec)
 
@@ -188,8 +201,7 @@ def _dct_pipelined_frames(batches, quality: float):
 def _emit_chunk(pending, codec):
     from . import framecodec as fc
 
-    slices, n = pending
-    futs = [_fetch_pool().submit(np.asarray, s) for s in slices]
+    futs, n = pending
     intra = futs[0].result()
     deltas = np.concatenate([f.result() for f in futs[1:]], axis=0) if len(futs) > 1 else None
     frames = fc.decode_chunk(intra, deltas, codec)

@@ -92,4 +92,85 @@ int framecodec_decode_plane_f32(const uint8_t* packed, int64_t B, int64_t H,
   return 0;
 }
 
+// DPCM chunk decode for one plane, straight to uint8: intra frame +
+// (T-1) delta frames accumulate per block entirely in registers/L1,
+// each frame's samples written as clip(round(acc + 128)) into the
+// caller's frame-strided output (so the bytes land directly inside a
+// (T, 3H/2, W) I420 array). One pass over the packed data, no float
+// intermediates in memory.
+extern "C" int framecodec_decode_plane_chunk_u8(
+    const uint8_t* intra, const uint8_t* deltas, int64_t T, int64_t H,
+    int64_t W, int64_t nw_i, const int64_t* levels_i, const int64_t* goff_i,
+    const int64_t* gidx_i, double qstep_i, int64_t nw_d,
+    const int64_t* levels_d, const int64_t* goff_d, const int64_t* gidx_d,
+    double qstep_d, uint8_t* out, int64_t frame_stride) {
+  if (H % 8 || W % 8 || T < 1) return 1;
+  const int64_t bh = H / 8, bw = W / 8;
+  const int64_t nb = bh * bw;
+
+#pragma omp parallel for schedule(static)
+  for (int64_t blk = 0; blk < nb; ++blk) {
+    const int64_t by = blk / bw, bx = blk % bw;
+    float acc[64];
+
+    auto unpack_idct = [&](const uint8_t* src, int64_t nw,
+                           const int64_t* levels, const int64_t* goff,
+                           const int64_t* gidx, float qstep, float* px,
+                           bool add) {
+      float coef[64];
+      std::memset(coef, 0, sizeof(coef));
+      for (int64_t w = 0; w < nw; ++w) {
+        uint32_t word = static_cast<uint32_t>(src[w * 4]) |
+                        (static_cast<uint32_t>(src[w * 4 + 1]) << 8) |
+                        (static_cast<uint32_t>(src[w * 4 + 2]) << 16) |
+                        (static_cast<uint32_t>(src[w * 4 + 3]) << 24);
+        for (int64_t k = goff[w]; k < goff[w + 1]; ++k) {
+          const int64_t i = gidx[k];
+          const uint32_t L = static_cast<uint32_t>(levels[i]);
+          const int32_t v = static_cast<int32_t>(word % L);
+          word /= L;
+          coef[i] = static_cast<float>(v - static_cast<int32_t>((L - 1) / 2)) * qstep;
+        }
+      }
+      float tmp[8][8];
+      for (int i = 0; i < 8; ++i)
+        for (int j = 0; j < 8; ++j) {
+          float a = 0.f;
+          for (int u = 0; u < 8; ++u) a += kDct.D[u][i] * coef[u * 8 + j];
+          tmp[i][j] = a;
+        }
+      for (int i = 0; i < 8; ++i)
+        for (int j = 0; j < 8; ++j) {
+          float a = 0.f;
+          for (int v = 0; v < 8; ++v) a += tmp[i][v] * kDct.D[v][j];
+          if (add)
+            px[i * 8 + j] += a;
+          else
+            px[i * 8 + j] = a;
+        }
+    };
+
+    auto emit = [&](int64_t t) {
+      uint8_t* dst = out + t * frame_stride + (by * 8) * W + bx * 8;
+      for (int i = 0; i < 8; ++i)
+        for (int j = 0; j < 8; ++j) {
+          float v = acc[i * 8 + j] + 128.5f;
+          v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+          dst[i * W + j] = static_cast<uint8_t>(v);
+        }
+    };
+
+    unpack_idct(intra + blk * nw_i * 4, nw_i, levels_i, goff_i, gidx_i,
+                static_cast<float>(qstep_i), acc, false);
+    emit(0);
+    for (int64_t t = 1; t < T; ++t) {
+      const uint8_t* src = deltas + ((t - 1) * nb + blk) * nw_d * 4;
+      unpack_idct(src, nw_d, levels_d, goff_d, gidx_d,
+                  static_cast<float>(qstep_d), acc, true);
+      emit(t);
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

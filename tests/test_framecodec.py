@@ -131,6 +131,33 @@ def test_rgb_decode_path():
     assert _psnr(rgb, frames) > 28.0
 
 
+def test_native_chunk_decoder_matches_numpy():
+    """The one-pass C++ chunk decoder (unpack + IDCT + DPCM accumulate
+    + uint8 emit) must agree with the numpy cumsum path everywhere
+    (float-associativity differences land within +-1 gray level)."""
+    from maua_tpu import native
+    from maua_tpu.ops import framecodec as fcmod
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    frames = _sg2_frames(T=5)
+    codec = fc.calibrate_chunk(frames[:3])
+    intra, deltas = fc.encode_chunk(jnp.asarray(frames), codec)
+    intra, deltas = np.asarray(intra), np.asarray(deltas)
+    via_native = native.framecodec_decode_chunk_u8(intra, deltas, codec)
+
+    saved = fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED
+    fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = None, True
+    try:
+        via_numpy = fc.decode_chunk(intra, deltas, codec)
+    finally:
+        fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = saved
+    assert via_native.shape == via_numpy.shape
+    diff = np.abs(via_native.astype(np.int32) - via_numpy.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01
+
+
 def test_native_decoder_matches_numpy():
     from maua_tpu import native
 
