@@ -17,12 +17,18 @@ feed in the reference, `maua/ops/video.py:42-77`):
   -> mixed-radix packing into uint32 words. Everything is
   static-shaped, so XLA fuses it into the synthesis program and the
   only fetched artifact is the packed stream.
-- video chunks additionally use closed-loop DPCM (`encode_chunk`): the
-  first frame is intra-coded, each following frame codes the delta
-  against the on-device *reconstruction* of its predecessor (carried
-  through a lax.scan), so quantization error never accumulates. Since
-  every stage is linear, the host reconstructs with one cumulative sum
-  over the decoded delta planes — no sequential loop.
+- video chunks additionally use DPCM in the QUANTIZED-COEFFICIENT
+  domain (`encode_chunk`): every frame's DCT coefficients quantize to
+  the integer grid in one batched pass, frame 0 ships intra, and each
+  following frame ships the INTEGER coefficient delta — exact, so the
+  decoder's cumulative sum reconstructs every frame with exactly one
+  quantization error and zero drift, while the encoder stays fully
+  parallel (no sequential reconstruction loop, no on-device IDCT; an
+  earlier closed-loop lax.scan formulation measured 256 ms/frame on
+  v5e vs ~4 ms/frame for this one). Delta level counts are calibrated
+  from observed integer deltas; a clipped outlier delta (rarer than
+  the calibration margin) distorts at most the remainder of its chunk
+  — the next chunk re-intras.
 - decode runs on the host (numpy, vectorized; a C++/OpenMP kernel in
   native/framecodec.cpp takes over when built) and emits the exact
   planar yuv420p byte layout ffmpeg reads as `-pix_fmt yuv420p`
@@ -241,19 +247,6 @@ def _block_dct_device(plane):
     return x.transpose(0, 1, 3, 2, 4).reshape(B, -1, 64)
 
 
-def _block_idct_device(coefs, H: int, W: int):
-    """(B, nb, 64) block coefficients -> (B,H,W) plane (linear inverse
-    of _block_dct_device; used by the DPCM reconstruction carry)."""
-    import jax.numpy as jnp
-
-    B = coefs.shape[0]
-    D = jnp.asarray(_DCT)
-    x = coefs.reshape(B, H // 8, W // 8, 8, 8)
-    x = jnp.einsum("iu,bhwuv->bhwiv", D.T, x)
-    x = jnp.einsum("jv,bhwiv->bhwij", D.T, x)
-    return x.transpose(0, 1, 3, 2, 4).reshape(B, H, W)
-
-
 def _quantize_device(coefs, qstep: float, levels: Tuple[int, ...]):
     """Quantize + clip to the static level grid. Returns (unsigned
     int32 indices in [0, L-1], dequantized f32 reconstruction)."""
@@ -322,9 +315,31 @@ class ChunkCodec:
         return 8.0 * self.chunk_bytes(n_frames) / (n_frames * self.intra.height * self.intra.width)
 
 
-def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5) -> ChunkCodec:
+def _delta_levels(planes, qstep: float, levels_i, margin: float) -> np.ndarray:
+    """Observed integer-coefficient deltas -> odd level counts. planes:
+    (T,...) sample planes; deltas are measured on the same quantized
+    grid the encoder ships, with a safety margin — multiplicative plus
+    one extra level on every live position — because a clipped
+    out-of-range delta distorts the rest of its chunk (no closed-loop
+    correction until the next intra frame)."""
+    C = _host_quantize_int(_host_block_dct(planes), qstep, levels_i)
+    d = np.abs(C[1:] - C[:-1]).reshape(-1, 64).max(axis=0)
+    live = np.asarray(levels_i, np.int64) > 1
+    m = np.where(live, np.ceil(d * margin).astype(np.int64) + 1, 0)
+    return 2 * m + 1
+
+
+def _host_quantize_int(coefs, qstep: float, levels) -> np.ndarray:
+    m = ((np.asarray(levels, np.int64) - 1) // 2).astype(np.float64)
+    return np.clip(np.round(np.asarray(coefs, np.float64) / qstep), -m, m).astype(np.int64)
+
+
+def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5,
+                    delta_margin: float = 1.5) -> ChunkCodec:
     """Calibrate intra + delta plans from a sample chunk ((T,H,W,3)
-    uint8 RGB, consecutive frames of the target content)."""
+    uint8 RGB, consecutive frames of the target content). The delta
+    plan covers the observed quantized-coefficient deltas x margin; its
+    qstep equals the intra qstep (deltas live on the same grid)."""
     rgb = np.asarray(frames)
     T, H, W, _ = rgb.shape
     if H % 16 or W % 16:
@@ -333,22 +348,29 @@ def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5) -> C
     if T < 2:  # no deltas to measure: reuse the intra plan
         return ChunkCodec(intra=intra, delta=intra)
     y, u, v = _host_yuv_planes(rgb)
-    qstep = 7.0 * quality
-    sig_dy = _measured_sigma([y[1:] - y[:-1]], clip_sigmas)
-    sig_dc = _measured_sigma([u[1:] - u[:-1], v[1:] - v[:-1]], clip_sigmas)
-    delta = _make_config(H, W, sig_dy, sig_dc, qstep, clip_sigmas)
+    ly = _delta_levels(y, intra.qstep_y, intra.levels_y, delta_margin)
+    lc = np.maximum(
+        _delta_levels(u, intra.qstep_c, intra.levels_c, delta_margin),
+        _delta_levels(v, intra.qstep_c, intra.levels_c, delta_margin),
+    )
+    delta = CodecConfig(
+        height=H, width=W, qstep_y=intra.qstep_y, qstep_c=intra.qstep_c,
+        levels_y=tuple(int(x) for x in ly), levels_c=tuple(int(x) for x in lc),
+        groups_y=_group_levels(ly), groups_c=_group_levels(lc),
+    )
     return ChunkCodec(intra=intra, delta=delta)
 
 
 def encode_chunk(rgb, codec: ChunkCodec):
-    """Jittable closed-loop DPCM encode of a chunk: (T,H,W,3) uint8 ->
+    """Jittable DPCM chunk encode: (T,H,W,3) uint8 ->
     (intra_bytes (frame_bytes_i,), delta_bytes (T-1, frame_bytes_d)).
 
-    Frame 0 is intra-coded; each later frame codes the YUV delta
-    against the on-device reconstruction of its predecessor (lax.scan
-    carry), so the host-visible error of every frame is one step's
-    quantization error — drift-free by construction."""
-    import jax
+    Coefficient-domain DPCM: every frame's DCT coefficients quantize
+    to the integer grid in ONE batched pass; frame 0 ships intra and
+    frames 1..T-1 ship the exact integer deltas (clipped to the
+    calibrated delta range). The decoder's cumulative sum reconstructs
+    each frame with exactly one quantization error — closed-loop
+    quality without any sequential reconstruction on device."""
     import jax.numpy as jnp
 
     ci, cd = codec.intra, codec.delta
@@ -356,31 +378,20 @@ def encode_chunk(rgb, codec: ChunkCodec):
     assert (H, W) == (ci.height, ci.width)
     y, u, v = _yuv_planes_device(rgb)
 
-    py, ry = _encode_plane(y[:1], ci.qstep_y, ci.levels_y, ci.groups_y)
-    pu, ru = _encode_plane(u[:1], ci.qstep_c, ci.levels_c, ci.groups_c)
-    pv, rv = _encode_plane(v[:1], ci.qstep_c, ci.levels_c, ci.groups_c)
-    intra = jnp.concatenate([py, pu, pv], axis=1)[0]
+    def plane(pl, lev_i, grp_i, q_i, lev_d, grp_d):
+        mi = jnp.asarray((np.asarray(lev_i, np.int64) - 1) // 2, jnp.float32)
+        C = jnp.clip(jnp.round(_block_dct_device(pl) / q_i), -mi, mi).astype(jnp.int32)
+        intra_p = _pack_device(C[:1] + mi.astype(jnp.int32), lev_i, grp_i)
+        md = jnp.asarray((np.asarray(lev_d, np.int64) - 1) // 2, jnp.int32)
+        d = jnp.clip(C[1:] - C[:-1], -md, md)
+        delta_p = _pack_device(d + md, lev_d, grp_d)
+        return intra_p, delta_p
 
-    recon0 = (
-        _block_idct_device(ry, H, W)[0],
-        _block_idct_device(ru, H // 2, W // 2)[0],
-        _block_idct_device(rv, H // 2, W // 2)[0],
-    )
-
-    def step(recon, planes_t):
-        yt, ut, vt = planes_t
-        ry0, ru0, rv0 = recon
-        py, dy = _encode_plane((yt - ry0)[None], cd.qstep_y, cd.levels_y, cd.groups_y)
-        pu, du = _encode_plane((ut - ru0)[None], cd.qstep_c, cd.levels_c, cd.groups_c)
-        pv, dv = _encode_plane((vt - rv0)[None], cd.qstep_c, cd.levels_c, cd.groups_c)
-        new = (
-            ry0 + _block_idct_device(dy, H, W)[0],
-            ru0 + _block_idct_device(du, H // 2, W // 2)[0],
-            rv0 + _block_idct_device(dv, H // 2, W // 2)[0],
-        )
-        return new, jnp.concatenate([py, pu, pv], axis=1)[0]
-
-    _, deltas = jax.lax.scan(step, recon0, (y[1:], u[1:], v[1:]))
+    iy, dy = plane(y, ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y, cd.groups_y)
+    iu, du = plane(u, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c)
+    iv, dv = plane(v, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c)
+    intra = jnp.concatenate([iy, iu, iv], axis=1)[0]
+    deltas = jnp.concatenate([dy, du, dv], axis=1)
     return intra, deltas
 
 
