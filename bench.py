@@ -178,10 +178,12 @@ def main():
     # warmup + quality gate: the delivered frames must stay visually
     # lossless vs the uncompressed I420 of the same batch
     [f.result() for f in render_chunk_packed(1)]  # compile encode path
-    t0 = time.perf_counter()
+    sync = jax.jit(lambda a, b: jnp.sum(a.astype(jnp.uint32)) + jnp.sum(b[:, ::977].astype(jnp.uint32)))
     intra_d, deltas_d = encode(render_rgb(params, noises_b, jnp.int32(1)))
-    float(jnp.sum(intra_d.astype(jnp.uint32)))
-    float(jnp.sum(deltas_d[-1, :64].astype(jnp.uint32)))
+    float(sync(intra_d, deltas_d))  # compile the sync program itself
+    t0 = time.perf_counter()
+    intra_d, deltas_d = encode(render_rgb(params, noises_b, jnp.int32(2)))
+    float(sync(intra_d, deltas_d))
     t_synth_enc = time.perf_counter() - t0
     t0 = time.perf_counter()
     slices_h = [np.asarray(intra_d)] + [np.asarray(s) for s in presplit(deltas_d)]

@@ -323,9 +323,15 @@ def _delta_levels(planes, qstep: float, levels_i, margin: float) -> np.ndarray:
     out-of-range delta distorts the rest of its chunk (no closed-loop
     correction until the next intra frame)."""
     C = _host_quantize_int(_host_block_dct(planes), qstep, levels_i)
-    d = np.abs(C[1:] - C[:-1]).reshape(-1, 64).max(axis=0)
+    d = np.abs(C[1:] - C[:-1]).reshape(-1, 64)
+    # 99.99th-percentile range, not max: one busy block must not set
+    # every block's bit budget (max-based allocation measured ~2 bits/
+    # coef fatter on real content). The ~1e-4 of deltas beyond the
+    # range clip to it — a localized, chunk-bounded block artifact the
+    # PSNR gate absorbs.
+    dq = np.quantile(d, 0.9999, axis=0)
     live = np.asarray(levels_i, np.int64) > 1
-    m = np.where(live, np.ceil(d * margin).astype(np.int64) + 1, 0)
+    m = np.where(live, np.ceil(dq * margin).astype(np.int64) + 1, 0)
     return 2 * m + 1
 
 
