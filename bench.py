@@ -193,7 +193,7 @@ def main():
     t_decode = time.perf_counter() - t0
     print(f"bench.py e2e stages (warm, {e2e_batch} frames): synth+encode {t_synth_enc:.3f}s, "
           f"serial fetch {t_fetch:.3f}s, host decode {t_decode:.3f}s", file=sys.stderr)
-    ref0 = np.asarray(rgb_to_yuv420(render_rgb(params, noises_b, jnp.int32(1))))
+    ref0 = np.asarray(rgb_to_yuv420(render_rgb(params, noises_b, jnp.int32(2))))
     mse = np.mean((dec0.astype(np.float64) - ref0.astype(np.float64)) ** 2)
     psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
     print(f"bench.py e2e: delivered-frame PSNR {psnr:.2f} dB", file=sys.stderr)
