@@ -1,15 +1,29 @@
 #!/bin/bash
-# Run every hardware benchmark sequentially on the real chip, logging
-# to workspace/bench_results_r3/. Run only when the CPU is otherwise
-# idle — a saturated host starves the relay client and reads as a
-# wedged device.
+# Run hardware benchmarks sequentially on the real chip, waiting for
+# relay recovery before each one (the axon relay wedges transiently —
+# fetches block — and recovers after ~10-30 min). Keep the host CPU
+# otherwise idle: a saturated core starves the relay client.
 set -u
 cd /root/repo
 OUT=workspace/bench_results_r3
 mkdir -p $OUT
+
+probe() {
+  for i in $(seq 1 30); do
+    out=$(timeout 90 python -c "import jax, jax.numpy as jnp, numpy as np; np.asarray(jnp.arange(4)); print('PROBE_OK')" 2>/dev/null | tail -1)
+    if [ "$out" = "PROBE_OK" ]; then return 0; fi
+    sleep 90
+  done
+  return 1
+}
+
 for b in "$@"; do
+  name=$(basename "$b" .py)
   echo "=== $b $(date +%H:%M:%S) ==="
-  timeout 580 python "$b" > "$OUT/${b%.py}.out" 2> "$OUT/${b%.py}.err"
+  if ! probe; then echo "relay never recovered; skipping $b"; continue; fi
+  timeout 580 python "$b" > "$OUT/$name.out" 2> "$OUT/$name.err"
   echo "rc=$? tail:"
-  tail -3 "$OUT/${b%.py}.out"
+  tail -4 "$OUT/$name.out"
+  grep -v WARNING "$OUT/$name.err" | tail -4
 done
+echo ALL_BENCHES_DONE
