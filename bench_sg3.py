@@ -29,11 +29,14 @@ def main():
     cfg = sg3.SG3Config(img_resolution=1024, dtype="bfloat16",
                         torgb_bf16=os.environ.get("MAUA_BENCH_SG3_TORGB", "") == "bf16")
     params = jax.device_put(sg3.init_params(jax.random.PRNGKey(0), cfg))
+    int8_plan = None
+    if os.environ.get("MAUA_BENCH_SG3_INT8", "") == "1":
+        int8_plan = jax.device_put(sg3.quantize_sg3(params, cfg, batch=2))
 
     def render_chunk(params, base_ws, keys):
         def body(carry, k):
             ws = base_ws + 0.1 * jax.random.normal(k, base_ws.shape, jnp.float32)
-            img = sg3.synthesis(params, ws, cfg)
+            img = sg3.synthesis(params, ws, cfg, int8_plan=int8_plan)
             img8 = jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
             return carry + jnp.sum(img8.astype(jnp.uint32)), ()
 

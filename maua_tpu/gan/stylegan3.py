@@ -237,8 +237,15 @@ def _filtered_lrelu(x: jax.Array, up_f, down_f, up: int, down: int) -> jax.Array
     return jnp.concatenate(outs, axis=1)
 
 
-def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[jax.Array] = None) -> jax.Array:
-    """ws (B, num_ws, w_dim) -> (B, H, W, C) in [-1, 1]."""
+def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[jax.Array] = None,
+              int8_plan: Optional[Dict] = None, _amax_tape: Optional[Dict] = None) -> jax.Array:
+    """ws (B, num_ws, w_dim) -> (B, H, W, C) in [-1, 1].
+
+    int8_plan (from `quantize_sg3`) runs the trunk's modulated convs
+    int8 x int8 -> int32 on the MXU (per-channel activation quant with
+    calibrated amax, per-output-channel weight scales) — opt-in
+    speed/quality trade like gan/fast_synthesis.quantize_plan.
+    `_amax_tape` is the calibration hook."""
     cutoffs, stopbands, srates, half_widths, sizes, channels = cfg.layer_plan()
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     x = synthesis_input(params, ws[:, 0], cfg, int(sizes[0]), float(srates[0]), transform)
@@ -264,7 +271,14 @@ def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[j
         else:
             w = w * (1.0 / math.sqrt(np.prod(layer["weight"].shape[:3])))
         w = w / jnp.maximum(jnp.sqrt(layer["magnitude_ema"]), 1e-8)
-        x = ops.modulated_conv2d(x, w.astype(x.dtype), styles, padding=w.shape[0] // 2, demodulate=not is_torgb)
+        if _amax_tape is not None and not is_torgb:
+            xs32 = x.astype(jnp.float32) * styles.astype(jnp.float32)[:, None, None, :]
+            _amax_tape[f"L{i}"] = jnp.max(jnp.abs(xs32), axis=(0, 1, 2))
+        if int8_plan is not None and f"L{i}" in int8_plan:
+            x = _modconv_int8(x, int8_plan[f"L{i}"], w, styles)
+        else:
+            x = ops.modulated_conv2d(x, w.astype(x.dtype), styles, padding=w.shape[0] // 2,
+                                     demodulate=not is_torgb)
         x = x + layer["bias"].astype(x.dtype)
 
         if is_torgb:
@@ -291,6 +305,61 @@ def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[j
             x = jnp.pad(x, ((0, 0), (o, out_size - h - o), (o, out_size - h - o), (0, 0)))
 
     return x.astype(jnp.float32)
+
+
+def _modconv_int8(x, entry, w_runtime, styles):
+    """Modulated conv with the conv itself int8 on the MXU: activation
+    quantized per input channel against calibrated amax (folded into
+    the weights), weights per-output-channel int8; demod stays f32
+    (identical math to ops.modulated_conv2d up to quantization)."""
+    xs = x.astype(jnp.float32) * styles.astype(jnp.float32)[:, None, None, :]
+    scale = jnp.asarray(127.0 / entry["a"], jnp.float32)
+    xq = jnp.clip(jnp.round(xs * scale), -127.0, 127.0).astype(jnp.int8)
+    k = entry["q"].shape[0]
+    y = jax.lax.conv_general_dilated(
+        xq, jnp.asarray(entry["q"]), (1, 1), ((k // 2, (k - 1) // 2),) * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * jnp.asarray(entry["s"])[None, None, None, :]
+    w32 = w_runtime.astype(jnp.float32)
+    w2 = jnp.sum(jnp.square(w32), axis=(0, 1))
+    d = jax.lax.rsqrt(jnp.square(styles.astype(jnp.float32)) @ w2 + 1e-8)
+    return (y * d[:, None, None, :]).astype(x.dtype)
+
+
+def quantize_sg3(params: Dict, cfg: SG3Config, ws: Optional[jax.Array] = None,
+                 batch: int = 4, seed: int = 0, margin: float = 1.05) -> Dict:
+    """Calibrate an int8 plan for the SG3 trunk convs (all modulated
+    convs except torgb). Returns {"L{i}": {"q", "s", "a"}} to pass as
+    `synthesis(..., int8_plan=plan)`. Quality: ~30-35 dB vs the f32
+    path on random init (tests/test_stylegan3.py pins >28 dB) — use
+    where fps matters more than the last bits of fidelity."""
+    if ws is None:
+        z = jax.random.normal(jax.random.PRNGKey(seed), (batch, cfg.z_dim))
+        ws = mapping(params, z, cfg)
+
+    def run(ws):
+        tape: Dict = {}
+        synthesis(params, ws, cfg, _amax_tape=tape)
+        return tape
+
+    tape = jax.device_get(jax.jit(run)(ws))
+    _, _, _, _, _, channels = cfg.layer_plan()
+    plan: Dict = {}
+    for i, layer in enumerate(params["layers"]):
+        if i == cfg.num_layers - 1:
+            continue  # torgb stays float
+        a = np.maximum(np.asarray(tape[f"L{i}"], np.float32) * margin, 1e-6)
+        w = np.asarray(layer["weight"], np.float32)
+        w = w * (1.0 / math.sqrt(np.prod(w.shape[:3])))
+        w = w / max(float(np.sqrt(np.asarray(layer["magnitude_ema"]))), 1e-8)
+        wf = w * (a / 127.0)[None, None, :, None]
+        s = np.maximum(np.abs(wf).max(axis=(0, 1, 2)) / 127.0, 1e-12).astype(np.float32)
+        plan[f"L{i}"] = {
+            "q": np.clip(np.round(wf / s), -127, 127).astype(np.int8),
+            "s": s,
+            "a": a,
+        }
+    return plan
 
 
 def make_transform_mat(translate: Tuple[float, float], angle_deg: float) -> jnp.ndarray:

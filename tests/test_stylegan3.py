@@ -231,3 +231,17 @@ def test_sg3_patch_pipeline_mapper_contract(tmp_path, gen):
     # float frames desynced the rawvideo pipe)
     frame = next(gen.render(ws[:1]))
     assert frame.dtype == np.uint8 and frame.shape[-1] == 3
+
+
+def test_int8_plan_psnr(gen):
+    """quantize_sg3's int8 trunk vs the f32 path (the opt-in
+    speed/quality trade; W8A8 with max calibration)."""
+    params = gen.params
+    ws = sg3.mapping(params, jax.random.normal(jax.random.PRNGKey(7), (2, CFG.z_dim)), CFG)
+    ref = np.asarray(sg3.synthesis(params, ws, CFG))
+    plan = sg3.quantize_sg3(params, CFG, ws=ws)
+    assert set(plan) == {f"L{i}" for i in range(CFG.num_layers - 1)}
+    out = np.asarray(sg3.synthesis(params, ws, CFG, int8_plan=plan))
+    mse = np.mean((out - ref) ** 2)
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+    assert psnr > 28, psnr
