@@ -66,11 +66,17 @@ def main():
     steps_per_s = n_steps / dt
     print(f"# {res}^2 batch {batch}: {steps_per_s:.2f} steps/s "
           f"({steps_per_s * batch:.1f} img/s through D+G+regs+EMA)")
+    from maua_tpu.profiling import gan_train_step_flops, mfu
+
+    step_flops = gan_train_step_flops(g_cfg, d_cfg, batch)
     print(json.dumps({
         "metric": f"sg2_{res}_train_steps_per_s",
         "value": round(steps_per_s, 3),
         "unit": "steps/s",
         "vs_baseline": None,
+        "images_per_s": round(steps_per_s * batch, 1),
+        "model_tflops_per_s": round(step_flops * steps_per_s / 1e12, 1),
+        "mfu": round(mfu(step_flops * steps_per_s, 1.0, dtype="float32"), 3),
     }))
 
 

@@ -162,3 +162,30 @@ def rrdb_flops(cfg, h: int, w: int) -> float:
     total += 2 * (h * cfg.scale) * (w * cfg.scale) * nf * nf * 9  # conv_hr
     total += 2 * (h * cfg.scale) * (w * cfg.scale) * nf * cfg.num_out_ch * 9  # conv_last
     return float(total)
+
+
+def d2_forward_flops(cfg) -> float:
+    """Analytic model FLOPs for ONE discriminator forward (resnet D:
+    two 3x3 convs + 1x1 skip per block at the block's input size)."""
+    total = 2 * cfg.img_resolution**2 * cfg.img_channels * cfg.channels(cfg.img_resolution)  # frgb 1x1
+    for res in cfg.block_resolutions:
+        ci, co = cfg.channels(res), cfg.channels(res // 2)
+        total += 2 * res * res * ci * ci * 9          # conv0 (same)
+        total += 2 * (res // 2) ** 2 * ci * co * 9    # conv1 (down)
+        total += 2 * (res // 2) ** 2 * ci * co        # skip 1x1
+    c4 = cfg.channels(4)
+    total += 2 * 16 * (c4 + cfg.mbstd_num_channels) * c4 * 9  # final conv
+    total += 2 * 16 * c4 * c4  # fc
+    return float(total)
+
+
+def gan_train_step_flops(g_cfg, d_cfg, batch: int) -> float:
+    """Approximate model FLOPs for one alternating D+G train step at
+    `batch` images (bwd counted as 2x fwd): D step = G fwd (no grad) +
+    D fwd+bwd on fake AND real; G step = G fwd+bwd + D fwd+bwd(input
+    grads). Lazy R1/path-length regularizer steps are excluded (they
+    run every r1_interval/pl_interval steps)."""
+    g = sg2_frame_flops(g_cfg)
+    d = d2_forward_flops(d_cfg)
+    per_image = (1 * g + 3 * d + 3 * d) + (3 * g + 3 * d)
+    return float(per_image * batch)
