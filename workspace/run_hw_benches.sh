@@ -19,6 +19,9 @@ probe() {
 
 for b in "$@"; do
   name=$(basename "$b" .py)
+  if [ ! -f "$b" ] && [ -f "workspace/profiling/$b" ]; then
+    cp "workspace/profiling/$b" "./_$b" && b="./_$b"
+  fi
   echo "=== $b $(date +%H:%M:%S) ==="
   if ! probe; then echo "relay never recovered; skipping $b"; continue; fi
   timeout 580 python "$b" > "$OUT/$name.out" 2> "$OUT/$name.err"
