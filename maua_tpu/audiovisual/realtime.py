@@ -43,11 +43,26 @@ class RealtimeModule:
             return w, v, img8
 
         self._step = jax.jit(_step)
+        self._pending = None
 
-    def frame(self) -> np.ndarray:
+    def _dispatch(self):
         self.key, sub = jax.random.split(self.key)
         self.w, self.v, img = self._step(self.w, self.v, sub)
-        return np.asarray(img[0])
+        from ..ops.video import presplit, submit_fetches
+
+        return submit_fetches(presplit(img[0]))
+
+    def frame(self) -> np.ndarray:
+        """One-frame-latency double buffering: frame N+1 synthesizes
+        while N transfers over parallel fetch streams — the
+        device->host link, not synthesis, bounds realtime fps
+        (PERFORMANCE.md)."""
+        from ..ops.video import gather_fetches
+
+        if self._pending is None:
+            self._pending = self._dispatch()
+        prev, self._pending = self._pending, self._dispatch()
+        return gather_fetches(prev)
 
 
 def run_realtime(
