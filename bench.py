@@ -161,7 +161,9 @@ def main():
     # calibrate on an 8-frame prefix: plenty of block statistics
     # (7 deltas x 16k blocks) at 1/4 the raw-RGB calibration fetch
     rgb0 = fetch_parallel(render_rgb(params, noises_b, jnp.int32(0))[:8])
-    codec = fc.calibrate_chunk(rgb0)
+    # quality 1.15 (step ~8) spends the PSNR headroom down to ~40.5 dB
+    # — the gate below still enforces the >=40 contract
+    codec = fc.calibrate_chunk(rgb0, quality=float(os.environ.get("MAUA_BENCH_DCT_QUALITY", "1.15")))
     encode = jax.jit(lambda x: fc.encode_chunk(x, codec))
     print(f"bench.py e2e: codec {codec.bits_per_pixel(e2e_batch):.2f} bits/pixel "
           f"(I420 is 12), chunk {codec.chunk_bytes(e2e_batch)/1e6:.2f} MB", file=sys.stderr)
@@ -192,11 +194,14 @@ def main():
     t0 = time.perf_counter()
     slices_h = [np.asarray(intra_d)] + [np.asarray(s) for s in presplit(deltas_d)]
     t_fetch = time.perf_counter() - t0
+    deltas_h = np.concatenate(slices_h[1:])
+    dec0 = fc.decode_chunk(slices_h[0], deltas_h, codec)  # includes any native build
     t0 = time.perf_counter()
-    dec0 = fc.decode_chunk(slices_h[0], np.concatenate(slices_h[1:]), codec)
+    dec0 = fc.decode_chunk(slices_h[0], deltas_h, codec)
     t_decode = time.perf_counter() - t0
     print(f"bench.py e2e stages (warm, {e2e_batch} frames): synth+encode {t_synth_enc:.3f}s, "
-          f"serial fetch {t_fetch:.3f}s, host decode {t_decode:.3f}s", file=sys.stderr)
+          f"serial fetch {t_fetch:.3f}s, host decode {t_decode:.3f}s "
+          f"(native={fc._NATIVE_CHUNK_FN is not None})", file=sys.stderr)
     ref0 = fetch_parallel(rgb_to_yuv420(render_rgb(params, noises_b, jnp.int32(2))))
     mse = np.mean((dec0.astype(np.float64) - ref0.astype(np.float64)) ** 2)
     psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
