@@ -29,17 +29,13 @@ def timed(fn, *args, iters=30, reps=3):
 
 
 def scan_conv(x, w, iters, acc_dtype=None):
-    chain = w.shape[2] == w.shape[3]  # ci != co can't feed back; sum instead
-
     def body(c, _):
         y = jax.lax.conv_general_dilated(
-            c if chain else x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=_DN,
+            c, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=_DN,
             preferred_element_type=acc_dtype,
         )
         if acc_dtype is not None:
             y = (y >> 7).astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.integer) else y.astype(x.dtype)
-        if not chain:
-            return c + y[..., : x.shape[-1]] if y.shape[-1] >= x.shape[-1] else c, ()
         return y, ()
 
     y, _ = jax.lax.scan(body, x, None, length=iters)
