@@ -129,8 +129,42 @@ def flash_attention(
     return out.reshape(b, h, nq, vf.shape[-1])
 
 
+def attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                     scale: Optional[float] = None) -> jax.Array:
+    """Masked head-packing for small head dims: groups of heads share
+    one ~128-lane tile for the QK^T matmuls (K masked per head so
+    cross-head products vanish) — at head_dim 40 the per-head matmul
+    loads only 40 of the MXU's 128 contraction lanes, and packing 3
+    heads measured 1.54x the per-head path on v5e
+    (workspace/profiling/bench_attn_headpack.py). Exact same function
+    as attention_xla (the masking is algebraic, not approximate)."""
+    b, h, n, d = q.shape
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    g = max(min(128 // d, h), 1)  # heads per 128-lane tile
+    outs = []
+    for h0 in range(0, h, g):
+        gh = min(g, h - h0)
+        qg = q[:, h0:h0 + gh].transpose(0, 2, 1, 3).reshape(b, n, gh * d)
+        kg = k[:, h0:h0 + gh]
+        for j in range(gh):
+            mask = jnp.zeros((gh,), q.dtype).at[j].set(1.0)
+            kgm = (kg * mask[None, :, None, None]).transpose(0, 2, 1, 3).reshape(b, -1, gh * d)
+            s = jnp.einsum("bnc,bmc->bnm", qg, kgm) * scale
+            p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+            outs.append(jnp.einsum("bnm,bmd->bnd", p, v[:, h0 + j]))
+    return jnp.stack(outs, axis=1)
+
+
 def attention(q, k, v, scale=None, use_flash: bool = True):
-    """Dispatcher used by the UNet's attention layers."""
+    """Dispatcher used by the UNet's attention layers.
+
+    Self-attention with small head dims (<64) and several heads routes
+    through the masked head-packing formulation (attention_packed);
+    everything else uses the flash kernel / XLA path."""
+    d = q.shape[-1]
+    if d < 64 and q.shape[1] >= 2 and q.shape[2] == k.shape[2]:
+        return attention_packed(q, k, v, scale)
     if use_flash:
         return flash_attention(q, k, v, scale)
     return attention_xla(q, k, v, scale)
