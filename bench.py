@@ -122,7 +122,7 @@ def main():
     from maua_tpu.ops import framecodec as fc
     from maua_tpu.ops.video import presplit, rgb_to_yuv420, submit_fetches
 
-    e2e_batch = min(batch, 24)  # long chunks amortize the intra frame + fetch latency
+    e2e_batch = min(batch, 32)  # long chunks amortize the intra frame + fetch latency
 
     # e2e workload = BASELINE config #3: latent-INTERPOLATION video
     # (`audioreactive/latent.py:105-162` recipe) — a smooth slerp loop

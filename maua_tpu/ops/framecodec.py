@@ -318,10 +318,10 @@ class ChunkCodec:
 def _delta_levels(planes, qstep: float, levels_i, margin: float) -> np.ndarray:
     """Observed integer-coefficient deltas -> odd level counts. planes:
     (T,...) sample planes; deltas are measured on the same quantized
-    grid the encoder ships, with a safety margin — multiplicative plus
-    one extra level on every live position — because a clipped
-    out-of-range delta distorts the rest of its chunk (no closed-loop
-    correction until the next intra frame)."""
+    grid the encoder ships, with a multiplicative safety margin (a
+    clipped out-of-range delta distorts the rest of its chunk — no
+    closed-loop correction until the next intra frame; the delivered
+    PSNR gates in bench.py/tests bound the damage)."""
     C = _host_quantize_int(_host_block_dct(planes), qstep, levels_i)
     d = np.abs(C[1:] - C[:-1]).reshape(-1, 64)
     # 99.99th-percentile range, not max: one busy block must not set
@@ -331,7 +331,7 @@ def _delta_levels(planes, qstep: float, levels_i, margin: float) -> np.ndarray:
     # PSNR gate absorbs.
     dq = np.quantile(d, 0.9999, axis=0)
     live = np.asarray(levels_i, np.int64) > 1
-    m = np.where(live, np.ceil(dq * margin).astype(np.int64) + 1, 0)
+    m = np.where(live, np.maximum(np.ceil(dq * margin).astype(np.int64), 1), 0)
     return 2 * m + 1
 
 

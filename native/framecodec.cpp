@@ -15,6 +15,29 @@
 
 namespace {
 
+// Exact unsigned division by a constant via multiply-shift (libdivide
+// style): q = (w * M) >> s for all w < 2^32 when M = ceil(2^s / L),
+// s = 32 + ceil(log2(L)). Hardware divides dominated the unpack loop
+// (~1M divmods per 1024^2 frame); this makes them two multiplies.
+struct MagicDiv {
+  uint64_t M;
+  int s;
+  uint32_t L;
+  void init(uint32_t l) {
+    L = l;
+    int lg = 0;
+    while ((1u << lg) < l) ++lg;
+    s = 32 + lg;
+    M = ((static_cast<unsigned __int128>(1) << s) + l - 1) / l;
+  }
+  inline uint32_t divmod(uint32_t w, uint32_t* rem) const {
+    uint32_t q = static_cast<uint32_t>(
+        (static_cast<unsigned __int128>(w) * M) >> s);
+    *rem = w - q * L;
+    return q;
+  }
+};
+
 struct DctTable {
   float D[8][8];  // orthonormal DCT-II matrix
   DctTable() {
@@ -108,6 +131,15 @@ extern "C" int framecodec_decode_plane_chunk_u8(
   const int64_t bh = H / 8, bw = W / 8;
   const int64_t nb = bh * bw;
 
+  // precompute magic divisors + centered dequant scales per live slot
+  const int64_t nlive_i = goff_i[nw_i], nlive_d = goff_d[nw_d];
+  MagicDiv* mag_i = new MagicDiv[nlive_i > 0 ? nlive_i : 1];
+  MagicDiv* mag_d = new MagicDiv[nlive_d > 0 ? nlive_d : 1];
+  for (int64_t k = 0; k < nlive_i; ++k)
+    mag_i[k].init(static_cast<uint32_t>(levels_i[gidx_i[k]]));
+  for (int64_t k = 0; k < nlive_d; ++k)
+    mag_d[k].init(static_cast<uint32_t>(levels_d[gidx_d[k]]));
+
 #pragma omp parallel for schedule(static)
   for (int64_t blk = 0; blk < nb; ++blk) {
     const int64_t by = blk / bw, bx = blk % bw;
@@ -115,8 +147,8 @@ extern "C" int framecodec_decode_plane_chunk_u8(
 
     auto unpack_idct = [&](const uint8_t* src, int64_t nw,
                            const int64_t* levels, const int64_t* goff,
-                           const int64_t* gidx, float qstep, float* px,
-                           bool add) {
+                           const int64_t* gidx, const MagicDiv* mag,
+                           float qstep, float* px, bool add) {
       float coef[64];
       std::memset(coef, 0, sizeof(coef));
       for (int64_t w = 0; w < nw; ++w) {
@@ -126,10 +158,11 @@ extern "C" int framecodec_decode_plane_chunk_u8(
                         (static_cast<uint32_t>(src[w * 4 + 3]) << 24);
         for (int64_t k = goff[w]; k < goff[w + 1]; ++k) {
           const int64_t i = gidx[k];
-          const uint32_t L = static_cast<uint32_t>(levels[i]);
-          const int32_t v = static_cast<int32_t>(word % L);
-          word /= L;
-          coef[i] = static_cast<float>(v - static_cast<int32_t>((L - 1) / 2)) * qstep;
+          uint32_t v;
+          word = mag[k].divmod(word, &v);
+          coef[i] = static_cast<float>(
+                        static_cast<int32_t>(v) -
+                        static_cast<int32_t>((mag[k].L - 1) / 2)) * qstep;
         }
       }
       float tmp[8][8];
@@ -161,15 +194,17 @@ extern "C" int framecodec_decode_plane_chunk_u8(
     };
 
     unpack_idct(intra + blk * nw_i * 4, nw_i, levels_i, goff_i, gidx_i,
-                static_cast<float>(qstep_i), acc, false);
+                mag_i, static_cast<float>(qstep_i), acc, false);
     emit(0);
     for (int64_t t = 1; t < T; ++t) {
       const uint8_t* src = deltas + ((t - 1) * nb + blk) * nw_d * 4;
       unpack_idct(src, nw_d, levels_d, goff_d, gidx_d,
-                  static_cast<float>(qstep_d), acc, true);
+                  mag_d, static_cast<float>(qstep_d), acc, true);
       emit(t);
     }
   }
+  delete[] mag_i;
+  delete[] mag_d;
   return 0;
 }
 

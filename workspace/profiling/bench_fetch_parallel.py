@@ -17,7 +17,7 @@ def main():
     make = jax.jit(lambda k, n: (jax.random.uniform(k, (n,)) * 255).astype(jnp.uint8),
                    static_argnums=1)
     total_mb = 8.0
-    for nstreams in (1, 2, 4, 8):
+    for nstreams in (8, 12, 16, 24, 32):
         n = int(total_mb * 1e6 / nstreams)
         best = float("inf")
         for rep in range(3):
