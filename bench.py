@@ -59,6 +59,10 @@ def main():
     _preflight()
 
     import jax
+
+    from maua_tpu.utility import enable_compilation_cache
+
+    enable_compilation_cache()  # opt-in via MAUA_COMPILE_CACHE
     import jax.numpy as jnp
 
     from maua_tpu.gan import fast_synthesis as fs

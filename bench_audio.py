@@ -20,6 +20,10 @@ import time
 
 def main():
     import jax
+
+    from maua_tpu.utility import enable_compilation_cache
+
+    enable_compilation_cache()  # opt-in via MAUA_COMPILE_CACHE
     import jax.numpy as jnp
     import numpy as np
 

@@ -17,6 +17,10 @@ import time
 
 def main():
     import jax
+
+    from maua_tpu.utility import enable_compilation_cache
+
+    enable_compilation_cache()  # opt-in via MAUA_COMPILE_CACHE
     import jax.numpy as jnp
 
     from maua_tpu.super.models.rrdbnet import RRDBConfig, init_params, forward
