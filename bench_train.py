@@ -80,7 +80,9 @@ def main():
         "vs_baseline": None,
         "images_per_s": round(steps_per_s * batch, 1),
         "model_tflops_per_s": round(step_flops * steps_per_s / 1e12, 1),
-        "mfu": round(mfu(step_flops * steps_per_s, 1.0, dtype="float32"), 3),
+        # f32 params, but XLA's default matmul precision executes the
+        # matmuls on the bf16 MXU path -> peak is the bf16 rate
+        "mfu": round(mfu(step_flops * steps_per_s, 1.0, dtype="bfloat16"), 3),
     }))
 
 
