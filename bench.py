@@ -188,7 +188,7 @@ def main():
     # warmup + quality gate: the delivered frames must stay visually
     # lossless vs the uncompressed I420 of the same batch
     [f.result() for f in render_chunk_packed(1)]  # compile encode path
-    sync = jax.jit(lambda a, b: jnp.sum(a.astype(jnp.uint32)) + jnp.sum(b[:, ::977].astype(jnp.uint32)))
+    sync = jax.jit(lambda a, b: jnp.sum(a.astype(jnp.uint32)) + jnp.sum(b[::977].astype(jnp.uint32)))
     intra_d, deltas_d = encode(render_rgb(params, noises_b, jnp.int32(1)))
     float(sync(intra_d, deltas_d))  # compile the sync program itself
     t0 = time.perf_counter()

@@ -66,7 +66,8 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.framecodec_decode_plane_chunk_u8.restype = ctypes.c_int
     lib.framecodec_decode_plane_chunk_u8.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_double,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -202,44 +203,47 @@ def _decode_plane(packed: np.ndarray, H: int, W: int, levels, groups, qstep: flo
     return out
 
 
-def framecodec_decode_chunk_u8(intra: np.ndarray, deltas, codec) -> np.ndarray:
+def framecodec_decode_chunk_u8(intra: np.ndarray, deltas, codec, n_frames: int) -> np.ndarray:
     """Full DPCM chunk decode straight into the I420 frame layout:
-    intra (frame_bytes,) + deltas (T-1, frame_bytes_d) -> (T, 3H/2, W)
-    uint8, one C++ pass per plane (accumulation + rounding included).
+    intra (frame_bytes,) + flat deltas ([luma | u | v] sections, chroma
+    on the codec's keyframe lattice) -> (T, 3H/2, W) uint8, one C++
+    pass per plane (accumulation, chroma interpolation, rounding).
     Raises if the native lib is unavailable."""
     lib = _lib()
     if lib is None:
         raise RuntimeError("native lib unavailable")
     ci, cd = codec.intra, codec.delta
     H, W = ci.height, ci.width
-    T = 1 + (0 if deltas is None or deltas.size == 0 else deltas.shape[0])
+    T = int(n_frames)
     intra = np.ascontiguousarray(np.asarray(intra, np.uint8).reshape(-1))
-    if deltas is None or deltas.size == 0:
-        deltas = np.zeros((0,), np.uint8)
-    deltas = np.ascontiguousarray(np.asarray(deltas, np.uint8))
+    flat = np.ascontiguousarray(
+        np.zeros((0,), np.uint8) if deltas is None else np.asarray(deltas, np.uint8).reshape(-1))
     out = np.empty((T, 3 * H // 2, W), np.uint8)
     frame_stride = out.strides[0]
 
+    ks_full = np.ascontiguousarray(np.arange(T, dtype=np.int64))
+    ks_chroma = np.ascontiguousarray(np.asarray(codec.chroma_keyframes(T), np.int64))
+    sy = (T - 1) * codec.luma_delta_bytes
+    sc = (len(ks_chroma) - 1) * codec.chroma_delta_bytes
+
     plane_geom = [
-        (H, W, 0, ci.n_blocks_y * ci.words_y * 4, cd.n_blocks_y * cd.words_y * 4,
+        (H, W, 0, ci.n_blocks_y * ci.words_y * 4, flat[:sy], ks_full,
          ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y, cd.groups_y, cd.qstep_y),
-        (H // 2, W // 2, H * W, ci.n_blocks_c * ci.words_c * 4, cd.n_blocks_c * cd.words_c * 4,
+        (H // 2, W // 2, H * W, ci.n_blocks_c * ci.words_c * 4, flat[sy : sy + sc], ks_chroma,
          ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c),
-        (H // 2, W // 2, H * W + H * W // 4, ci.n_blocks_c * ci.words_c * 4, cd.n_blocks_c * cd.words_c * 4,
+        (H // 2, W // 2, H * W + H * W // 4, ci.n_blocks_c * ci.words_c * 4, flat[sy + sc :], ks_chroma,
          ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c),
     ]
-    ioff = doff = 0
+    ioff = 0
     base = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    for (ph, pw, out_off, isz, dsz, lev_i, grp_i, q_i, lev_d, grp_d, q_d) in plane_geom:
+    for (ph, pw, out_off, isz, dsec, ks, lev_i, grp_i, q_i, lev_d, grp_d, q_d) in plane_geom:
         nw_i, li, oi, xi = _codec_tables(lev_i, grp_i)
         nw_d, ld, od, xd = _codec_tables(lev_d, grp_d)
-        # per-plane packed sections (deltas sections are strided per
-        # frame: copy them contiguous once)
-        isec = intra[ioff : ioff + isz]
-        dsec = np.ascontiguousarray(deltas[:, doff : doff + dsz]) if T > 1 else np.zeros((0,), np.uint8)
+        isec = np.ascontiguousarray(intra[ioff : ioff + isz])
+        dsec = np.ascontiguousarray(dsec)
         dst = ctypes.cast(ctypes.addressof(base.contents) + out_off, ctypes.POINTER(ctypes.c_uint8))
         rc = lib.framecodec_decode_plane_chunk_u8(
-            _U8P(np.ascontiguousarray(isec)), _U8P(dsec), T, ph, pw,
+            _U8P(isec), _U8P(dsec), len(ks), _I64P(ks), ph, pw,
             nw_i, _I64P(li), _I64P(oi), _I64P(xi), float(q_i),
             nw_d, _I64P(ld), _I64P(od), _I64P(xd), float(q_d),
             dst, frame_stride,
@@ -247,7 +251,6 @@ def framecodec_decode_chunk_u8(intra: np.ndarray, deltas, codec) -> np.ndarray:
         if rc != 0:
             raise ValueError(f"framecodec_decode_plane_chunk_u8 failed with code {rc}")
         ioff += isz
-        doff += dsz
     return out
 
 

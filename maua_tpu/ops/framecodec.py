@@ -303,13 +303,46 @@ def encode_frames(rgb, cfg: CodecConfig):
 @dataclasses.dataclass(frozen=True)
 class ChunkCodec:
     """Intra plan for the first frame of a chunk + delta plan for the
-    rest (closed-loop DPCM). Build with `calibrate_chunk`."""
+    rest (coefficient-domain DPCM). Build with `calibrate_chunk`.
+
+    chroma_step=2 ships chroma deltas only at every second frame
+    (temporal 2x chroma subsampling — skipped frames reconstruct by
+    linear interpolation between keyframes). calibrate_chunk enables it
+    only when the measured interpolation error on the sample chunk is
+    well inside the quantizer's own error budget."""
 
     intra: CodecConfig
     delta: CodecConfig
+    chroma_step: int = 1
+
+    @property
+    def luma_delta_bytes(self) -> int:
+        d = self.delta
+        return 4 * d.n_blocks_y * d.words_y
+
+    @property
+    def chroma_delta_bytes(self) -> int:
+        d = self.delta
+        return 4 * d.n_blocks_c * d.words_c
+
+    def chroma_keyframes(self, n_frames: int):
+        ks = list(range(0, n_frames, self.chroma_step))
+        if ks[-1] != n_frames - 1:
+            ks.append(n_frames - 1)
+        return ks
+
+    def delta_bytes(self, n_frames: int) -> int:
+        n_ck = len(self.chroma_keyframes(n_frames))
+        return (n_frames - 1) * self.luma_delta_bytes + 2 * (n_ck - 1) * self.chroma_delta_bytes
+
+    def frames_for_delta_bytes(self, total: int) -> int:
+        for t in range(1, 100000):
+            if self.delta_bytes(t) == total:
+                return t
+        raise ValueError(f"no frame count matches {total} delta bytes")
 
     def chunk_bytes(self, n_frames: int) -> int:
-        return self.intra.frame_bytes + (n_frames - 1) * self.delta.frame_bytes
+        return self.intra.frame_bytes + self.delta_bytes(n_frames)
 
     def bits_per_pixel(self, n_frames: int) -> float:
         return 8.0 * self.chunk_bytes(n_frames) / (n_frames * self.intra.height * self.intra.width)
@@ -341,11 +374,16 @@ def _host_quantize_int(coefs, qstep: float, levels) -> np.ndarray:
 
 
 def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5,
-                    delta_margin: float = 1.5) -> ChunkCodec:
+                    delta_margin: float = 1.5, chroma_step: str = "auto") -> ChunkCodec:
     """Calibrate intra + delta plans from a sample chunk ((T,H,W,3)
     uint8 RGB, consecutive frames of the target content). The delta
     plan covers the observed quantized-coefficient deltas x margin; its
-    qstep equals the intra qstep (deltas live on the same grid)."""
+    qstep equals the intra qstep (deltas live on the same grid).
+
+    chroma_step="auto" enables temporal 2x chroma subsampling (chroma
+    deltas ~30% of the stream on noisy content) when the measured
+    midpoint-interpolation error on the sample chunk is at most half
+    the quantizer's own MSE budget; 1/2 force it off/on."""
     rgb = np.asarray(frames)
     T, H, W, _ = rgb.shape
     if H % 16 or W % 16:
@@ -354,50 +392,70 @@ def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5,
     if T < 2:  # no deltas to measure: reuse the intra plan
         return ChunkCodec(intra=intra, delta=intra)
     y, u, v = _host_yuv_planes(rgb)
+
+    step = 1
+    if chroma_step == "auto" and T >= 4:
+        interp_mse = float(np.mean([
+            np.mean(((c[:-2] + c[2:]) * 0.5 - c[1:-1]) ** 2) for c in (u, v)
+        ]))
+        if interp_mse <= intra.qstep_c**2 / 24.0:
+            step = 2
+    elif chroma_step in (2, "2"):
+        step = 2
+
     ly = _delta_levels(y, intra.qstep_y, intra.levels_y, delta_margin)
+    us, vs = (u[::step], v[::step]) if step > 1 else (u, v)
     lc = np.maximum(
-        _delta_levels(u, intra.qstep_c, intra.levels_c, delta_margin),
-        _delta_levels(v, intra.qstep_c, intra.levels_c, delta_margin),
+        _delta_levels(us, intra.qstep_c, intra.levels_c, delta_margin),
+        _delta_levels(vs, intra.qstep_c, intra.levels_c, delta_margin),
     )
     delta = CodecConfig(
         height=H, width=W, qstep_y=intra.qstep_y, qstep_c=intra.qstep_c,
         levels_y=tuple(int(x) for x in ly), levels_c=tuple(int(x) for x in lc),
         groups_y=_group_levels(ly), groups_c=_group_levels(lc),
     )
-    return ChunkCodec(intra=intra, delta=delta)
+    return ChunkCodec(intra=intra, delta=delta, chroma_step=step)
 
 
 def encode_chunk(rgb, codec: ChunkCodec):
     """Jittable DPCM chunk encode: (T,H,W,3) uint8 ->
-    (intra_bytes (frame_bytes_i,), delta_bytes (T-1, frame_bytes_d)).
+    (intra_bytes (frame_bytes_i,), delta_bytes (total_delta_bytes,)).
 
     Coefficient-domain DPCM: every frame's DCT coefficients quantize
     to the integer grid in ONE batched pass; frame 0 ships intra and
     frames 1..T-1 ship the exact integer deltas (clipped to the
     calibrated delta range). The decoder's cumulative sum reconstructs
     each frame with exactly one quantization error — closed-loop
-    quality without any sequential reconstruction on device."""
+    quality without any sequential reconstruction on device.
+
+    The flat delta stream lays out [luma deltas (T-1 frames) | u
+    deltas | v deltas]; with chroma_step=2 the chroma sections hold
+    keyframe-lattice deltas only (codec.chroma_keyframes)."""
     import jax.numpy as jnp
 
     ci, cd = codec.intra, codec.delta
     T, H, W, _ = rgb.shape
     assert (H, W) == (ci.height, ci.width)
     y, u, v = _yuv_planes_device(rgb)
+    ks = np.asarray(codec.chroma_keyframes(T), np.int64)
 
-    def plane(pl, lev_i, grp_i, q_i, lev_d, grp_d):
+    def plane(pl, lev_i, grp_i, q_i, lev_d, grp_d, keyframes=None):
         mi = jnp.asarray((np.asarray(lev_i, np.int64) - 1) // 2, jnp.float32)
         C = jnp.clip(jnp.round(_block_dct_device(pl) / q_i), -mi, mi).astype(jnp.int32)
         intra_p = _pack_device(C[:1] + mi.astype(jnp.int32), lev_i, grp_i)
+        if keyframes is not None:
+            C = C[keyframes]  # static gather on the frame axis
         md = jnp.asarray((np.asarray(lev_d, np.int64) - 1) // 2, jnp.int32)
         d = jnp.clip(C[1:] - C[:-1], -md, md)
         delta_p = _pack_device(d + md, lev_d, grp_d)
         return intra_p, delta_p
 
+    chroma_ks = ks if codec.chroma_step > 1 else None
     iy, dy = plane(y, ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y, cd.groups_y)
-    iu, du = plane(u, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c)
-    iv, dv = plane(v, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c)
+    iu, du = plane(u, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, chroma_ks)
+    iv, dv = plane(v, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, chroma_ks)
     intra = jnp.concatenate([iy, iu, iv], axis=1)[0]
-    deltas = jnp.concatenate([dy, du, dv], axis=1)
+    deltas = jnp.concatenate([dy.reshape(-1), du.reshape(-1), dv.reshape(-1)])
     return intra, deltas
 
 
@@ -407,15 +465,17 @@ def decode_chunk(intra: np.ndarray, deltas: np.ndarray, codec: ChunkCodec,
     (or (T,H,W,3) RGB with out="rgb").
 
     Fast path: one C++ pass per plane that unpacks, inverse-transforms,
-    accumulates the DPCM chain per block in registers, and writes uint8
-    directly into the I420 layout (native/framecodec.cpp). Numpy
-    fallback exploits linearity: one cumulative sum over the
-    batch-decoded delta planes."""
-    intra = np.asarray(intra, np.uint8)
-    deltas = None if deltas is None else np.asarray(deltas, np.uint8)
+    accumulates the DPCM chain per block in registers (interpolating
+    skipped chroma frames between keyframes), and writes uint8 directly
+    into the I420 layout (native/framecodec.cpp). Numpy fallback
+    exploits linearity: one cumulative sum over the batch-decoded delta
+    planes + a linear interpolation of chroma midframes."""
+    intra = np.asarray(intra, np.uint8).reshape(-1)
+    flat = np.zeros((0,), np.uint8) if deltas is None else np.asarray(deltas, np.uint8).reshape(-1)
+    T = codec.frames_for_delta_bytes(flat.size)
     if _native_chunk_fn() is not None:
         try:
-            yuv = _native_chunk_fn()(intra, deltas, codec)
+            yuv = _native_chunk_fn()(intra, flat, codec, T)
             return yuv if out == "yuv420" else (
                 yuv420_to_rgb(yuv) if out == "rgb" else _bad_out(out))
         except Exception:
@@ -423,15 +483,40 @@ def decode_chunk(intra: np.ndarray, deltas: np.ndarray, codec: ChunkCodec,
     ci, cd = codec.intra, codec.delta
     H, W = ci.height, ci.width
     iy, iu, iv = _decode_planes(intra[None], ci)
-    T = 1 + (deltas.shape[0] if deltas is not None and deltas.size else 0)
-    if T > 1:
-        dy, du, dv = _decode_planes(deltas, cd)
-        y = np.concatenate([iy, dy], axis=0).cumsum(axis=0, dtype=np.float32)
-        u = np.concatenate([iu, du], axis=0).cumsum(axis=0, dtype=np.float32)
-        v = np.concatenate([iv, dv], axis=0).cumsum(axis=0, dtype=np.float32)
-    else:
-        y, u, v = iy, iu, iv
+    if T == 1:
+        return _planes_to_output(iy, iu, iv, H, W, out)
+    ks = codec.chroma_keyframes(T)
+    n_ck = len(ks)
+    sy = (T - 1) * codec.luma_delta_bytes
+    sc = (n_ck - 1) * codec.chroma_delta_bytes
+    dy = _host_unpack(flat[:sy].reshape(T - 1, -1), cd.n_blocks_y, cd.levels_y,
+                      cd.groups_y, cd.qstep_y)
+    du = _host_unpack(flat[sy : sy + sc].reshape(n_ck - 1, -1), cd.n_blocks_c,
+                      cd.levels_c, cd.groups_c, cd.qstep_c)
+    dv = _host_unpack(flat[sy + sc :].reshape(n_ck - 1, -1), cd.n_blocks_c,
+                      cd.levels_c, cd.groups_c, cd.qstep_c)
+    y = np.concatenate([iy, _host_idct(dy, H, W)], axis=0).cumsum(axis=0, dtype=np.float32)
+    uk = np.concatenate([iu, _host_idct(du, H // 2, W // 2)], axis=0).cumsum(axis=0, dtype=np.float32)
+    vk = np.concatenate([iv, _host_idct(dv, H // 2, W // 2)], axis=0).cumsum(axis=0, dtype=np.float32)
+    u = _expand_chroma(uk, ks, T)
+    v = _expand_chroma(vk, ks, T)
     return _planes_to_output(y, u, v, H, W, out)
+
+
+def _expand_chroma(keyplanes: np.ndarray, ks, T: int) -> np.ndarray:
+    """(n_ck, h, w) keyframe planes -> (T, h, w) with skipped frames
+    linearly interpolated between their surrounding keyframes."""
+    if len(ks) == T:
+        return keyplanes
+    out = np.empty((T,) + keyplanes.shape[1:], np.float32)
+    for idx, t in enumerate(ks):
+        out[t] = keyplanes[idx]
+    for idx in range(1, len(ks)):
+        a, b = ks[idx - 1], ks[idx]
+        for j in range(a + 1, b):
+            w = (j - a) / (b - a)
+            out[j] = (1.0 - w) * keyplanes[idx - 1] + w * keyplanes[idx]
+    return out
 
 
 def _bad_out(out):

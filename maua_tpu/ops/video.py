@@ -54,6 +54,10 @@ def rgb_to_yuv420(rgb):
 
 
 _FETCH_POOL = None
+# 8 streams is the sweet spot on the 1-core relay host: an isolated
+# probe shows 16 slightly faster on raw fetches, but in the full
+# pipeline the extra deserialization threads contend with the C++
+# decoder for the single core (measured e2e 26.6 -> 25.9 fps at 16)
 _FETCH_STREAMS = int(os.environ.get("MAUA_FETCH_STREAMS", "8"))
 
 

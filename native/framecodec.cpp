@@ -115,19 +115,22 @@ int framecodec_decode_plane_f32(const uint8_t* packed, int64_t B, int64_t H,
   return 0;
 }
 
-// DPCM chunk decode for one plane, straight to uint8: intra frame +
-// (T-1) delta frames accumulate per block entirely in registers/L1,
-// each frame's samples written as clip(round(acc + 128)) into the
-// caller's frame-strided output (so the bytes land directly inside a
-// (T, 3H/2, W) I420 array). One pass over the packed data, no float
-// intermediates in memory.
+// DPCM chunk decode for one plane, straight to uint8: the intra frame
+// plus (nkf-1) delta frames accumulate per block entirely in
+// registers/L1; coded frames land at `keyframes[k]` and frames between
+// consecutive keyframes are linearly interpolated (temporal chroma
+// subsampling — for full-rate planes pass keyframes = 0..T-1). Each
+// emitted frame's samples are written as clip(round(acc + 128)) into
+// the caller's frame-strided output (so the bytes land directly inside
+// a (T, 3H/2, W) I420 array). One pass, no float arrays in memory.
 extern "C" int framecodec_decode_plane_chunk_u8(
-    const uint8_t* intra, const uint8_t* deltas, int64_t T, int64_t H,
-    int64_t W, int64_t nw_i, const int64_t* levels_i, const int64_t* goff_i,
-    const int64_t* gidx_i, double qstep_i, int64_t nw_d,
-    const int64_t* levels_d, const int64_t* goff_d, const int64_t* gidx_d,
-    double qstep_d, uint8_t* out, int64_t frame_stride) {
-  if (H % 8 || W % 8 || T < 1) return 1;
+    const uint8_t* intra, const uint8_t* deltas, int64_t nkf,
+    const int64_t* keyframes, int64_t H, int64_t W, int64_t nw_i,
+    const int64_t* levels_i, const int64_t* goff_i, const int64_t* gidx_i,
+    double qstep_i, int64_t nw_d, const int64_t* levels_d,
+    const int64_t* goff_d, const int64_t* gidx_d, double qstep_d,
+    uint8_t* out, int64_t frame_stride) {
+  if (H % 8 || W % 8 || nkf < 1) return 1;
   const int64_t bh = H / 8, bw = W / 8;
   const int64_t nb = bh * bw;
 
@@ -144,6 +147,7 @@ extern "C" int framecodec_decode_plane_chunk_u8(
   for (int64_t blk = 0; blk < nb; ++blk) {
     const int64_t by = blk / bw, bx = blk % bw;
     float acc[64];
+    float prev[64];
 
     auto unpack_idct = [&](const uint8_t* src, int64_t nw,
                            const int64_t* levels, const int64_t* goff,
@@ -183,11 +187,11 @@ extern "C" int framecodec_decode_plane_chunk_u8(
         }
     };
 
-    auto emit = [&](int64_t t) {
+    auto emit = [&](int64_t t, const float* px) {
       uint8_t* dst = out + t * frame_stride + (by * 8) * W + bx * 8;
       for (int i = 0; i < 8; ++i)
         for (int j = 0; j < 8; ++j) {
-          float v = acc[i * 8 + j] + 128.5f;
+          float v = px[i * 8 + j] + 128.5f;
           v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
           dst[i * W + j] = static_cast<uint8_t>(v);
         }
@@ -195,12 +199,20 @@ extern "C" int framecodec_decode_plane_chunk_u8(
 
     unpack_idct(intra + blk * nw_i * 4, nw_i, levels_i, goff_i, gidx_i,
                 mag_i, static_cast<float>(qstep_i), acc, false);
-    emit(0);
-    for (int64_t t = 1; t < T; ++t) {
-      const uint8_t* src = deltas + ((t - 1) * nb + blk) * nw_d * 4;
+    emit(keyframes[0], acc);
+    for (int64_t k = 1; k < nkf; ++k) {
+      std::memcpy(prev, acc, sizeof(acc));
+      const uint8_t* src = deltas + ((k - 1) * nb + blk) * nw_d * 4;
       unpack_idct(src, nw_d, levels_d, goff_d, gidx_d,
                   mag_d, static_cast<float>(qstep_d), acc, true);
-      emit(t);
+      const int64_t a = keyframes[k - 1], b = keyframes[k];
+      for (int64_t j = a + 1; j < b; ++j) {
+        const float w = static_cast<float>(j - a) / static_cast<float>(b - a);
+        float px[64];
+        for (int i = 0; i < 64; ++i) px[i] = (1.f - w) * prev[i] + w * acc[i];
+        emit(j, px);
+      }
+      emit(b, acc);
     }
   }
   delete[] mag_i;

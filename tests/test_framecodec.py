@@ -112,13 +112,51 @@ def test_dpcm_chunk_roundtrip_psnr_and_rate():
     intra, deltas = jax.jit(lambda x: fc.encode_chunk(x, codec))(jnp.asarray(frames))
     intra, deltas = np.asarray(intra), np.asarray(deltas)
     assert intra.shape == (codec.intra.frame_bytes,)
-    assert deltas.shape == (5, codec.delta.frame_bytes)
+    assert deltas.shape == (codec.delta_bytes(6),)
+    assert codec.frames_for_delta_bytes(deltas.size) == 6
     dec = fc.decode_chunk(intra, deltas, codec)
     ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
     per_frame = [_psnr(dec[t], ref[t]) for t in range(6)]
     assert min(per_frame) >= 40.0, per_frame
-    assert codec.delta.frame_bytes < codec.intra.frame_bytes
+    assert codec.delta_bytes(2) < codec.intra.frame_bytes
     assert codec.bits_per_pixel(6) < 12.0  # beats raw I420
+
+
+def _blend_frames(T=7):
+    """Linear crossfade between two structured images: chroma midpoints
+    interpolate (nearly) exactly, the content class chroma_step=2 is
+    built for."""
+    a, b = _test_frames(B=2).astype(np.float32)
+    ts = np.linspace(0.0, 1.0, T, dtype=np.float32)[:, None, None, None]
+    return np.clip(np.round((1 - ts) * a + ts * b), 0, 255).astype(np.uint8)
+
+
+def test_chroma_temporal_halving_roundtrip():
+    """chroma_step="auto" must enable the chroma keyframe lattice on
+    linearly-blending content (where midpoint interpolation is exact up
+    to rounding), shrink the stream vs full-rate chroma, and still hold
+    the >=40 dB contract on every frame — including interpolated ones."""
+    frames = _blend_frames(T=7)
+    full = fc.calibrate_chunk(frames[:4], chroma_step=1)
+    half = fc.calibrate_chunk(frames[:4])  # auto
+    assert half.chroma_step == 2
+    assert half.chroma_keyframes(7) == [0, 2, 4, 6]
+    assert half.delta_bytes(7) < full.delta_bytes(7)
+    intra, deltas = fc.encode_chunk(jnp.asarray(frames), half)
+    dec = fc.decode_chunk(np.asarray(intra), np.asarray(deltas), half)
+    ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
+    per_frame = [_psnr(dec[t], ref[t]) for t in range(7)]
+    assert min(per_frame) >= 40.0, per_frame
+
+
+def test_chroma_halving_auto_rejects_fast_chroma():
+    """The auto gate must refuse temporal chroma subsampling when the
+    measured interpolation error exceeds the quantizer's error budget
+    (jittered SG2 frames move chroma too fast — forcing step=2 there
+    would break the 40 dB contract)."""
+    frames = _sg2_frames(T=4, jitter=0.05)
+    codec = fc.calibrate_chunk(frames)
+    assert codec.chroma_step == 1
 
 
 def test_rgb_decode_path():
@@ -131,20 +169,23 @@ def test_rgb_decode_path():
     assert _psnr(rgb, frames) > 28.0
 
 
-def test_native_chunk_decoder_matches_numpy():
+@pytest.mark.parametrize("chroma_step", [1, 2])
+def test_native_chunk_decoder_matches_numpy(chroma_step):
     """The one-pass C++ chunk decoder (unpack + IDCT + DPCM accumulate
-    + uint8 emit) must agree with the numpy cumsum path everywhere
-    (float-associativity differences land within +-1 gray level)."""
+    + chroma keyframe interpolation + uint8 emit) must agree with the
+    numpy cumsum path everywhere (float-associativity differences land
+    within +-1 gray level)."""
     from maua_tpu import native
     from maua_tpu.ops import framecodec as fcmod
 
     if not native.available():
         pytest.skip("native lib unavailable")
     frames = _sg2_frames(T=5)
-    codec = fc.calibrate_chunk(frames[:3])
+    codec = fc.calibrate_chunk(frames[:3], chroma_step=chroma_step)
+    assert codec.chroma_step == chroma_step
     intra, deltas = fc.encode_chunk(jnp.asarray(frames), codec)
     intra, deltas = np.asarray(intra), np.asarray(deltas)
-    via_native = native.framecodec_decode_chunk_u8(intra, deltas, codec)
+    via_native = native.framecodec_decode_chunk_u8(intra, deltas, codec, 5)
 
     saved = fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED
     fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = None, True

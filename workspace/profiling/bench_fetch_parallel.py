@@ -16,7 +16,7 @@ def main():
     key = jax.random.PRNGKey(0)
     make = jax.jit(lambda k, n: (jax.random.uniform(k, (n,)) * 255).astype(jnp.uint8),
                    static_argnums=1)
-    total_mb = 8.0
+    total_mb = float(__import__("os").environ.get("TOTAL_MB", "42"))  # real e2e chunk size
     for nstreams in (8, 12, 16, 24, 32):
         n = int(total_mb * 1e6 / nstreams)
         best = float("inf")
