@@ -56,22 +56,20 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int, ctypes.c_int,
     ]
+    _i64p = ctypes.POINTER(ctypes.c_int64)
     lib.framecodec_decode_plane_f32.restype = ctypes.c_int
     lib.framecodec_decode_plane_f32.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64), ctypes.c_double,
-        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_float),
     ]
     lib.framecodec_decode_plane_chunk_u8.restype = ctypes.c_int
     lib.framecodec_decode_plane_chunk_u8.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_double,
-        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_double,
+        ctypes.c_int64, _i64p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p, ctypes.c_double,
+        ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p, ctypes.c_double,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
     return lib
@@ -168,35 +166,43 @@ def _inverse_conv_py(z, w, is_upper, dilation):
 
 
 def _codec_tables(levels, groups):
+    """Slot tables for the C++ decoder: per-word prefix offsets plus
+    flat (gidx, radix, prediv) slot arrays (framecodec._plan_words
+    format — gidx indexes block_in_strip*64 + position; a split
+    position's digits recombine as digit*prediv)."""
     nw = len(groups)
     lev = np.ascontiguousarray(np.asarray(levels, np.int64))
     off = np.zeros(nw + 1, np.int64)
-    idx = []
+    gidx, radix, prediv = [], [], []
     for gi, grp in enumerate(groups):
-        idx.extend(grp)
-        off[gi + 1] = len(idx)
-    idx = np.ascontiguousarray(np.asarray(idx if idx else [0], np.int64))
-    return nw, lev, off, idx
+        for idx, r, pd in grp:
+            gidx.append(idx)
+            radix.append(r)
+            prediv.append(pd)
+        off[gi + 1] = len(gidx)
+    mk = lambda a: np.ascontiguousarray(np.asarray(a if a else [1], np.int64))
+    return nw, lev, off, mk(gidx), mk(radix), mk(prediv)
 
 
 _I64P = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 _U8P = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
-def _decode_plane(packed: np.ndarray, H: int, W: int, levels, groups, qstep: float) -> np.ndarray:
-    """One plane of the DCT frame codec: packed (B, nb*nw*4) uint8 ->
-    centered f32 (B, H, W). Coefficient indices are row-major within
-    the 8x8 block (the identity map). See native/framecodec.cpp."""
+def _decode_plane(packed: np.ndarray, H: int, W: int, levels, groups, qstep: float,
+                  strip: int) -> np.ndarray:
+    """One plane of the DCT frame codec: packed (B, strips*nw*4) uint8
+    -> centered f32 (B, H, W). Coefficient indices are row-major within
+    the 8x8 block. See native/framecodec.cpp."""
     lib = _lib()
     assert lib is not None
     B = packed.shape[0]
-    nw, lev, off, idx = _codec_tables(levels, groups)
-    ident = np.ascontiguousarray(np.arange(64, dtype=np.int64))
+    nw, lev, off, idx, rad, pdv = _codec_tables(levels, groups)
     out = np.empty((B, H, W), np.float32)
     packed = np.ascontiguousarray(packed)
     rc = lib.framecodec_decode_plane_f32(
-        _U8P(packed), B, H, W, nw, _I64P(lev), _I64P(off), _I64P(idx), _I64P(ident),
-        float(qstep), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _U8P(packed), B, H, W, strip, nw, _I64P(off), _I64P(idx), _I64P(rad),
+        _I64P(pdv), _I64P(lev), float(qstep),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     if rc != 0:
         raise ValueError(f"framecodec_decode_plane_f32 failed with code {rc}")
@@ -227,25 +233,25 @@ def framecodec_decode_chunk_u8(intra: np.ndarray, deltas, codec, n_frames: int) 
     sc = (len(ks_chroma) - 1) * codec.chroma_delta_bytes
 
     plane_geom = [
-        (H, W, 0, ci.n_blocks_y * ci.words_y * 4, flat[:sy], ks_full,
+        (H, W, 0, ci.plane_bytes_y, flat[:sy], ks_full, ci.strip_y,
          ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y, cd.groups_y, cd.qstep_y),
-        (H // 2, W // 2, H * W, ci.n_blocks_c * ci.words_c * 4, flat[sy : sy + sc], ks_chroma,
+        (H // 2, W // 2, H * W, ci.plane_bytes_c, flat[sy : sy + sc], ks_chroma, ci.strip_c,
          ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c),
-        (H // 2, W // 2, H * W + H * W // 4, ci.n_blocks_c * ci.words_c * 4, flat[sy + sc :], ks_chroma,
+        (H // 2, W // 2, H * W + H * W // 4, ci.plane_bytes_c, flat[sy + sc :], ks_chroma, ci.strip_c,
          ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c),
     ]
     ioff = 0
     base = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    for (ph, pw, out_off, isz, dsec, ks, lev_i, grp_i, q_i, lev_d, grp_d, q_d) in plane_geom:
-        nw_i, li, oi, xi = _codec_tables(lev_i, grp_i)
-        nw_d, ld, od, xd = _codec_tables(lev_d, grp_d)
+    for (ph, pw, out_off, isz, dsec, ks, strip, lev_i, grp_i, q_i, lev_d, grp_d, q_d) in plane_geom:
+        nw_i, li, oi, xi, ri, pi = _codec_tables(lev_i, grp_i)
+        nw_d, ld, od, xd, rd, pd = _codec_tables(lev_d, grp_d)
         isec = np.ascontiguousarray(intra[ioff : ioff + isz])
         dsec = np.ascontiguousarray(dsec)
         dst = ctypes.cast(ctypes.addressof(base.contents) + out_off, ctypes.POINTER(ctypes.c_uint8))
         rc = lib.framecodec_decode_plane_chunk_u8(
-            _U8P(isec), _U8P(dsec), len(ks), _I64P(ks), ph, pw,
-            nw_i, _I64P(li), _I64P(oi), _I64P(xi), float(q_i),
-            nw_d, _I64P(ld), _I64P(od), _I64P(xd), float(q_d),
+            _U8P(isec), _U8P(dsec), len(ks), _I64P(ks), ph, pw, strip,
+            nw_i, _I64P(oi), _I64P(xi), _I64P(ri), _I64P(pi), _I64P(li), float(q_i),
+            nw_d, _I64P(od), _I64P(xd), _I64P(rd), _I64P(pd), _I64P(ld), float(q_d),
             dst, frame_stride,
         )
         if rc != 0:
@@ -262,11 +268,14 @@ def framecodec_decode_planes(packed: np.ndarray, cfg):
         raise RuntimeError("native lib unavailable")
     B = packed.shape[0]
     H, W = cfg.height, cfg.width
-    sy = cfg.n_blocks_y * cfg.words_y * 4
-    sc = cfg.n_blocks_c * cfg.words_c * 4
-    y = _decode_plane(packed[:, :sy], H, W, cfg.levels_y, cfg.groups_y, cfg.qstep_y)
-    u = _decode_plane(packed[:, sy : sy + sc], H // 2, W // 2, cfg.levels_c, cfg.groups_c, cfg.qstep_c)
-    v = _decode_plane(packed[:, sy + sc :], H // 2, W // 2, cfg.levels_c, cfg.groups_c, cfg.qstep_c)
+    sy = cfg.plane_bytes_y
+    sc = cfg.plane_bytes_c
+    y = _decode_plane(packed[:, :sy], H, W, cfg.levels_y, cfg.groups_y, cfg.qstep_y,
+                      cfg.strip_y)
+    u = _decode_plane(packed[:, sy : sy + sc], H // 2, W // 2, cfg.levels_c, cfg.groups_c,
+                      cfg.qstep_c, cfg.strip_c)
+    v = _decode_plane(packed[:, sy + sc :], H // 2, W // 2, cfg.levels_c, cfg.groups_c,
+                      cfg.qstep_c, cfg.strip_c)
     return y, u, v
 
 

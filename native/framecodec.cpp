@@ -1,9 +1,11 @@
 // Host-side decoder for the on-device DCT frame codec
 // (maua_tpu/ops/framecodec.py). The device packs quantized 8x8 DCT
-// coefficients into mixed-radix uint32 words; this kernel unpacks,
-// dequantizes and inverse-transforms one plane, OpenMP-parallel over
-// blocks — the decode must keep up with the device->host fetch so the
-// ffmpeg pipe (maua_tpu/ops/video.py) never stalls on it.
+// coefficients into strip-level mixed-radix uint32 words (a STRIP is
+// up to 4 adjacent blocks packed jointly; a position may SPLIT across
+// words, its digits recombining as sum digit*prediv). This kernel
+// unpacks, dequantizes and inverse-transforms planes, OpenMP-parallel
+// over strips — the decode must keep up with the device->host fetch
+// so the ffmpeg pipe (maua_tpu/ops/video.py) never stalls on it.
 //
 // Replaces the role of host-side swscale in the reference's rawvideo
 // pipe (maua/ops/video.py:42-77); numpy fallback lives in
@@ -52,142 +54,192 @@ struct DctTable {
 };
 const DctTable kDct;
 
+// Per-plane slot tables prepared once per call: magic divisors per
+// slot plus per-position centering offsets.
+struct SlotTables {
+  MagicDiv* mag;     // one per slot
+  int64_t nslots;
+  void init(int64_t nw, const int64_t* goff, const int64_t* radix) {
+    nslots = goff[nw];
+    mag = new MagicDiv[nslots > 0 ? nslots : 1];
+    for (int64_t k = 0; k < nslots; ++k)
+      mag[k].init(static_cast<uint32_t>(radix[k]));
+  }
+  ~SlotTables() { delete[] mag; }
+};
+
+// Unpack one strip's words into per-position integer accumulators
+// (acc[strip*64], caller-zeroed), digits recombining as digit*prediv.
+inline void unpack_strip(const uint8_t* src, int64_t nw, const int64_t* goff,
+                         const int64_t* gidx, const int64_t* prediv,
+                         const MagicDiv* mag, int32_t* acc) {
+  for (int64_t w = 0; w < nw; ++w) {
+    uint32_t word = static_cast<uint32_t>(src[w * 4]) |
+                    (static_cast<uint32_t>(src[w * 4 + 1]) << 8) |
+                    (static_cast<uint32_t>(src[w * 4 + 2]) << 16) |
+                    (static_cast<uint32_t>(src[w * 4 + 3]) << 24);
+    for (int64_t k = goff[w]; k < goff[w + 1]; ++k) {
+      uint32_t d;
+      word = mag[k].divmod(word, &d);
+      acc[gidx[k]] += static_cast<int32_t>(d) * static_cast<int32_t>(prediv[k]);
+    }
+  }
+}
+
+// Centered float coefficients for one block out of a strip's integer
+// accumulators + the separable sparse IDCT. Tracks which coefficient
+// rows/cols hold ANY nonzero and transforms only those (pass 1 over
+// live rows, pass 2 over live cols): cost nc*(nr+8) 8-wide FMAs
+// instead of the dense 128. `add` accumulates into px (DPCM).
+inline void idct_block(const int32_t* acc, const int32_t* mid,
+                       const int64_t* live, int64_t nlive, float qstep,
+                       float* px, bool add) {
+  float coef[64];
+  std::memset(coef, 0, sizeof(coef));
+  uint32_t rowmask = 0, colmask = 0;
+  for (int64_t k = 0; k < nlive; ++k) {
+    const int64_t i = live[k];
+    const int32_t c = acc[i] - mid[i];
+    if (c != 0) {
+      coef[i] = static_cast<float>(c) * qstep;
+      rowmask |= 1u << (i >> 3);
+      colmask |= 1u << (i & 7);
+    }
+  }
+  if (rowmask == 0) {  // all-zero block: DPCM carry unchanged
+    if (!add) std::memset(px, 0, 64 * sizeof(float));
+    return;
+  }
+  int urows[8], nr = 0, vcols[8], nc = 0;
+  for (int u = 0; u < 8; ++u)
+    if (rowmask >> u & 1) urows[nr++] = u;
+  for (int v = 0; v < 8; ++v)
+    if (colmask >> v & 1) vcols[nc++] = v;
+  float tmp[8][8];  // tmp[c][i] for vcols[c]
+  for (int c = 0; c < nc; ++c) {
+    const int j = vcols[c];
+    float a[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    for (int t = 0; t < nr; ++t) {
+      const int u = urows[t];
+      const float cf = coef[u * 8 + j];
+      for (int i = 0; i < 8; ++i) a[i] += cf * kDct.D[u][i];
+    }
+    for (int i = 0; i < 8; ++i) tmp[c][i] = a[i];
+  }
+  for (int i = 0; i < 8; ++i) {
+    float a[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    for (int c = 0; c < nc; ++c) {
+      const float tv = tmp[c][i];
+      for (int j = 0; j < 8; ++j) a[j] += tv * kDct.D[vcols[c]][j];
+    }
+    if (add)
+      for (int j = 0; j < 8; ++j) px[i * 8 + j] += a[j];
+    else
+      for (int j = 0; j < 8; ++j) px[i * 8 + j] = a[j];
+  }
+}
+
+// Per-position mid offsets + live position list from a 64-entry level
+// table.
+struct LevelInfo {
+  int32_t mid[64];
+  int64_t live[64];
+  int64_t nlive = 0;
+  void init(const int64_t* levels) {
+    for (int i = 0; i < 64; ++i) {
+      mid[i] = static_cast<int32_t>((levels[i] - 1) / 2);
+      if (levels[i] > 1) live[nlive++] = i;
+    }
+  }
+};
+
 }  // namespace
 
 extern "C" {
 
-// packed: (B, nb, nw) little-endian uint32 words as raw bytes.
-// levels/zigzag: 64 entries. group_off: nw+1 prefix offsets into
-// group_idx (live zigzag positions per word). out: (B, H, W) f32,
-// centered samples (add 128 for display range).
+// Intra-frame plane decode to centered f32. packed: (B, ns, nw)
+// little-endian uint32 words as raw bytes, ns = nb/strip strips.
+// goff: nw+1 prefix offsets into the slot arrays gidx/radix/prediv
+// (slot digit d contributes d*prediv to strip position gidx, indexed
+// block_in_strip*64 + row-major coefficient). levels: 64 per-position
+// level counts (centering). out: (B, H, W) f32 centered samples.
 int framecodec_decode_plane_f32(const uint8_t* packed, int64_t B, int64_t H,
-                                int64_t W, int64_t nw, const int64_t* levels,
-                                const int64_t* group_off,
-                                const int64_t* group_idx,
-                                const int64_t* zigzag, double qstep,
+                                int64_t W, int64_t strip, int64_t nw,
+                                const int64_t* goff, const int64_t* gidx,
+                                const int64_t* radix, const int64_t* prediv,
+                                const int64_t* levels, double qstep,
                                 float* out) {
-  if (H % 8 || W % 8) return 1;
+  if (H % 8 || W % 8 || strip < 1 || strip > 4) return 1;
   const int64_t bh = H / 8, bw = W / 8;
   const int64_t nb = bh * bw;
-  const int64_t total = B * nb;
+  if (nb % strip) return 1;
+  const int64_t ns = nb / strip;
+  const int64_t total = B * ns;
+  SlotTables st;
+  st.init(nw, goff, radix);
+  LevelInfo li;
+  li.init(levels);
+  const float q = static_cast<float>(qstep);
 
 #pragma omp parallel for schedule(static)
   for (int64_t t = 0; t < total; ++t) {
-    const int64_t b = t / nb, blk = t % nb;
-    const int64_t by = blk / bw, bx = blk % bw;
-    const uint8_t* src = packed + (t * nw) * 4;
-
-    float coef[64];
-    std::memset(coef, 0, sizeof(coef));
-    for (int64_t w = 0; w < nw; ++w) {
-      uint32_t word = static_cast<uint32_t>(src[w * 4]) |
-                      (static_cast<uint32_t>(src[w * 4 + 1]) << 8) |
-                      (static_cast<uint32_t>(src[w * 4 + 2]) << 16) |
-                      (static_cast<uint32_t>(src[w * 4 + 3]) << 24);
-      for (int64_t k = group_off[w]; k < group_off[w + 1]; ++k) {
-        const int64_t i = group_idx[k];
-        const uint32_t L = static_cast<uint32_t>(levels[i]);
-        const int32_t v = static_cast<int32_t>(word % L);
-        word /= L;
-        coef[zigzag[i]] =
-            static_cast<float>(v - static_cast<int32_t>((L - 1) / 2)) *
-            static_cast<float>(qstep);
-      }
-    }
-
-    // x = D^T X D (inverse of X = D x D^T)
-    float tmp[8][8];
-    for (int i = 0; i < 8; ++i)
-      for (int j = 0; j < 8; ++j) {
-        float acc = 0.f;
-        for (int u = 0; u < 8; ++u) acc += kDct.D[u][i] * coef[u * 8 + j];
-        tmp[i][j] = acc;
-      }
-    float* dst = out + (b * H + by * 8) * W + bx * 8;
-    for (int i = 0; i < 8; ++i) {
-      for (int j = 0; j < 8; ++j) {
-        float acc = 0.f;
-        for (int v = 0; v < 8; ++v) acc += tmp[i][v] * kDct.D[v][j];
-        dst[i * W + j] = acc;
-      }
+    const int64_t b = t / ns, s = t % ns;
+    int32_t acc[4 * 64];
+    std::memset(acc, 0, sizeof(int32_t) * strip * 64);
+    unpack_strip(packed + t * nw * 4, nw, goff, gidx, prediv, st.mag, acc);
+    for (int64_t k = 0; k < strip; ++k) {
+      const int64_t blk = s * strip + k;
+      const int64_t by = blk / bw, bx = blk % bw;
+      float px[64];
+      idct_block(acc + k * 64, li.mid, li.live, li.nlive, q, px, false);
+      float* dst = out + (b * H + by * 8) * W + bx * 8;
+      for (int i = 0; i < 8; ++i)
+        for (int j = 0; j < 8; ++j) dst[i * W + j] = px[i * 8 + j];
     }
   }
   return 0;
 }
 
 // DPCM chunk decode for one plane, straight to uint8: the intra frame
-// plus (nkf-1) delta frames accumulate per block entirely in
+// plus (nkf-1) delta frames accumulate per strip entirely in
 // registers/L1; coded frames land at `keyframes[k]` and frames between
 // consecutive keyframes are linearly interpolated (temporal chroma
 // subsampling — for full-rate planes pass keyframes = 0..T-1). Each
 // emitted frame's samples are written as clip(round(acc + 128)) into
 // the caller's frame-strided output (so the bytes land directly inside
 // a (T, 3H/2, W) I420 array). One pass, no float arrays in memory.
-extern "C" int framecodec_decode_plane_chunk_u8(
+int framecodec_decode_plane_chunk_u8(
     const uint8_t* intra, const uint8_t* deltas, int64_t nkf,
-    const int64_t* keyframes, int64_t H, int64_t W, int64_t nw_i,
-    const int64_t* levels_i, const int64_t* goff_i, const int64_t* gidx_i,
-    double qstep_i, int64_t nw_d, const int64_t* levels_d,
-    const int64_t* goff_d, const int64_t* gidx_d, double qstep_d,
-    uint8_t* out, int64_t frame_stride) {
-  if (H % 8 || W % 8 || nkf < 1) return 1;
+    const int64_t* keyframes, int64_t H, int64_t W, int64_t strip,
+    int64_t nw_i, const int64_t* goff_i, const int64_t* gidx_i,
+    const int64_t* radix_i, const int64_t* prediv_i, const int64_t* levels_i,
+    double qstep_i, int64_t nw_d, const int64_t* goff_d,
+    const int64_t* gidx_d, const int64_t* radix_d, const int64_t* prediv_d,
+    const int64_t* levels_d, double qstep_d, uint8_t* out,
+    int64_t frame_stride) {
+  if (H % 8 || W % 8 || nkf < 1 || strip < 1 || strip > 4) return 1;
   const int64_t bh = H / 8, bw = W / 8;
   const int64_t nb = bh * bw;
-
-  // precompute magic divisors + centered dequant scales per live slot
-  const int64_t nlive_i = goff_i[nw_i], nlive_d = goff_d[nw_d];
-  MagicDiv* mag_i = new MagicDiv[nlive_i > 0 ? nlive_i : 1];
-  MagicDiv* mag_d = new MagicDiv[nlive_d > 0 ? nlive_d : 1];
-  for (int64_t k = 0; k < nlive_i; ++k)
-    mag_i[k].init(static_cast<uint32_t>(levels_i[gidx_i[k]]));
-  for (int64_t k = 0; k < nlive_d; ++k)
-    mag_d[k].init(static_cast<uint32_t>(levels_d[gidx_d[k]]));
+  if (nb % strip) return 1;
+  const int64_t ns = nb / strip;
+  SlotTables st_i, st_d;
+  st_i.init(nw_i, goff_i, radix_i);
+  st_d.init(nw_d, goff_d, radix_d);
+  LevelInfo li_i, li_d;
+  li_i.init(levels_i);
+  li_d.init(levels_d);
+  const float qi = static_cast<float>(qstep_i);
+  const float qd = static_cast<float>(qstep_d);
 
 #pragma omp parallel for schedule(static)
-  for (int64_t blk = 0; blk < nb; ++blk) {
-    const int64_t by = blk / bw, bx = blk % bw;
-    float acc[64];
-    float prev[64];
+  for (int64_t s = 0; s < ns; ++s) {
+    float pix[4][64];   // DPCM pixel accumulators per block of the strip
+    float prev[4][64];  // previous keyframe (chroma interpolation)
+    int32_t acc[4 * 64];
 
-    auto unpack_idct = [&](const uint8_t* src, int64_t nw,
-                           const int64_t* levels, const int64_t* goff,
-                           const int64_t* gidx, const MagicDiv* mag,
-                           float qstep, float* px, bool add) {
-      float coef[64];
-      std::memset(coef, 0, sizeof(coef));
-      for (int64_t w = 0; w < nw; ++w) {
-        uint32_t word = static_cast<uint32_t>(src[w * 4]) |
-                        (static_cast<uint32_t>(src[w * 4 + 1]) << 8) |
-                        (static_cast<uint32_t>(src[w * 4 + 2]) << 16) |
-                        (static_cast<uint32_t>(src[w * 4 + 3]) << 24);
-        for (int64_t k = goff[w]; k < goff[w + 1]; ++k) {
-          const int64_t i = gidx[k];
-          uint32_t v;
-          word = mag[k].divmod(word, &v);
-          coef[i] = static_cast<float>(
-                        static_cast<int32_t>(v) -
-                        static_cast<int32_t>((mag[k].L - 1) / 2)) * qstep;
-        }
-      }
-      float tmp[8][8];
-      for (int i = 0; i < 8; ++i)
-        for (int j = 0; j < 8; ++j) {
-          float a = 0.f;
-          for (int u = 0; u < 8; ++u) a += kDct.D[u][i] * coef[u * 8 + j];
-          tmp[i][j] = a;
-        }
-      for (int i = 0; i < 8; ++i)
-        for (int j = 0; j < 8; ++j) {
-          float a = 0.f;
-          for (int v = 0; v < 8; ++v) a += tmp[i][v] * kDct.D[v][j];
-          if (add)
-            px[i * 8 + j] += a;
-          else
-            px[i * 8 + j] = a;
-        }
-    };
-
-    auto emit = [&](int64_t t, const float* px) {
+    auto emit = [&](int64_t t, int64_t k, const float* px) {
+      const int64_t blk = s * strip + k;
+      const int64_t by = blk / bw, bx = blk % bw;
       uint8_t* dst = out + t * frame_stride + (by * 8) * W + bx * 8;
       for (int i = 0; i < 8; ++i)
         for (int j = 0; j < 8; ++j) {
@@ -197,26 +249,34 @@ extern "C" int framecodec_decode_plane_chunk_u8(
         }
     };
 
-    unpack_idct(intra + blk * nw_i * 4, nw_i, levels_i, goff_i, gidx_i,
-                mag_i, static_cast<float>(qstep_i), acc, false);
-    emit(keyframes[0], acc);
-    for (int64_t k = 1; k < nkf; ++k) {
-      std::memcpy(prev, acc, sizeof(acc));
-      const uint8_t* src = deltas + ((k - 1) * nb + blk) * nw_d * 4;
-      unpack_idct(src, nw_d, levels_d, goff_d, gidx_d,
-                  mag_d, static_cast<float>(qstep_d), acc, true);
-      const int64_t a = keyframes[k - 1], b = keyframes[k];
-      for (int64_t j = a + 1; j < b; ++j) {
-        const float w = static_cast<float>(j - a) / static_cast<float>(b - a);
-        float px[64];
-        for (int i = 0; i < 64; ++i) px[i] = (1.f - w) * prev[i] + w * acc[i];
-        emit(j, px);
+    std::memset(acc, 0, sizeof(int32_t) * strip * 64);
+    unpack_strip(intra + s * nw_i * 4, nw_i, goff_i, gidx_i, prediv_i,
+                 st_i.mag, acc);
+    for (int64_t k = 0; k < strip; ++k) {
+      idct_block(acc + k * 64, li_i.mid, li_i.live, li_i.nlive, qi, pix[k],
+                 false);
+      emit(keyframes[0], k, pix[k]);
+    }
+    for (int64_t f = 1; f < nkf; ++f) {
+      std::memcpy(prev, pix, sizeof(float) * strip * 64);
+      std::memset(acc, 0, sizeof(int32_t) * strip * 64);
+      unpack_strip(deltas + ((f - 1) * ns + s) * nw_d * 4, nw_d, goff_d,
+                   gidx_d, prediv_d, st_d.mag, acc);
+      const int64_t a = keyframes[f - 1], b = keyframes[f];
+      for (int64_t k = 0; k < strip; ++k) {
+        idct_block(acc + k * 64, li_d.mid, li_d.live, li_d.nlive, qd, pix[k],
+                   true);
+        for (int64_t j = a + 1; j < b; ++j) {
+          const float w = static_cast<float>(j - a) / static_cast<float>(b - a);
+          float px[64];
+          for (int i = 0; i < 64; ++i)
+            px[i] = (1.f - w) * prev[k][i] + w * pix[k][i];
+          emit(j, k, px);
+        }
+        emit(b, k, pix[k]);
       }
-      emit(b, acc);
     }
   }
-  delete[] mag_i;
-  delete[] mag_d;
   return 0;
 }
 

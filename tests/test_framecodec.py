@@ -58,30 +58,42 @@ def test_dct_orthonormal():
     assert np.abs(D @ D.T - np.eye(8)).max() < 1e-6
 
 
-def test_grouping_covers_all_live_positions():
+def test_plan_covers_all_live_positions():
+    """Every live position's slot radices must multiply to >= its level
+    count (so any value reconstructs exactly), word capacity must hold,
+    and packing waste must stay under 1 bit per word (the radix-split
+    guarantee)."""
     cfg = fc.default_config(32, 32)
-    seen = [i for g in cfg.groups_y for i in g]
-    assert len(seen) == len(set(seen))
-    live = {i for i, l in enumerate(cfg.levels_y) if l > 1}
-    assert set(seen) == live
-    for g in cfg.groups_y:  # word capacity respected
+    strip = cfg.strip_y
+    assert strip == 4
+    covered = {}
+    for word in cfg.groups_y:
         prod = 1
-        for i in g:
-            prod *= cfg.levels_y[i]
-        assert prod < 2**32
+        for idx, radix, prediv in word:
+            covered[idx] = covered.get(idx, 1) * radix
+            prod *= radix
+        assert prod <= 2**32
+    live = {b * 64 + i for b in range(strip) for i, l in enumerate(cfg.levels_y) if l > 1}
+    assert set(covered) == live
+    for idx, cap in covered.items():
+        assert cap >= cfg.levels_y[idx % 64]
+    # waste bound: total capacity within 1 bit/word of the information
+    total_bits = strip * sum(np.log2(l) for l in cfg.levels_y if l > 1)
+    assert cfg.words_y * 32 <= total_bits + len(cfg.groups_y) + 32
 
 
 def test_pack_unpack_exact():
     """Device mixed-radix pack -> host unpack is the identity on the
-    quantized values (the lossy step is quantization only)."""
+    quantized values (the lossy step is quantization only), including
+    positions split across words."""
     cfg = fc.default_config(32, 32)
     rs = np.random.RandomState(1)
     nb = cfg.n_blocks_y
     L = np.asarray(cfg.levels_y, np.int64)
     q = (rs.randint(0, 1 << 30, size=(2, nb, 64)) % L[None, None, :]).astype(np.int32)
-    packed = np.asarray(fc._pack_device(jnp.asarray(q), cfg.levels_y, cfg.groups_y))
-    assert packed.shape == (2, nb * cfg.words_y * 4)
-    vals = fc._host_unpack(packed, nb, cfg.levels_y, cfg.groups_y, cfg.qstep_y)
+    packed = np.asarray(fc._pack_device(jnp.asarray(q), cfg.levels_y, cfg.groups_y, cfg.strip_y))
+    assert packed.shape == (2, (nb // cfg.strip_y) * cfg.words_y * 4)
+    vals = fc._host_unpack(packed, nb, cfg.levels_y, cfg.groups_y, cfg.qstep_y, cfg.strip_y)
     expect = (q - (L - 1)[None, None, :] // 2) * cfg.qstep_y
     live = L > 1
     assert np.allclose(vals[:, :, live], expect[:, :, live].astype(np.float32))
@@ -208,12 +220,12 @@ def test_native_decoder_matches_numpy():
     cfg = fc.calibrate(frames)
     packed = np.asarray(fc.encode_frames(jnp.asarray(frames), cfg))
     ny, nu, nv = native.framecodec_decode_planes(packed, cfg)
-    sy = cfg.n_blocks_y * cfg.words_y * 4
-    sc = cfg.n_blocks_c * cfg.words_c * 4
+    sy = cfg.plane_bytes_y
+    sc = cfg.plane_bytes_c
     py = fc._host_idct(fc._host_unpack(packed[:, :sy], cfg.n_blocks_y, cfg.levels_y,
-                                       cfg.groups_y, cfg.qstep_y), 64, 64)
+                                       cfg.groups_y, cfg.qstep_y, cfg.strip_y), 64, 64)
     pu = fc._host_idct(fc._host_unpack(packed[:, sy:sy + sc], cfg.n_blocks_c, cfg.levels_c,
-                                       cfg.groups_c, cfg.qstep_c), 32, 32)
+                                       cfg.groups_c, cfg.qstep_c, cfg.strip_c), 32, 32)
     assert np.abs(ny - py).max() < 1e-3
     assert np.abs(nu - pu).max() < 1e-3
     assert nv.shape == (2, 32, 32)
