@@ -120,7 +120,29 @@ def get_flow_model(which: Sequence[str] = ("farneback",)) -> Callable:
                 except Exception as e:
                     print(f"raft checkpoint load failed ({e}); using random init")
             fns.append(lambda a, b, _p=params: raft_mod.raft_flow(a, b, params=_p))
-        elif name in ("spynet", "pwc", "liteflownet"):
+        elif name in ("pwc", "pwcnet"):
+            # TPU-native PWC-Net (flow/pwc.py); weights convert from
+            # the sniklaus network-default.pytorch when present
+            import os
+
+            from . import pwc as pwc_mod
+            from ..utility import MODELZOO
+
+            pwc_params = None
+            for fname in ("pwc.pth", "network-default.pytorch", "pwc_default.pth"):
+                ckpt = os.path.join(MODELZOO, fname)
+                if os.path.exists(ckpt):
+                    try:
+                        import torch
+
+                        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+                        sd = {k: v.float().numpy() for k, v in sd.items()}
+                        pwc_params = pwc_mod.params_from_torch(sd)
+                        break
+                    except Exception as e:
+                        print(f"pwc checkpoint load failed ({e}); using random init")
+            fns.append(lambda a, b, _p=pwc_params: pwc_mod.pwc_flow(a, b, params=_p))
+        elif name in ("spynet", "liteflownet"):
             # TPU-native SpyNet (flow/spynet.py) covers the sniklaus
             # pyramidal-estimator role; weights convert from the
             # published pytorch-spynet checkpoints in modelzoo/

@@ -212,3 +212,99 @@ def test_spynet_parity_vs_torch_oracle():
             xt = torch.relu(xt)
     ref = xt.detach().numpy().transpose(0, 2, 3, 1)
     assert np.abs(ours - ref).max() < 1e-4
+
+
+# ------------------------------------------------------------------ PWC-Net
+def test_pwc_shapes_and_ensemble():
+    from maua_tpu.flow import pwc
+
+    f1, f2 = _shifted_pair(shift=2)
+    flow = pwc.pwc_flow(f1, f2)
+    assert flow.shape == (64, 64, 2)
+    assert np.isfinite(flow).all()
+    model = models.get_flow_model(("pwc", "farneback"))
+    out = model(f1, f2)
+    assert out.shape == (64, 64, 2)
+
+
+def test_pwc_deconv_matches_torch():
+    """The lhs-dilated transposed conv + the converter's flip/swap must
+    reproduce torch ConvTranspose2d(k=4, s=2, p=1) exactly."""
+    torch = pytest.importorskip("torch")
+    from maua_tpu.flow import pwc
+
+    rs = np.random.RandomState(2)
+    w = rs.randn(5, 3, 4, 4).astype(np.float32) * 0.1  # (in, out, kh, kw)
+    b = rs.randn(3).astype(np.float32) * 0.01
+    x = rs.rand(1, 6, 7, 5).astype(np.float32)
+
+    ref = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
+        torch.from_numpy(b), stride=2, padding=1,
+    ).detach().numpy().transpose(0, 2, 3, 1)
+
+    wf = np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+    ours = np.asarray(pwc._deconv(jnp.asarray(x), {"w": jnp.asarray(wf), "b": jnp.asarray(b)}))
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).max() < 1e-4
+
+
+def test_pwc_correlation_matches_torch_loop():
+    """The 81-shift cost volume must equal an explicit torch loop
+    (channel-mean correlation over the 9x9 displacement window)."""
+    torch = pytest.importorskip("torch")
+    from maua_tpu.flow import pwc
+
+    rs = np.random.RandomState(3)
+    f1 = rs.randn(1, 10, 12, 6).astype(np.float32)
+    f2 = rs.randn(1, 10, 12, 6).astype(np.float32)
+    ours = np.asarray(pwc._correlation(jnp.asarray(f1), jnp.asarray(f2)))
+
+    t1 = torch.from_numpy(f1.transpose(0, 3, 1, 2))
+    t2 = torch.nn.functional.pad(torch.from_numpy(f2.transpose(0, 3, 1, 2)), (4, 4, 4, 4))
+    refs = []
+    for dy in range(9):
+        for dx in range(9):
+            refs.append((t1 * t2[:, :, dy:dy + 10, dx:dx + 12]).mean(dim=1))
+    ref = torch.stack(refs, dim=-1).numpy()[0]
+    ref = np.where(ref > 0, ref, 0.1 * ref)  # leaky relu
+    assert np.abs(ours[0] - ref).max() < 1e-5
+
+
+def test_pwc_converter_roundtrip_forward():
+    """A synthetic state dict in the sniklaus key layout must convert
+    and run the full forward with correct shapes at every level."""
+    from maua_tpu.flow import pwc
+
+    rs = np.random.RandomState(4)
+    sd = {}
+    names = ["netOne", "netTwo", "netThr", "netFou", "netFiv", "netSix"]
+    ci = 3
+    for nm, co in zip(names, [16, 32, 64, 96, 128, 196]):
+        for i, (a, b_) in enumerate([(ci, co), (co, co), (co, co)]):
+            sd[f"netExtractor.{nm}.{2*i}.weight"] = rs.randn(b_, a, 3, 3).astype(np.float32) * 0.05
+            sd[f"netExtractor.{nm}.{2*i}.bias"] = np.zeros(b_, np.float32)
+        ci = co
+    for lvl, nm in ((6, "netSix"), (5, "netFiv"), (4, "netFou"), (3, "netThr"), (2, "netTwo")):
+        c = pwc._corr_in(lvl)
+        for sub, w_ in zip(names, [128, 128, 96, 64, 32]):
+            sd[f"{nm}.{sub}.0.weight"] = rs.randn(w_, c, 3, 3).astype(np.float32) * 0.03
+            sd[f"{nm}.{sub}.0.bias"] = np.zeros(w_, np.float32)
+            c += w_
+        sd[f"{nm}.netSix.0.weight"] = rs.randn(2, c, 3, 3).astype(np.float32) * 0.03
+        sd[f"{nm}.netSix.0.bias"] = np.zeros(2, np.float32)
+        if lvl != 6:  # upsamples the coarser level's flow + dense feats
+            c_prev = pwc._corr_in(lvl + 1) + 128 + 128 + 96 + 64 + 32
+            sd[f"{nm}.netUpflow.weight"] = rs.randn(2, 2, 4, 4).astype(np.float32) * 0.1
+            sd[f"{nm}.netUpflow.bias"] = np.zeros(2, np.float32)
+            sd[f"{nm}.netUpfeat.weight"] = rs.randn(c_prev, 2, 4, 4).astype(np.float32) * 0.02
+            sd[f"{nm}.netUpfeat.bias"] = np.zeros(2, np.float32)
+    c = pwc._corr_in(2) + 128 + 128 + 96 + 64 + 32
+    for i, (a, b_) in enumerate([(c, 128), (128, 128), (128, 128), (128, 96), (96, 64), (64, 32), (32, 2)]):
+        sd[f"netRefiner.netMain.{2*i}.weight"] = rs.randn(b_, a, 3, 3).astype(np.float32) * 0.02
+        sd[f"netRefiner.netMain.{2*i}.bias"] = np.zeros(b_, np.float32)
+
+    params = pwc.params_from_torch(sd)
+    out = pwc.pwc_forward(params, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 16, 16, 2)
+    assert np.isfinite(np.asarray(out)).all()
