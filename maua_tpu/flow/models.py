@@ -101,24 +101,39 @@ def get_flow_model(which: Sequence[str] = ("farneback",)) -> Callable:
         elif name in ("hs", "jax", "unflow"):
             fns.append(lambda a, b: np.asarray(jax_flow(a, b)))
         elif name in ("raft", "gma", "raft_large"):
-            # TPU-native RAFT (flow/raft.py); weights convert from
-            # torchvision raft_large when present in modelzoo/
+            # TPU-native RAFT / GMA (flow/raft.py); weights convert
+            # from torchvision raft_large or the published GMA
+            # checkpoints when present in modelzoo/
             from . import raft as raft_mod
             import os
 
             from ..utility import MODELZOO
 
+            gma = name == "gma"
             params = None
-            ckpt = os.path.join(MODELZOO, "raft_large.pth")
-            if os.path.exists(ckpt):
-                try:
-                    import torch
+            candidates = (
+                ("gma-sintel.pth", "gma-things.pth", "gma.pth")
+                if gma else ("raft_large.pth",)
+            )
+            for fname in candidates:
+                ckpt = os.path.join(MODELZOO, fname)
+                if os.path.exists(ckpt):
+                    try:
+                        import torch
 
-                    sd = torch.load(ckpt, map_location="cpu", weights_only=False)
-                    sd = {k: v.float().numpy() for k, v in sd.items()}
-                    params = raft_mod.params_from_torch(sd)
-                except Exception as e:
-                    print(f"raft checkpoint load failed ({e}); using random init")
+                        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+                        if isinstance(sd, dict) and "model" in sd:
+                            sd = sd["model"]
+                        sd = {k: v.float().numpy() for k, v in sd.items()}
+                        params = (raft_mod.params_from_torch_gma(sd) if gma
+                                  else raft_mod.params_from_torch(sd))
+                        break
+                    except Exception as e:
+                        print(f"{name} checkpoint load failed ({e}); using random init")
+            if params is None and gma:
+                import jax as _jax
+
+                params = raft_mod.init_params(_jax.random.PRNGKey(0), gma=True)
             fns.append(lambda a, b, _p=params: raft_mod.raft_flow(a, b, params=_p))
         elif name in ("pwc", "pwcnet"):
             # TPU-native PWC-Net (flow/pwc.py); weights convert from

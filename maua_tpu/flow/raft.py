@@ -115,18 +115,25 @@ def _encoder(p, x):
     return conv(p["conv2"], y)
 
 
-def init_params(key, cfg: RAFTConfig = RAFTConfig()) -> Dict:
+def init_params(key, cfg: RAFTConfig = RAFTConfig(), gma: bool = False) -> Dict:
     ks = iter(jax.random.split(key, 32))
     nk = lambda: next(ks)
     ncorr = cfg.corr_levels * (2 * cfg.corr_radius + 1) ** 2
     hd, cd = cfg.hidden_dim, cfg.context_dim
-    gin = hd + 128 + cd  # hidden + motion(128) + context
+    # hidden + motion(128) + context (+ globally-aggregated motion for GMA)
+    gin = hd + 128 + cd + (128 if gma else 0)
     gru = {}
     for g in ("z", "r", "q"):
         # SepConvGRU: horizontal (1x5) then vertical (5x1) passes
         gru[f"{g}1"] = {"w": jax.random.normal(nk(), (1, 5, gin, hd)) * 0.01, "b": jnp.zeros((hd,))}
         gru[f"{g}2"] = {"w": jax.random.normal(nk(), (5, 1, gin, hd)) * 0.01, "b": jnp.zeros((hd,))}
+    out_gma = {
+        "to_qk": _conv_init(nk(), cd, 2 * 128, 1),
+        "to_v": _conv_init(nk(), 128, 128, 1),
+        "gamma": jnp.zeros(()),
+    } if gma else None
     return {
+        **({"gma": out_gma} if gma else {}),
         "fnet": _init_encoder(nk(), cfg, cfg.feat_out),
         "cnet": _init_encoder(nk(), cfg, hd + cd),
         "motion": {
@@ -241,11 +248,27 @@ def forward(params: Dict, image1: jax.Array, image2: jax.Array,
                           jnp.arange(w8, dtype=jnp.float32), indexing="ij")
     coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (b, h8, w8, 2))
 
+    # GMA (Jiang et al. 2021): attention over CONTEXT features,
+    # computed once; each iteration aggregates motion features
+    # globally through it (one (B, HW, HW) MXU matmul per step)
+    attn = None
+    if params.get("gma") is not None:
+        qk = conv(params["gma"]["to_qk"], context)
+        q, k = qk[..., :128].reshape(b, h8 * w8, 128), qk[..., 128:].reshape(b, h8 * w8, 128)
+        attn = jax.nn.softmax(
+            jnp.einsum("bnd,bmd->bnm", q, k) * (128 ** -0.5), axis=-1)
+
     def step(carry, _):
         hidden, flow = carry
         corr = _lookup(pyr, coords0 + flow, cfg.corr_radius)
         motion = _motion_encoder(params["motion"], flow, corr)
-        inp = jnp.concatenate([motion, context], -1)
+        if attn is not None:
+            v = conv(params["gma"]["to_v"], motion).reshape(b, h8 * w8, 128)
+            agg = jnp.einsum("bnm,bmd->bnd", attn, v).reshape(b, h8, w8, 128)
+            motion_global = motion + params["gma"]["gamma"] * agg
+            inp = jnp.concatenate([motion, motion_global, context], -1)
+        else:
+            inp = jnp.concatenate([motion, context], -1)
         hidden = _sep_gru(params["gru"], hidden, inp)
         dflow = conv(params["flow_head"]["conv2"],
                      jax.nn.relu(conv(params["flow_head"]["conv1"], hidden)))
@@ -317,6 +340,70 @@ def params_from_torch(sd: Dict[str, np.ndarray], cfg: RAFTConfig = RAFTConfig())
         "gru": gru,
         "flow_head": {"conv1": cv(f"{fb}.conv1"), "conv2": cv(f"{fb}.conv2")},
         "mask": {"conv1": cv("mask_predictor.convrelu.0"), "conv2": cv("mask_predictor.conv")},
+    }
+
+
+def params_from_torch_gma(sd: Dict[str, np.ndarray], cfg: RAFTConfig = RAFTConfig()) -> Dict:
+    """Published GMA checkpoint (zacjiang/GMA, princeton-RAFT naming:
+    `fnet.* cnet.* update_block.encoder/gru/flow_head/mask/aggregator
+    att.to_qk`) -> pytree with the GMA attention block. Conv weights
+    OIHW -> HWIO; InstanceNorm2d(affine=False) maps to identity g/b;
+    BatchNorm running stats fold into a frozen affine."""
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+
+    def cv(name):
+        w = sd[f"{name}.weight"]
+        return {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),
+                "b": jnp.asarray(sd.get(f"{name}.bias", np.zeros(w.shape[0], np.float32)))}
+
+    def nrm(name, c):
+        if f"{name}.running_mean" in sd:
+            g = sd[f"{name}.weight"] / np.sqrt(sd[f"{name}.running_var"] + 1e-5)
+            b = sd[f"{name}.bias"] - sd[f"{name}.running_mean"] * g
+            return {"g": jnp.asarray(g), "b": jnp.asarray(b), "frozen": jnp.ones(())}
+        if f"{name}.weight" in sd:
+            return {"g": jnp.asarray(sd[f"{name}.weight"]), "b": jnp.asarray(sd[f"{name}.bias"])}
+        return {"g": jnp.ones((c,)), "b": jnp.zeros((c,))}
+
+    def enc(base, out_dim):
+        d1, d2, d3 = cfg.feat_dims
+        p = {"conv1": cv(f"{base}.conv1"), "norm1": nrm(f"{base}.norm1", d1),
+             "conv2": cv(f"{base}.conv2"), "layer1": [], "layer2": [], "layer3": []}
+        for dims, layer in zip(((d1, d1), (d1, d2), (d2, d3)), ("layer1", "layer2", "layer3")):
+            ci, co = dims
+            for bi in range(2):
+                bbase = f"{base}.{layer}.{bi}"
+                blk = {
+                    "conv1": cv(f"{bbase}.conv1"), "norm1": nrm(f"{bbase}.norm1", co),
+                    "conv2": cv(f"{bbase}.conv2"), "norm2": nrm(f"{bbase}.norm2", co),
+                }
+                if f"{bbase}.downsample.0.weight" in sd:
+                    blk["down"] = cv(f"{bbase}.downsample.0")
+                    blk["dnorm"] = nrm(f"{bbase}.downsample.1", co)
+                p[layer].append(blk)
+        return p
+
+    ub = "update_block"
+    gru = {}
+    for g in ("z", "r", "q"):
+        gru[f"{g}1"] = cv(f"{ub}.gru.conv{g}1")
+        gru[f"{g}2"] = cv(f"{ub}.gru.conv{g}2")
+    return {
+        "fnet": enc("fnet", cfg.feat_out),
+        "cnet": enc("cnet", cfg.hidden_dim + cfg.context_dim),
+        "motion": {
+            "convc1": cv(f"{ub}.encoder.convc1"), "convc2": cv(f"{ub}.encoder.convc2"),
+            "convf1": cv(f"{ub}.encoder.convf1"), "convf2": cv(f"{ub}.encoder.convf2"),
+            "conv": cv(f"{ub}.encoder.conv"),
+        },
+        "gru": gru,
+        "flow_head": {"conv1": cv(f"{ub}.flow_head.conv1"), "conv2": cv(f"{ub}.flow_head.conv2")},
+        "mask": {"conv1": cv(f"{ub}.mask.0"), "conv2": cv(f"{ub}.mask.2")},
+        "gma": {
+            "to_qk": cv("att.to_qk"),
+            "to_v": cv(f"{ub}.aggregator.to_v"),
+            "gamma": jnp.asarray(np.asarray(sd[f"{ub}.aggregator.gamma"], np.float32).reshape(())),
+        },
     }
 
 

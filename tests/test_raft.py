@@ -136,3 +136,66 @@ def test_ensemble_raft(monkeypatch):
     flow = model(rs.rand(24, 24, 3).astype(np.float32), rs.rand(24, 24, 3).astype(np.float32))
     assert flow.shape == (24, 24, 2)
     assert np.all(np.isfinite(flow))
+
+
+def test_gma_forward_shapes_and_finite():
+    """GMA variant: context-attention aggregated motion features; the
+    gin widens by 128 and the forward stays shape-correct."""
+    params = raft.init_params(jax.random.PRNGKey(2), CFG, gma=True)
+    assert params["gma"] is not None
+    out = raft.forward(params, jnp.zeros((1, 24, 16, 3)), jnp.zeros((1, 24, 16, 3)), CFG, iters=2)
+    assert out.shape == (1, 24, 16, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gma_converter_roundtrip():
+    """Synthetic princeton/GMA-layout state dict (fnet.*, cnet.*,
+    update_block.{encoder,gru,flow_head,mask,aggregator}, att.to_qk,
+    bias-free attention convs, module. prefixes) -> pytree matching
+    init_params(gma=True) shapes; forward runs."""
+    rs = np.random.RandomState(5)
+    cfg = CFG
+    sd = {}
+
+    def add(name, ci, co, k1, k2=None, bias=True):
+        k2 = k1 if k2 is None else k2
+        sd[f"{name}.weight"] = rs.randn(co, ci, k1, k2).astype(np.float32) * 0.05
+        if bias:
+            sd[f"{name}.bias"] = rs.randn(co).astype(np.float32) * 0.01
+
+    d1, d2, d3 = cfg.feat_dims
+    for base, out in (("fnet", cfg.feat_out), ("cnet", cfg.hidden_dim + cfg.context_dim)):
+        add(f"{base}.conv1", 3, d1, 7)
+        for layer, (ci, co) in (("layer1", (d1, d1)), ("layer2", (d1, d2)), ("layer3", (d2, d3))):
+            for bi in range(2):
+                bb = f"{base}.{layer}.{bi}"
+                cin = ci if bi == 0 else co
+                add(f"{bb}.conv1", cin, co, 3)
+                add(f"{bb}.conv2", co, co, 3)
+                if bi == 0 and ci != co:
+                    add(f"{bb}.downsample.0", ci, co, 1)
+        add(f"{base}.conv2", d3, out, 1)
+    ncorr = cfg.corr_levels * (2 * cfg.corr_radius + 1) ** 2
+    add("update_block.encoder.convc1", ncorr, 256, 1)
+    add("update_block.encoder.convc2", 256, 192, 3)
+    add("update_block.encoder.convf1", 2, 128, 7)
+    add("update_block.encoder.convf2", 128, 64, 3)
+    add("update_block.encoder.conv", 256, 126, 3)
+    # GRU conv input = hidden ++ [motion(128), motion_global(128), context]
+    gin = cfg.hidden_dim + 128 + 128 + cfg.context_dim
+    for g in ("z", "r", "q"):
+        add(f"update_block.gru.conv{g}1", gin, cfg.hidden_dim, 1, 5)
+        add(f"update_block.gru.conv{g}2", gin, cfg.hidden_dim, 5, 1)
+    add("update_block.flow_head.conv1", cfg.hidden_dim, 256, 3)
+    add("update_block.flow_head.conv2", 256, 2, 3)
+    add("update_block.mask.0", cfg.hidden_dim, 256, 3)
+    add("update_block.mask.2", 256, 576, 1)
+    add("att.to_qk", cfg.context_dim, 256, 1, bias=False)
+    add("update_block.aggregator.to_v", 128, 128, 1, bias=False)
+    sd["update_block.aggregator.gamma"] = np.zeros(1, np.float32)
+    sd = {f"module.{k}": v for k, v in sd.items()}  # DataParallel prefixes
+
+    params = raft.params_from_torch_gma(sd, cfg)
+    out = raft.forward(params, jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 16, 16, 3)), cfg, iters=2)
+    assert out.shape == (1, 16, 16, 2)
+    assert np.isfinite(np.asarray(out)).all()

@@ -66,7 +66,7 @@ def main():
 
     def full(ws):
         intra, deltas = fc.encode_chunk(rgb(ws), codec)
-        return jnp.sum(intra.astype(jnp.uint32)) + jnp.sum(deltas[:, ::64].astype(jnp.uint32))
+        return jnp.sum(intra.astype(jnp.uint32)) + jnp.sum(deltas[::64].astype(jnp.uint32))
 
     for name, fn in [("synth", synth), ("+yuv", plus_yuv), ("+dct", plus_dct),
                      ("+quant", plus_quant), ("+pack(full encode)", full)]:
