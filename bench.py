@@ -22,37 +22,38 @@ import time
 import numpy as np
 
 
-def _preflight(timeout: float = 180.0) -> None:
+def _preflight(timeout: float = 120.0, attempts: int = 3, backoff: float = 90.0) -> None:
     """Probe the device in a SUBPROCESS with a hard timeout.
 
     The axon relay can wedge such that every device->host fetch blocks
     forever inside the plugin (dispatch still succeeds). A wedged fetch
     holds the GIL, so an in-process watchdog thread cannot fire — the
-    probe must be a separate process. Failing fast with a clear message
-    beats hanging until the driver's timeout.
+    probe must be a separate process. Wedges usually clear within
+    minutes, so retry with backoff before giving up; failing with a
+    clear message beats hanging until the driver's timeout.
     """
     probe = (
         "import jax, jax.numpy as jnp, numpy as np;"
         "np.asarray(jnp.arange(4)); print('PROBE_OK')"
     )
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", probe], capture_output=True, text=True, timeout=timeout
-        )
-    except subprocess.TimeoutExpired:
-        print(
-            f"bench.py preflight: device fetch hung > {timeout:.0f}s — "
-            "axon relay is wedged (dispatch works, fetches block; see "
-            "PERFORMANCE.md). No honest benchmark is possible; aborting.",
-            file=sys.stderr,
-        )
-        raise SystemExit(3)
-    if "PROBE_OK" not in out.stdout:
-        print(
-            f"bench.py preflight: device probe failed rc={out.returncode}\n{out.stderr[-2000:]}",
-            file=sys.stderr,
-        )
-        raise SystemExit(3)
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, text=True, timeout=timeout
+            )
+            if "PROBE_OK" in out.stdout:
+                return
+            err = f"device probe failed rc={out.returncode}\n{out.stderr[-2000:]}"
+        except subprocess.TimeoutExpired:
+            err = (f"device fetch hung > {timeout:.0f}s — axon relay is wedged "
+                   "(dispatch works, fetches block; see PERFORMANCE.md)")
+        if attempt + 1 < attempts:
+            print(f"bench.py preflight: {err}; retrying in {backoff:.0f}s "
+                  f"({attempt + 1}/{attempts})", file=sys.stderr)
+            time.sleep(backoff)
+    print(f"bench.py preflight: {err}. No honest benchmark is possible; aborting.",
+          file=sys.stderr)
+    raise SystemExit(3)
 
 
 def main():
