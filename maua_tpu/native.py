@@ -30,7 +30,7 @@ def _build() -> Optional[ctypes.CDLL]:
         return None
     so_path = _BUILD_DIR / "libmaua_native.so"
     srcs = [_NATIVE_DIR / "efficient_quantile.cpp", _NATIVE_DIR / "inverse_conv.cpp",
-            _NATIVE_DIR / "framecodec.cpp"]
+            _NATIVE_DIR / "framecodec.cpp", _NATIVE_DIR / "framecodec_simd.cpp"]
     if not so_path.exists() or any(s.stat().st_mtime > so_path.stat().st_mtime for s in srcs):
         _BUILD_DIR.mkdir(exist_ok=True)
         cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
@@ -63,8 +63,7 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p,
         ctypes.c_double, ctypes.POINTER(ctypes.c_float),
     ]
-    lib.framecodec_decode_plane_chunk_u8.restype = ctypes.c_int
-    lib.framecodec_decode_plane_chunk_u8.argtypes = [
+    chunk_sig = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64, _i64p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -72,6 +71,14 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p, ctypes.c_double,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
+    lib.framecodec_decode_plane_chunk_u8.restype = ctypes.c_int
+    lib.framecodec_decode_plane_chunk_u8.argtypes = chunk_sig
+    # AVX-512 fast path (framecodec_simd.cpp): same contract; rc=2
+    # means the geometry can't take the vector path (fall back scalar)
+    lib.framecodec_decode_plane_chunk_u8_simd.restype = ctypes.c_int
+    lib.framecodec_decode_plane_chunk_u8_simd.argtypes = chunk_sig
+    lib.framecodec_simd_available.restype = ctypes.c_int
+    lib.framecodec_simd_available.argtypes = []
     return lib
 
 
@@ -248,12 +255,17 @@ def framecodec_decode_chunk_u8(intra: np.ndarray, deltas, codec, n_frames: int) 
         isec = np.ascontiguousarray(intra[ioff : ioff + isz])
         dsec = np.ascontiguousarray(dsec)
         dst = ctypes.cast(ctypes.addressof(base.contents) + out_off, ctypes.POINTER(ctypes.c_uint8))
-        rc = lib.framecodec_decode_plane_chunk_u8(
+        args = (
             _U8P(isec), _U8P(dsec), len(ks), _I64P(ks), ph, pw, strip,
             nw_i, _I64P(oi), _I64P(xi), _I64P(ri), _I64P(pi), _I64P(li), float(q_i),
             nw_d, _I64P(od), _I64P(xd), _I64P(rd), _I64P(pd), _I64P(ld), float(q_d),
             dst, frame_stride,
         )
+        rc = 2
+        if lib.framecodec_simd_available():
+            rc = lib.framecodec_decode_plane_chunk_u8_simd(*args)
+        if rc == 2:  # no AVX-512 / ragged strip count: scalar kernel
+            rc = lib.framecodec_decode_plane_chunk_u8(*args)
         if rc != 0:
             raise ValueError(f"framecodec_decode_plane_chunk_u8 failed with code {rc}")
         ioff += isz

@@ -549,8 +549,8 @@ def decode_chunk(intra: np.ndarray, deltas: np.ndarray, codec: ChunkCodec,
             yuv = _native_chunk_fn()(intra, flat, codec, T)
             return yuv if out == "yuv420" else (
                 yuv420_to_rgb(yuv) if out == "rgb" else _bad_out(out))
-        except Exception:
-            pass
+        except Exception as e:
+            _warn_native_failure("decode_chunk", e)
     ci, cd = codec.intra, codec.delta
     H, W = ci.height, ci.width
     iy, iu, iv = _decode_planes(intra[None], ci)
@@ -596,6 +596,26 @@ def _bad_out(out):
 
 _NATIVE_CHUNK_CHECKED = False
 _NATIVE_CHUNK_FN = None
+_NATIVE_WARNED: set = set()
+
+
+def _warn_native_failure(where: str, err: Exception) -> None:
+    """A native/Python decoder mismatch must not pass silently: results
+    would differ depending on whether the .so built, and real decoder
+    bugs would be masked by the numpy fallback. Warn once per site;
+    MAUA_STRICT_NATIVE=1 re-raises instead of falling back."""
+    import os
+    import warnings
+
+    if os.environ.get("MAUA_STRICT_NATIVE", "0") == "1":
+        raise err
+    if where not in _NATIVE_WARNED:
+        _NATIVE_WARNED.add(where)
+        warnings.warn(
+            f"native frame decoder failed in {where} ({type(err).__name__}: {err}); "
+            "falling back to the numpy path — set MAUA_STRICT_NATIVE=1 to raise",
+            RuntimeWarning,
+        )
 
 
 def _native_chunk_fn():
@@ -746,5 +766,6 @@ def _decode_native(packed: np.ndarray, cfg: CodecConfig):
         return None
     try:
         return _NATIVE_FN(packed, cfg)
-    except Exception:
+    except Exception as e:
+        _warn_native_failure("decode_planes", e)
         return None

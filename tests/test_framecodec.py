@@ -273,3 +273,38 @@ def test_fetch_parallel_matches_direct():
     # small arrays take the direct path
     y = jnp.ones((3, 4))
     assert np.array_equal(fetch_parallel(y), np.ones((3, 4)))
+
+
+@pytest.mark.parametrize("chroma_step", [1, 2])
+def test_simd_chunk_decoder_matches_scalar(chroma_step):
+    """The AVX-512 chunk decoder (framecodec_simd.cpp) must agree with
+    the scalar C++ kernel on a geometry where both planes take the
+    vector path (128p: luma ns=64, chroma ns=16, both %16==0). Both
+    compute the same f32 DPCM accumulation; only FMA association
+    differs, so agreement is +-1 gray level at the rounding boundary."""
+    import ctypes
+
+    from maua_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    lib = native._lib()
+    if not lib.framecodec_simd_available():
+        pytest.skip("AVX-512 unavailable on this host")
+    frames = _sg2_frames(T=5, res=128)
+    codec = fc.calibrate_chunk(frames[:3], chroma_step=chroma_step)
+    intra, deltas = fc.encode_chunk(jnp.asarray(frames), codec)
+    intra, deltas = np.asarray(intra), np.asarray(deltas)
+
+    via_simd = native.framecodec_decode_chunk_u8(intra, deltas, codec, 5)
+
+    # monkeypatch the simd entry to report "can't" so the scalar runs
+    orig = lib.framecodec_simd_available
+    try:
+        lib.framecodec_simd_available = lambda: 0
+        via_scalar = native.framecodec_decode_chunk_u8(intra, deltas, codec, 5)
+    finally:
+        lib.framecodec_simd_available = orig
+    diff = np.abs(via_simd.astype(np.int32) - via_scalar.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01
