@@ -213,8 +213,12 @@ def pwc_flow(frame1, frame2, params: Dict = None) -> np.ndarray:
     inference recipe, including the x20 output scale)."""
     if params is None:
         params = init_params(jax.random.PRNGKey(0))
-    f1 = jnp.asarray(frame1, jnp.float32)[None]
-    f2 = jnp.asarray(frame2, jnp.float32)[None]
+    # The published sniklaus pytorch-pwc weights consume BGR in [0,1]
+    # (upstream loads frames with [:, :, ::-1]; the reference adapter does
+    # im[:, [2, 1, 0]]). PWC has no normalization layer to absorb a channel
+    # swap, so flip here — callers pass RGB.
+    f1 = jnp.asarray(frame1, jnp.float32)[None, ..., ::-1]
+    f2 = jnp.asarray(frame2, jnp.float32)[None, ..., ::-1]
     H, W = f1.shape[1:3]
     Hp = max(int(np.ceil(H / 64)) * 64, 64)
     Wp = max(int(np.ceil(W / 64)) * 64, 64)

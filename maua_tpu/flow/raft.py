@@ -262,13 +262,18 @@ def forward(params: Dict, image1: jax.Array, image2: jax.Array,
         hidden, flow = carry
         corr = _lookup(pyr, coords0 + flow, cfg.corr_radius)
         motion = _motion_encoder(params["motion"], flow, corr)
+        # GRU input channel order follows the checkpoints the converters
+        # target: torchvision raft_large cats [context, motion]; zacjiang/GMA
+        # builds inp_cat = cat([inp(context), motion, motion_global]). The
+        # converters copy GRU conv weights without permutation, so this order
+        # is load-bearing for pretrained weights.
         if attn is not None:
             v = conv(params["gma"]["to_v"], motion).reshape(b, h8 * w8, 128)
             agg = jnp.einsum("bnm,bmd->bnd", attn, v).reshape(b, h8, w8, 128)
             motion_global = motion + params["gma"]["gamma"] * agg
-            inp = jnp.concatenate([motion, motion_global, context], -1)
+            inp = jnp.concatenate([context, motion, motion_global], -1)
         else:
-            inp = jnp.concatenate([motion, context], -1)
+            inp = jnp.concatenate([context, motion], -1)
         hidden = _sep_gru(params["gru"], hidden, inp)
         dflow = conv(params["flow_head"]["conv2"],
                      jax.nn.relu(conv(params["flow_head"]["conv1"], hidden)))

@@ -112,7 +112,12 @@ def spynet_forward(params: List[Dict], im1, im2):
         if flow.shape[1:3] != p1.shape[1:3]:
             flow = jax.image.resize(flow, (B, p1.shape[1], p1.shape[2], 2), "bilinear") * 2.0
         inp = jnp.concatenate([p1, _warp(p2, flow), flow], axis=-1)
-        flow = flow + _basic_unit(params[lvl], inp)
+        # params follow the torch checkpoint ordering: module 0 runs at the
+        # COARSEST level (upstream inserts pooled levels at list head, then
+        # applies netBasic[intLevel] walking coarse->fine). Our pyramid has
+        # index 0 = finest, so the unit for pyramid level `lvl` is
+        # params[n-1-lvl].
+        flow = flow + _basic_unit(params[n - 1 - lvl], inp)
     return flow
 
 

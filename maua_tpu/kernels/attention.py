@@ -156,14 +156,24 @@ def attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.stack(outs, axis=1)
 
 
+# attention_packed materializes full (B, N, N) score matrices per head;
+# above this sequence length the memory-bounded flash kernel wins (and the
+# packed path's win was only measured at N=4096, the SD 512^2 shape).
+_PACKED_MAX_SEQ = 4096
+
+
 def attention(q, k, v, scale=None, use_flash: bool = True):
     """Dispatcher used by the UNet's attention layers.
 
-    Self-attention with small head dims (<64) and several heads routes
+    Self-attention with small head dims (<64), several heads, and
+    sequences short enough that the full score matrix is cheap routes
     through the masked head-packing formulation (attention_packed);
-    everything else uses the flash kernel / XLA path."""
+    everything else uses the flash kernel (use_flash=True) or the plain
+    XLA path. use_flash=False always bypasses the packed path so callers
+    can force the dense reference formulation."""
     d = q.shape[-1]
-    if d < 64 and q.shape[1] >= 2 and q.shape[2] == k.shape[2]:
+    if (use_flash and d < 64 and q.shape[1] >= 2
+            and q.shape[2] == k.shape[2] and q.shape[2] <= _PACKED_MAX_SEQ):
         return attention_packed(q, k, v, scale)
     if use_flash:
         return flash_attention(q, k, v, scale)

@@ -214,6 +214,32 @@ def test_spynet_parity_vs_torch_oracle():
     assert np.abs(ours - ref).max() < 1e-4
 
 
+def test_spynet_level_ordering_oracle():
+    """Checkpoint module 0 must run at the COARSEST level (upstream
+    inserts pooled pyramid levels at the list head and applies
+    netBasic[intLevel] walking coarse->fine). With all conv weights zero
+    and per-level-distinct final biases b_L, the forward is analytic:
+    each level adds its unit's bias after a 2x flow upsample, so the
+    full-res flow is sum_L b_L * 2^(n-1-L). The reversed ordering gives
+    sum_L b_L * 2^L — this test distinguishes them."""
+    from maua_tpu.flow import spynet
+
+    n_levels = 3
+    biases = [0.25, 1.0, 7.0]  # distinct per torch module index
+    sd = {}
+    chans = [8, 32, 64, 32, 16, 2]
+    for lvl in range(n_levels):
+        for k, (ci, co) in enumerate(zip(chans[:-1], chans[1:])):
+            sd[f"netBasic.{lvl}.netBasic.{2*k}.weight"] = np.zeros((co, ci, 7, 7), np.float32)
+            b = np.full(co, biases[lvl], np.float32) if k == 4 else np.zeros(co, np.float32)
+            sd[f"netBasic.{lvl}.netBasic.{2*k}.bias"] = b
+    params = spynet.params_from_torch(sd, n_levels=n_levels)
+    im = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    flow = np.asarray(spynet.spynet_forward(params, im, im))
+    expect = sum(b * 2 ** (n_levels - 1 - lvl) for lvl, b in enumerate(biases))
+    assert np.abs(flow - expect).max() < 1e-5, (flow[0, 0, 0], expect)
+
+
 # ------------------------------------------------------------------ PWC-Net
 def test_pwc_shapes_and_ensemble():
     from maua_tpu.flow import pwc

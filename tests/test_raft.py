@@ -138,6 +138,45 @@ def test_ensemble_raft(monkeypatch):
     assert np.all(np.isfinite(flow))
 
 
+def test_gru_input_channel_order(monkeypatch):
+    """The GRU input must be [context, motion(, motion_global)] — the
+    order the torchvision raft_large / zacjiang GMA checkpoints bake
+    into their GRU conv weights (the converters copy those weights
+    without permutation, so a swapped concat runs pretrained nets with
+    motion channels where context is expected). Captures the scan-traced
+    GRU input and pins its leading channels to the independently
+    computed context features."""
+    for gma in (False, True):
+        params = raft.init_params(jax.random.PRNGKey(3), CFG, gma=gma)
+        rs = np.random.RandomState(7)
+        i1 = jnp.asarray(rs.rand(1, 16, 16, 3).astype(np.float32))
+        i2 = jnp.asarray(rs.rand(1, 16, 16, 3).astype(np.float32))
+
+        captured = []
+        orig = raft._sep_gru
+
+        def capture(p, h, x):
+            # x is a scan tracer; materialize it at run time
+            jax.debug.callback(lambda a: captured.append(np.asarray(a)), x)
+            return orig(p, h, x)
+
+        monkeypatch.setattr(raft, "_sep_gru", capture)
+        try:
+            jax.block_until_ready(raft.forward(params, i1, i2, CFG, iters=1))
+        finally:
+            monkeypatch.setattr(raft, "_sep_gru", orig)
+
+        cnet = raft._encoder(params["cnet"], i1 * 2.0 - 1.0)
+        context = np.asarray(jax.nn.relu(cnet[..., CFG.hidden_dim:]))
+        got = np.asarray(captured[0][..., : CFG.context_dim])
+        assert np.abs(got - context).max() < 1e-5, f"gma={gma}"
+        # motion features carry the current flow (zero at iter 1) as
+        # their trailing 2 channels — pins motion right after context
+        mot_tail = np.asarray(
+            captured[0][..., CFG.context_dim + 126 : CFG.context_dim + 128])
+        assert np.abs(mot_tail).max() < 1e-6, f"gma={gma}"
+
+
 def test_gma_forward_shapes_and_finite():
     """GMA variant: context-attention aggregated motion features; the
     gin widens by 128 and the forward stays shape-correct."""
