@@ -18,6 +18,10 @@ COMMANDS = {
         "interpolate": ("maua_tpu.diffusion.interpolate", "Latent interpolation video between input images"),
         "klmc2": ("maua_tpu.diffusion.klmc2", "KLMC2 latent-space animation"),
         "outpaint": ("maua_tpu.diffusion.outpaint", "Diffusion outpainting"),
+        "loop": ("maua_tpu.diffusion.loop_direct", "Direct multi-pass diffusion video loop"),
+    },
+    "dataset": {
+        "retrieve": ("maua_tpu.dataset.laion_clip_retrieval", "LAION CLIP-retrieval image scraper"),
     },
     "super": {
         "image": ("maua_tpu.super.image", "Image super-resolution (RealESRGAN-class models)"),

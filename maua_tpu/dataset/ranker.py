@@ -40,10 +40,13 @@ class ImageRanker:
         return np.argsort(-self.score(images, prompt))
 
 
-def laion_clip_retrieval(*args, **kwargs):
-    """(`dataset/laion_clip_retrieval.py`) — requires network access to
-    the LAION retrieval service; unavailable in zero-egress builds."""
-    raise RuntimeError(
-        "LAION CLIP-retrieval needs network access to the knn service; "
-        "this environment is zero-egress. Provide a local index instead."
-    )
+def laion_clip_retrieval(texts=(), images=(), urls=(), out_dir="output/",
+                         min_size=None, **query_kwargs):
+    """Retrieve + download LAION candidates
+    (`dataset/laion_clip_retrieval.py`). The request/parse logic lives
+    in `laion_clip_retrieval.retrieve`/`download` (offline-testable via
+    injectable transports); the default transports need egress."""
+    from .laion_clip_retrieval import download, retrieve
+
+    candidates = retrieve(texts=texts, images=images, urls=urls, **query_kwargs)
+    return download(candidates, out_dir, min_size=min_size)

@@ -35,11 +35,11 @@ def test_image_ranker():
     assert sorted(order.tolist()) == [0, 1, 2, 3]
 
 
-def test_laion_stub_raises():
+def test_laion_requires_a_prompt():
     from maua_tpu.dataset.ranker import laion_clip_retrieval
 
-    with pytest.raises(RuntimeError):
-        laion_clip_retrieval("query")
+    with pytest.raises(ValueError):
+        laion_clip_retrieval()  # no text/image/url prompt
 
 
 def test_interactive_session():
