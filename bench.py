@@ -18,11 +18,12 @@ import json
 import subprocess
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
 
-def _preflight(timeout: float = 120.0, attempts: int = 3, backoff: float = 90.0) -> None:
+def _preflight(timeout: Optional[float] = None, attempts: int = 3, backoff: float = 90.0) -> None:
     """Probe the device in a SUBPROCESS with a hard timeout.
 
     The axon relay can wedge such that every device->host fetch blocks
@@ -31,7 +32,19 @@ def _preflight(timeout: float = 120.0, attempts: int = 3, backoff: float = 90.0)
     probe must be a separate process. Wedges usually clear within
     minutes, so retry with backoff before giving up; failing with a
     clear message beats hanging until the driver's timeout.
+
+    The timeout must cover first-fetch INIT, not just a healthy fetch:
+    under relay contention backend init alone measures 90-300+ s (a
+    wedge-shaped slow start, not a wedge), so probing with a 120 s
+    limit aborted benches the hardware could have run. A real wedge
+    blocks FOREVER, so a generous window costs nothing on healthy runs
+    (the probe returns as soon as it prints) and only delays the abort
+    on genuinely dead relays. MAUA_PREFLIGHT_TIMEOUT overrides.
     """
+    import os
+
+    if timeout is None:
+        timeout = float(os.environ.get("MAUA_PREFLIGHT_TIMEOUT", "600"))
     probe = (
         "import jax, jax.numpy as jnp, numpy as np;"
         "np.asarray(jnp.arange(4)); print('PROBE_OK')"
@@ -166,12 +179,56 @@ def main():
     # calibrate on an 8-frame prefix: plenty of block statistics
     # (7 deltas x 16k blocks) at 1/4 the raw-RGB calibration fetch
     rgb0 = fetch_parallel(render_rgb(params, noises_b, jnp.int32(0))[:8])
-    # quality 1.15 (step ~8) spends the PSNR headroom down to ~40.5 dB
-    # — the gate below still enforces the >=40 contract
-    codec = fc.calibrate_chunk(rgb0, quality=float(os.environ.get("MAUA_BENCH_DCT_QUALITY", "1.15")))
-    encode = jax.jit(lambda x: fc.encode_chunk(x, codec))
-    print(f"bench.py e2e: codec {codec.bits_per_pixel(e2e_batch):.2f} bits/pixel "
-          f"(I420 is 12), chunk {codec.chunk_bytes(e2e_batch)/1e6:.2f} MB", file=sys.stderr)
+    # I420 reference of the gate chunk — codec-independent, fetch once
+    ref0 = fetch_parallel(rgb_to_yuv420(render_rgb(params, noises_b, jnp.int32(2))))
+
+    # Calibrate + PSNR-gate, RE-calibrating at a finer quality step when
+    # the delivered PSNR lands under the target instead of aborting the
+    # run (rate is content-dependent; a marginal calibration must cost
+    # bits, not the whole bench). quality 1.1 lands ~40.5-41 dB on bench
+    # content; the contract floor stays 40.0.
+    quality = float(os.environ.get("MAUA_BENCH_DCT_QUALITY", "1.1"))
+    psnr_target = float(os.environ.get("MAUA_BENCH_PSNR_TARGET", "40.5"))
+    for cal_attempt in range(3):
+        codec = fc.calibrate_chunk(rgb0, quality=quality)
+        encode = jax.jit(lambda x: fc.encode_chunk(x, codec))
+        print(f"bench.py e2e: codec {codec.bits_per_pixel(e2e_batch):.2f} bits/pixel "
+              f"(I420 is 12), chunk {codec.chunk_bytes(e2e_batch)/1e6:.2f} MB "
+              f"at quality {quality:.3f}", file=sys.stderr)
+
+        # warmup + stage probe for this calibration
+        sync = jax.jit(lambda a, b: jnp.sum(a.astype(jnp.uint32)) + jnp.sum(b[::977].astype(jnp.uint32)))
+        intra_d, deltas_d = encode(render_rgb(params, noises_b, jnp.int32(1)))
+        float(sync(intra_d, deltas_d))  # compile encode + sync programs
+        t0 = time.perf_counter()
+        intra_d, deltas_d = encode(render_rgb(params, noises_b, jnp.int32(2)))
+        float(sync(intra_d, deltas_d))
+        t_synth_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        slices_h = [np.asarray(intra_d)] + [np.asarray(s) for s in presplit(deltas_d)]
+        t_fetch = time.perf_counter() - t0
+        deltas_h = np.concatenate(slices_h[1:])
+        dec0 = fc.decode_chunk(slices_h[0], deltas_h, codec)  # includes any native build
+        t0 = time.perf_counter()
+        dec0 = fc.decode_chunk(slices_h[0], deltas_h, codec)
+        t_decode = time.perf_counter() - t0
+        print(f"bench.py e2e stages (warm, {e2e_batch} frames): synth+encode {t_synth_enc:.3f}s, "
+              f"serial fetch {t_fetch:.3f}s ({len(deltas_h.view(np.uint8)) / max(t_fetch, 1e-9) / 1e6:.1f} MB/s), "
+              f"host decode {t_decode:.3f}s ({t_decode / e2e_batch * 1e3:.1f} ms/frame, "
+              f"native={fc._NATIVE_CHUNK_FN is not None})", file=sys.stderr)
+        mse = np.mean((dec0.astype(np.float64) - ref0.astype(np.float64)) ** 2)
+        psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
+        print(f"bench.py e2e: delivered-frame PSNR {psnr:.2f} dB", file=sys.stderr)
+        if psnr >= psnr_target:
+            break
+        if cal_attempt < 2:
+            quality *= 0.8  # finer quantizer: spend bits, keep the bench
+            print(f"bench.py e2e: PSNR under the {psnr_target} dB target — "
+                  f"re-calibrating at quality {quality:.3f}", file=sys.stderr)
+    if psnr < 40.0:
+        print(f"bench.py: delivered-frame PSNR {psnr:.2f} dB < 40 after recalibration — "
+              "refusing to report a lossy e2e number", file=sys.stderr)
+        raise SystemExit(4)
 
     def render_chunk_packed(c):
         # presplit dispatches the slice ops NOW (so later-dispatched
@@ -181,48 +238,32 @@ def main():
         intra, deltas = encode(render_rgb(params, noises_b, jnp.int32(c)))
         return submit_fetches([intra] + presplit(deltas))
 
+    stage_stats = {"fetch_bytes": 0, "fetch_s": 0.0, "decode_s": 0.0, "frames": 0}
+
     def fetch_decode(futs):
+        t0 = time.perf_counter()
         intra = futs[0].result()
         deltas = np.concatenate([f.result() for f in futs[1:]]) if len(futs) > 1 else None
-        return fc.decode_chunk(intra, deltas, codec)
+        t1 = time.perf_counter()
+        out = fc.decode_chunk(intra, deltas, codec)
+        stage_stats["fetch_s"] += t1 - t0
+        stage_stats["decode_s"] += time.perf_counter() - t1
+        stage_stats["fetch_bytes"] += intra.nbytes + (deltas.nbytes if deltas is not None else 0)
+        stage_stats["frames"] += e2e_batch
+        return out
 
-    # warmup + quality gate: the delivered frames must stay visually
-    # lossless vs the uncompressed I420 of the same batch
-    [f.result() for f in render_chunk_packed(1)]  # compile encode path
-    sync = jax.jit(lambda a, b: jnp.sum(a.astype(jnp.uint32)) + jnp.sum(b[::977].astype(jnp.uint32)))
-    intra_d, deltas_d = encode(render_rgb(params, noises_b, jnp.int32(1)))
-    float(sync(intra_d, deltas_d))  # compile the sync program itself
-    t0 = time.perf_counter()
-    intra_d, deltas_d = encode(render_rgb(params, noises_b, jnp.int32(2)))
-    float(sync(intra_d, deltas_d))
-    t_synth_enc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    slices_h = [np.asarray(intra_d)] + [np.asarray(s) for s in presplit(deltas_d)]
-    t_fetch = time.perf_counter() - t0
-    deltas_h = np.concatenate(slices_h[1:])
-    dec0 = fc.decode_chunk(slices_h[0], deltas_h, codec)  # includes any native build
-    t0 = time.perf_counter()
-    dec0 = fc.decode_chunk(slices_h[0], deltas_h, codec)
-    t_decode = time.perf_counter() - t0
-    print(f"bench.py e2e stages (warm, {e2e_batch} frames): synth+encode {t_synth_enc:.3f}s, "
-          f"serial fetch {t_fetch:.3f}s, host decode {t_decode:.3f}s "
-          f"(native={fc._NATIVE_CHUNK_FN is not None})", file=sys.stderr)
-    ref0 = fetch_parallel(rgb_to_yuv420(render_rgb(params, noises_b, jnp.int32(2))))
-    mse = np.mean((dec0.astype(np.float64) - ref0.astype(np.float64)) ** 2)
-    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
-    print(f"bench.py e2e: delivered-frame PSNR {psnr:.2f} dB", file=sys.stderr)
-    if psnr < 40.0:
-        print(f"bench.py: delivered-frame PSNR {psnr:.2f} dB < 40 — refusing to report "
-              "a lossy e2e number", file=sys.stderr)
-        raise SystemExit(4)
+    [f.result() for f in render_chunk_packed(1)]  # warm the packed path
 
-    # 8 chunks x 2 trials: a longer window amortizes the pipeline-fill
+    # 8 chunks x 3 trials: a longer window amortizes the pipeline-fill
     # cost (first chunk's synthesis+encode has nothing to overlap) to
     # ~2%, so the number reflects the steady-state delivery rate a
-    # minutes-long render actually runs at
+    # minutes-long render actually runs at. Per-trial stage stats print
+    # so a slow run is attributable (fetch wait vs host decode).
     n_e2e = 8
     e2e_times = []
-    for trial in range(2):
+    for trial in range(3):
+        for k in stage_stats:
+            stage_stats[k] = 0
         t0 = time.perf_counter()
         pending = render_chunk_packed(0)
         for i in range(1, n_e2e):
@@ -230,7 +271,13 @@ def main():
             fetch_decode(pending)  # fetch+decode overlap the dispatched batch
             pending = nxt
         fetch_decode(pending)
-        e2e_times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        e2e_times.append(dt)
+        print(f"bench.py e2e trial {trial}: {n_e2e * e2e_batch / dt:.1f} fps | "
+              f"fetch wait {stage_stats['fetch_s']:.2f}s "
+              f"({stage_stats['fetch_bytes'] / max(stage_stats['fetch_s'], 1e-9) / 1e6:.1f} MB/s eff) | "
+              f"decode {stage_stats['decode_s'] / stage_stats['frames'] * 1e3:.1f} ms/frame",
+              file=sys.stderr)
     e2e_fps = n_e2e * e2e_batch / min(e2e_times)
 
     # MFU: analytic model FLOPs per frame over achieved frame rate,

@@ -70,6 +70,9 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p, ctypes.c_double,
         ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p, ctypes.c_double,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        # escape-coded delta positions: per-(frame,strip) exception
+        # stream offsets + exact int16 values (NULL = no escapes)
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
     ]
     lib.framecodec_decode_plane_chunk_u8.restype = ctypes.c_int
     lib.framecodec_decode_plane_chunk_u8.argtypes = chunk_sig
@@ -239,17 +242,40 @@ def framecodec_decode_chunk_u8(intra: np.ndarray, deltas, codec, n_frames: int) 
     sy = (T - 1) * codec.luma_delta_bytes
     sc = (len(ks_chroma) - 1) * codec.chroma_delta_bytes
 
+    # escape sections trail the base sections in [counts values] pairs
+    # per plane (framecodec.encode_chunk layout); offsets per
+    # (delta frame, strip) derive from the uint16 counts by prefix sum
+    def esc_arrays(off, cbytes, vbytes):
+        if vbytes == 0:
+            return None, None, off
+        counts = np.frombuffer(flat[off : off + cbytes].tobytes(), dtype="<u2").astype(np.int64)
+        offs = np.ascontiguousarray(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32))
+        vals = np.ascontiguousarray(flat[off + cbytes : off + cbytes + vbytes])
+        return offs, vals, off + cbytes + vbytes
+
+    ecy, evy = codec.esc_section_bytes(T - 1, "y")
+    ecc, evc = codec.esc_section_bytes(len(ks_chroma) - 1, "c")
+    eoff = sy + 2 * sc
+    off_y, val_y, eoff = esc_arrays(eoff, ecy, evy)
+    off_u, val_u, eoff = esc_arrays(eoff, ecc, evc)
+    off_v, val_v, eoff = esc_arrays(eoff, ecc, evc)
+
     plane_geom = [
         (H, W, 0, ci.plane_bytes_y, flat[:sy], ks_full, ci.strip_y,
-         ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y, cd.groups_y, cd.qstep_y),
+         ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y, cd.groups_y, cd.qstep_y, off_y, val_y),
         (H // 2, W // 2, H * W, ci.plane_bytes_c, flat[sy : sy + sc], ks_chroma, ci.strip_c,
-         ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c),
-        (H // 2, W // 2, H * W + H * W // 4, ci.plane_bytes_c, flat[sy + sc :], ks_chroma, ci.strip_c,
-         ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c),
+         ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c, off_u, val_u),
+        (H // 2, W // 2, H * W + H * W // 4, ci.plane_bytes_c, flat[sy + sc : sy + 2 * sc],
+         ks_chroma, ci.strip_c,
+         ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c, off_v, val_v),
     ]
     ioff = 0
     base = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-    for (ph, pw, out_off, isz, dsec, ks, strip, lev_i, grp_i, q_i, lev_d, grp_d, q_d) in plane_geom:
+    _I32P = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    _I16P = lambda a: ctypes.cast(a.ctypes.data, ctypes.POINTER(ctypes.c_int16))
+    for (ph, pw, out_off, isz, dsec, ks, strip, lev_i, grp_i, q_i, lev_d, grp_d, q_d,
+         eoffs, evals) in plane_geom:
         nw_i, li, oi, xi, ri, pi = _codec_tables(lev_i, grp_i)
         nw_d, ld, od, xd, rd, pd = _codec_tables(lev_d, grp_d)
         isec = np.ascontiguousarray(intra[ioff : ioff + isz])
@@ -260,6 +286,8 @@ def framecodec_decode_chunk_u8(intra: np.ndarray, deltas, codec, n_frames: int) 
             nw_i, _I64P(oi), _I64P(xi), _I64P(ri), _I64P(pi), _I64P(li), float(q_i),
             nw_d, _I64P(od), _I64P(xd), _I64P(rd), _I64P(pd), _I64P(ld), float(q_d),
             dst, frame_stride,
+            None if eoffs is None else _I32P(eoffs),
+            None if evals is None else _I16P(evals),
         )
         rc = 2
         if lib.framecodec_simd_available():

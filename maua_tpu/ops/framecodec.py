@@ -51,6 +51,23 @@ grouping leaves, and the word count per strip sits at
 ceil(sum log2(levels) / 32). This is the same calibrate-offline/
 static-runtime pattern as the int8 synthesis path
 (gan/fast_synthesis.quantize_plan).
+
+Delta positions additionally use ESCAPE coding (PFor-style) with fully
+static shapes: the per-symbol delta distribution is strongly peaked
+(measured 26-33% entropy gap vs the clipped static grid on bench
+content), so a position's base alphabet shrinks to [-m, m] plus ONE
+escape slot (even radix 2m+2, chosen per position to minimize
+log2(2m+2) + P(|d|>m) * escape_bits), and out-of-range deltas ship
+their EXACT int16 value in a fixed-capacity side stream — rate drops
+~14% AND the clipping artifact class disappears (an escape is bits,
+not distortion). Orders stay static: exception values are laid out in
+(frame, strip, symbol) scan order, per-(frame, strip) escape COUNTS
+ship as uint16 so every decoder strip derives its own stream offset by
+prefix sum, and the capacity is calibrated (overflowing escapes — only
+under a measured-rate blowout — degrade to the old clipped behavior).
+Level-count parity is the mode flag: odd = clipped (old behavior),
+even = base + escape; the unsigned centering offset (L-1)//2 equals m
+in BOTH modes, so the packed-word machinery is shared unchanged.
 """
 
 from __future__ import annotations
@@ -372,11 +389,18 @@ class ChunkCodec:
     (temporal 2x chroma subsampling — skipped frames reconstruct by
     linear interpolation between keyframes). calibrate_chunk enables it
     only when the measured interpolation error on the sample chunk is
-    well inside the quantizer's own error budget."""
+    well inside the quantizer's own error budget.
+
+    esc_cap_y / esc_cap_c: calibrated exception-stream capacity PER
+    DELTA FRAME per plane for the escape-coded delta positions (even
+    level counts in `delta.levels_*`); 0 disables the escape sections
+    entirely (pure clipped coding, the pre-escape stream layout)."""
 
     intra: CodecConfig
     delta: CodecConfig
     chroma_step: int = 1
+    esc_cap_y: int = 0
+    esc_cap_c: int = 0
 
     @property
     def luma_delta_bytes(self) -> int:
@@ -392,9 +416,25 @@ class ChunkCodec:
             ks.append(n_frames - 1)
         return ks
 
+    def esc_section_bytes(self, n_delta_frames: int, plane: str) -> Tuple[int, int]:
+        """(counts_bytes, values_bytes) of one plane's escape sections
+        for `n_delta_frames` coded delta frames. counts: uint16 per
+        (frame, strip); values: int16 * cap * frames + 2 pad bytes (the
+        SIMD decoder's masked 32-bit gather may touch 2 bytes past the
+        last value)."""
+        cap = self.esc_cap_y if plane == "y" else self.esc_cap_c
+        if cap == 0 or n_delta_frames == 0:
+            return 0, 0
+        ns = (self.delta.n_blocks_y // self.delta.strip_y if plane == "y"
+              else self.delta.n_blocks_c // self.delta.strip_c)
+        return 2 * ns * n_delta_frames, 2 * cap * n_delta_frames + 2
+
     def delta_bytes(self, n_frames: int) -> int:
         n_ck = len(self.chroma_keyframes(n_frames))
-        return (n_frames - 1) * self.luma_delta_bytes + 2 * (n_ck - 1) * self.chroma_delta_bytes
+        base = (n_frames - 1) * self.luma_delta_bytes + 2 * (n_ck - 1) * self.chroma_delta_bytes
+        cy, vy = self.esc_section_bytes(n_frames - 1, "y")
+        cc, vc = self.esc_section_bytes(n_ck - 1, "c")
+        return base + cy + vy + 2 * (cc + vc)
 
     def frames_for_delta_bytes(self, total: int) -> int:
         for t in range(1, 100000):
@@ -444,8 +484,43 @@ def _host_quantize_int(coefs, qstep: float, levels) -> np.ndarray:
     return np.clip(np.round(np.asarray(coefs, np.float64) / qstep), -m, m).astype(np.int64)
 
 
+def _escape_delta_levels(planes, qstep: float, levels_i, margin: float,
+                         esc_bits: float = 18.0) -> Tuple[np.ndarray, float]:
+    """Per-position escape-coded delta plan: choose the base bound m
+    minimizing log2(2m+2) + P(|d|>m) * esc_bits (the exact int16
+    exception plus amortized counts/slack overhead), falling back to
+    the clipped plan (odd 2M+1) where that is cheaper. Returns (levels
+    — parity encodes the mode — and the expected escapes per delta
+    frame across the whole plane)."""
+    C = _host_quantize_int(_host_block_dct(planes), qstep, levels_i)
+    d = (C[1:] - C[:-1]).reshape(-1, 64)
+    n_blocks = C.shape[1]
+    a = np.abs(d)
+    live = np.asarray(levels_i, np.int64) > 1
+    clipped = _delta_levels(planes, qstep, levels_i, margin)
+    levels = np.asarray(clipped, np.int64).copy()
+    esc_rate = 0.0
+    for i in np.nonzero(live)[0]:
+        col = np.sort(a[:, i])
+        n = col.size
+        hi = int(col[-1])
+        qs = col[np.minimum((np.asarray([0.3, 0.5, 0.65, 0.8, 0.9, 0.95,
+                                         0.98, 0.99, 0.995, 0.999]) * n).astype(np.int64), n - 1)]
+        best = (np.log2(max(float(clipped[i]), 1.0)), None, 0.0)  # clipped cost
+        for m in np.unique(np.concatenate([[0, hi], qs])):
+            p = float(np.mean(a[:, i] > m))
+            cost = np.log2(2.0 * m + 2.0) + p * esc_bits
+            if cost < best[0]:
+                best = (cost, int(m), p)
+        if best[1] is not None:
+            levels[i] = 2 * best[1] + 2  # even = escape mode
+            esc_rate += best[2]
+    return levels, esc_rate * n_blocks
+
+
 def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5,
-                    delta_margin: float = 1.3, chroma_step: str = "auto") -> ChunkCodec:
+                    delta_margin: float = 1.3, chroma_step: str = "auto",
+                    escape: bool = True, esc_cap_margin: float = 1.5) -> ChunkCodec:
     """Calibrate intra + delta plans from a sample chunk ((T,H,W,3)
     uint8 RGB, consecutive frames of the target content). The delta
     plan covers the observed quantized-coefficient deltas x margin; its
@@ -454,7 +529,13 @@ def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5,
     chroma_step="auto" enables temporal 2x chroma subsampling (chroma
     deltas ~30% of the stream on noisy content) when the measured
     midpoint-interpolation error on the sample chunk is at most half
-    the quantizer's own MSE budget; 1/2 force it off/on."""
+    the quantizer's own MSE budget; 1/2 force it off/on.
+
+    escape=True (default) escape-codes delta positions where a smaller
+    base alphabet + exact int16 exceptions beats the clipped plan
+    (~14% fewer bits on bench content, and out-of-range deltas become
+    exact instead of clipped); the exception capacity per delta frame
+    is the measured expected escape count x esc_cap_margin."""
     rgb = np.asarray(frames)
     T, H, W, _ = rgb.shape
     if H % 16 or W % 16:
@@ -474,18 +555,33 @@ def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5,
     elif chroma_step in (2, "2"):
         step = 2
 
-    ly = _delta_levels(y, intra.qstep_y, intra.levels_y, delta_margin)
     us, vs = (u[::step], v[::step]) if step > 1 else (u, v)
-    lc = np.maximum(
-        _delta_levels(us, intra.qstep_c, intra.levels_c, delta_margin),
-        _delta_levels(vs, intra.qstep_c, intra.levels_c, delta_margin),
-    )
+    cap_y = cap_c = 0
+    # small samples make the per-position escape-rate estimates pure
+    # noise — fall back to clipped coding below ~10k delta blocks
+    # (escape="force" overrides, for tests/small content)
+    if escape and ((T - 1) * (H // 8) * (W // 8) >= 10_000 or escape == "force"):
+        ly, ry = _escape_delta_levels(y, intra.qstep_y, intra.levels_y, delta_margin)
+        lu, ru = _escape_delta_levels(us, intra.qstep_c, intra.levels_c, delta_margin)
+        lv, rv = _escape_delta_levels(vs, intra.qstep_c, intra.levels_c, delta_margin)
+        # u and v share one plan: per position keep whichever mode/size
+        # covers both (max radix; escape beats clipped when either chose it)
+        lc = np.maximum(lu, lv)
+        cap_y = int(np.ceil(ry * esc_cap_margin)) + 64 if (ly % 2 == 0).any() else 0
+        cap_c = int(np.ceil(max(ru, rv) * esc_cap_margin)) + 64 if (lc % 2 == 0).any() else 0
+    else:
+        ly = _delta_levels(y, intra.qstep_y, intra.levels_y, delta_margin)
+        lc = np.maximum(
+            _delta_levels(us, intra.qstep_c, intra.levels_c, delta_margin),
+            _delta_levels(vs, intra.qstep_c, intra.levels_c, delta_margin),
+        )
     delta = CodecConfig(
         height=H, width=W, qstep_y=intra.qstep_y, qstep_c=intra.qstep_c,
         levels_y=tuple(int(x) for x in ly), levels_c=tuple(int(x) for x in lc),
         groups_y=_plan_words(ly, intra.strip_y), groups_c=_plan_words(lc, intra.strip_c),
     )
-    return ChunkCodec(intra=intra, delta=delta, chroma_step=step)
+    return ChunkCodec(intra=intra, delta=delta, chroma_step=step,
+                      esc_cap_y=cap_y, esc_cap_c=cap_c)
 
 
 def encode_chunk(rgb, codec: ChunkCodec):
@@ -500,8 +596,9 @@ def encode_chunk(rgb, codec: ChunkCodec):
     quality without any sequential reconstruction on device.
 
     The flat delta stream lays out [luma deltas (T-1 frames) | u
-    deltas | v deltas]; with chroma_step=2 the chroma sections hold
-    keyframe-lattice deltas only (codec.chroma_keyframes)."""
+    deltas | v deltas | per-plane escape sections (counts + values,
+    `ChunkCodec.esc_section_bytes`)]; with chroma_step=2 the chroma
+    sections hold keyframe-lattice deltas only (codec.chroma_keyframes)."""
     import jax.numpy as jnp
 
     ci, cd = codec.intra, codec.delta
@@ -510,23 +607,62 @@ def encode_chunk(rgb, codec: ChunkCodec):
     y, u, v = _yuv_planes_device(rgb)
     ks = np.asarray(codec.chroma_keyframes(T), np.int64)
 
-    def plane(pl, lev_i, grp_i, q_i, lev_d, grp_d, strip, keyframes=None):
+    def le16(x_u32):
+        """(...,) int32 in [0, 65535] -> (..., 2) little-endian uint8."""
+        return jnp.stack([(x_u32 & 0xFF).astype(jnp.uint8),
+                          ((x_u32 >> 8) & 0xFF).astype(jnp.uint8)], axis=-1)
+
+    def plane(pl, lev_i, grp_i, q_i, lev_d, grp_d, strip, cap_frame, keyframes=None):
         mi = jnp.asarray((np.asarray(lev_i, np.int64) - 1) // 2, jnp.float32)
         C = jnp.clip(jnp.round(_block_dct_device(pl) / q_i), -mi, mi).astype(jnp.int32)
         intra_p = _pack_device(C[:1] + mi.astype(jnp.int32), lev_i, grp_i, strip)
         if keyframes is not None:
             C = C[keyframes]  # static gather on the frame axis
-        md = jnp.asarray((np.asarray(lev_d, np.int64) - 1) // 2, jnp.int32)
-        d = jnp.clip(C[1:] - C[:-1], -md, md)
-        delta_p = _pack_device(d + md, lev_d, grp_d, strip)
-        return intra_p, delta_p
+        lev_np = np.asarray(lev_d, np.int64)
+        md = jnp.asarray((lev_np - 1) // 2, jnp.int32)  # == m in both modes
+        d = C[1:] - C[:-1]
+        esc_np = (lev_np % 2 == 0) & (lev_np > 1)
+        F, nb, _ = d.shape
+        if cap_frame == 0 or F == 0 or not esc_np.any():
+            delta_p = _pack_device(jnp.clip(d, -md, md) + md, lev_d, grp_d, strip)
+            return intra_p, delta_p, None, None
+        ns = nb // strip
+        cap_t = cap_frame * F
+        # escape ranks in (frame, strip, symbol) scan order — which is
+        # exactly C-order over (F, nb, 64) since blocks are consecutive
+        # within a strip; the decoders walk the same order
+        mask = jnp.asarray(esc_np)[None, None, :] & (jnp.abs(d) > md)
+        flat = mask.reshape(-1)
+        rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
+        keep = flat & (rank < cap_t)  # capacity overflow -> clip (suffix only)
+        keep3 = keep.reshape(d.shape)
+        base = jnp.where(keep3, 2 * md + 1, jnp.clip(d, -md, md) + md)
+        delta_p = _pack_device(base, lev_d, grp_d, strip)
+        counts = keep3.reshape(F, ns, strip * 64).sum(-1).astype(jnp.int32)
+        # exact int16 exception values compacted by scatter-add (slots
+        # for dropped/non-escape symbols collide on the discard slot)
+        idx = jnp.where(keep, rank, cap_t)
+        vals = jnp.zeros((cap_t + 1,), jnp.int32).at[idx].add(
+            jnp.where(keep, d.reshape(-1), 0))
+        vals16 = vals[:cap_t] & 0xFFFF
+        # +2 pad bytes: the SIMD decoder's 32-bit masked gather may read
+        # 2 bytes past the final value
+        val_bytes = jnp.concatenate([le16(vals16).reshape(-1), jnp.zeros((2,), jnp.uint8)])
+        return intra_p, delta_p, le16(counts).reshape(-1), val_bytes
 
     chroma_ks = ks if codec.chroma_step > 1 else None
-    iy, dy = plane(y, ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y, cd.groups_y, ci.strip_y)
-    iu, du = plane(u, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, ci.strip_c, chroma_ks)
-    iv, dv = plane(v, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, ci.strip_c, chroma_ks)
+    iy, dy, cy, vy = plane(y, ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y,
+                           cd.groups_y, ci.strip_y, codec.esc_cap_y)
+    iu, du, cu, vu = plane(u, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c,
+                           cd.groups_c, ci.strip_c, codec.esc_cap_c, chroma_ks)
+    iv, dv, cv, vv = plane(v, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c,
+                           cd.groups_c, ci.strip_c, codec.esc_cap_c, chroma_ks)
     intra = jnp.concatenate([iy, iu, iv], axis=1)[0]
-    deltas = jnp.concatenate([dy.reshape(-1), du.reshape(-1), dv.reshape(-1)])
+    parts = [dy.reshape(-1), du.reshape(-1), dv.reshape(-1)]
+    for sec in (cy, vy, cu, vu, cv, vv):
+        if sec is not None:
+            parts.append(sec)
+    deltas = jnp.concatenate(parts)
     return intra, deltas
 
 
@@ -560,12 +696,41 @@ def decode_chunk(intra: np.ndarray, deltas: np.ndarray, codec: ChunkCodec,
     n_ck = len(ks)
     sy = (T - 1) * codec.luma_delta_bytes
     sc = (n_ck - 1) * codec.chroma_delta_bytes
-    dy = _host_unpack(flat[:sy].reshape(T - 1, -1), cd.n_blocks_y, cd.levels_y,
-                      cd.groups_y, cd.qstep_y, cd.strip_y)
-    du = _host_unpack(flat[sy : sy + sc].reshape(n_ck - 1, -1), cd.n_blocks_c,
-                      cd.levels_c, cd.groups_c, cd.qstep_c, cd.strip_c)
-    dv = _host_unpack(flat[sy + sc :].reshape(n_ck - 1, -1), cd.n_blocks_c,
-                      cd.levels_c, cd.groups_c, cd.qstep_c, cd.strip_c)
+    # escape sections trail the three base sections:
+    # [counts_y values_y counts_u values_u counts_v values_v]
+    ecy, evy = codec.esc_section_bytes(T - 1, "y")
+    ecc, evc = codec.esc_section_bytes(n_ck - 1, "c")
+    esc_base = sy + 2 * sc
+    off = esc_base
+    esc_vals = []
+    for cbytes, vbytes in ((ecy, evy), (ecc, evc), (ecc, evc)):
+        if vbytes == 0:
+            esc_vals.append(None)
+            off += cbytes + vbytes
+            continue
+        vs = flat[off + cbytes : off + cbytes + vbytes - 2]
+        esc_vals.append(np.frombuffer(vs.tobytes(), dtype="<i2").astype(np.int64))
+        off += cbytes + vbytes
+
+    def unpack_deltas(section, nb, levels, groups, qstep, strip, vals):
+        sym = _host_unpack_sym(section, nb, levels, groups, strip)
+        lev = np.asarray(levels, np.int64)
+        q = sym - ((lev - 1) // 2)[None, None, :]
+        escp = (lev % 2 == 0) & (lev > 1)
+        if vals is not None and escp.any():
+            marker = escp[None, None, :] & (sym == (lev - 1)[None, None, :])
+            flatm = marker.reshape(-1)
+            ranks = np.cumsum(flatm) - 1
+            qf = q.reshape(-1)
+            qf[flatm] = vals[ranks[flatm]]
+        return (q * qstep).astype(np.float32)
+
+    dy = unpack_deltas(flat[:sy].reshape(T - 1, -1), cd.n_blocks_y, cd.levels_y,
+                       cd.groups_y, cd.qstep_y, cd.strip_y, esc_vals[0])
+    du = unpack_deltas(flat[sy : sy + sc].reshape(n_ck - 1, -1), cd.n_blocks_c,
+                       cd.levels_c, cd.groups_c, cd.qstep_c, cd.strip_c, esc_vals[1])
+    dv = unpack_deltas(flat[sy + sc : sy + 2 * sc].reshape(n_ck - 1, -1), cd.n_blocks_c,
+                       cd.levels_c, cd.groups_c, cd.qstep_c, cd.strip_c, esc_vals[2])
     y = np.concatenate([iy, _host_idct(dy, H, W)], axis=0).cumsum(axis=0, dtype=np.float32)
     uk = np.concatenate([iu, _host_idct(du, H // 2, W // 2)], axis=0).cumsum(axis=0, dtype=np.float32)
     vk = np.concatenate([iv, _host_idct(dv, H // 2, W // 2)], axis=0).cumsum(axis=0, dtype=np.float32)
@@ -654,10 +819,10 @@ def _host_block_dct(plane: np.ndarray) -> np.ndarray:
     return x.transpose(0, 1, 3, 2, 4).reshape(B, -1, 64)
 
 
-def _host_unpack(section: np.ndarray, nb: int, levels: Tuple[int, ...],
-                 groups, qstep: float, strip: int) -> np.ndarray:
-    """(B, strips*words*4) uint8 -> (B, nb, 64) dequantized f32. Digits
-    of split positions accumulate as digit * prediv before centering."""
+def _host_unpack_sym(section: np.ndarray, nb: int, levels: Tuple[int, ...],
+                     groups, strip: int) -> np.ndarray:
+    """(B, strips*words*4) uint8 -> (B, nb, 64) UNSIGNED symbols (int64).
+    Digits of split positions accumulate as digit * prediv."""
     B = section.shape[0]
     ns = nb // strip
     nw = len(groups)
@@ -669,9 +834,16 @@ def _host_unpack(section: np.ndarray, nb: int, levels: Tuple[int, ...],
         for idx, radix, prediv in grp:
             acc[:, :, idx] += (w % radix).astype(np.int64) * prediv
             w //= radix
+    return acc.reshape(B, nb, 64)
+
+
+def _host_unpack(section: np.ndarray, nb: int, levels: Tuple[int, ...],
+                 groups, qstep: float, strip: int) -> np.ndarray:
+    """(B, strips*words*4) uint8 -> (B, nb, 64) dequantized f32
+    (clipped-mode sections: centering offset (L-1)//2)."""
+    sym = _host_unpack_sym(section, nb, levels, groups, strip)
     mid = ((np.asarray(levels, np.int64) - 1) // 2)
-    out = acc.reshape(B, nb, 64) - mid[None, None, :]
-    return (out * qstep).astype(np.float32)
+    return ((sym - mid[None, None, :]) * qstep).astype(np.float32)
 
 
 def _host_idct(coefs: np.ndarray, H: int, W: int) -> np.ndarray:

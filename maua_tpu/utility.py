@@ -160,8 +160,12 @@ def enable_compilation_cache(cache_dir=None) -> bool:
     is not default-on.
     """
     cache_dir = cache_dir or os.environ.get("MAUA_COMPILE_CACHE")
-    if not cache_dir:
+    if not cache_dir or str(cache_dir).strip().lower() in ("0", "false", "off", "no"):
         return False
+    # boolean-style opt-in ("1", "true", ...) means "enable at the
+    # default location", not "use ./1 as the cache directory"
+    if str(cache_dir).strip().lower() in ("1", "true", "on", "yes"):
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "maua_tpu", "xla")
     try:
         import jax
 

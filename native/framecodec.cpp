@@ -140,15 +140,27 @@ inline void idct_block(const int32_t* acc, const int32_t* mid,
 }
 
 // Per-position mid offsets + live position list from a 64-entry level
-// table.
+// table. Even level counts mark ESCAPE-coded positions (framecodec.py:
+// base alphabet [-m, m] at radix 2m+2; the top symbol 2m+1 is the
+// escape marker whose exact int16 value ships in a side stream).
 struct LevelInfo {
   int32_t mid[64];
   int64_t live[64];
   int64_t nlive = 0;
+  int64_t escp[64];
+  int32_t marker[64];
+  int64_t nesc = 0;
   void init(const int64_t* levels) {
     for (int i = 0; i < 64; ++i) {
       mid[i] = static_cast<int32_t>((levels[i] - 1) / 2);
-      if (levels[i] > 1) live[nlive++] = i;
+      if (levels[i] > 1) {
+        live[nlive++] = i;
+        if (levels[i] % 2 == 0) {
+          escp[nesc] = i;
+          marker[nesc] = static_cast<int32_t>(levels[i] - 1);
+          ++nesc;
+        }
+      }
     }
   }
 };
@@ -216,7 +228,7 @@ int framecodec_decode_plane_chunk_u8(
     double qstep_i, int64_t nw_d, const int64_t* goff_d,
     const int64_t* gidx_d, const int64_t* radix_d, const int64_t* prediv_d,
     const int64_t* levels_d, double qstep_d, uint8_t* out,
-    int64_t frame_stride) {
+    int64_t frame_stride, const int32_t* exc_off, const int16_t* exc_val) {
   if (H % 8 || W % 8 || nkf < 1 || strip < 1 || strip > 4) return 1;
   const int64_t bh = H / 8, bw = W / 8;
   const int64_t nb = bh * bw;
@@ -262,6 +274,19 @@ int framecodec_decode_plane_chunk_u8(
       std::memset(acc, 0, sizeof(int32_t) * strip * 64);
       unpack_strip(deltas + ((f - 1) * ns + s) * nw_d * 4, nw_d, goff_d,
                    gidx_d, prediv_d, st_d.mag, acc);
+      if (exc_val != nullptr && li_d.nesc > 0) {
+        // substitute escape markers with their exact side-stream values
+        // (scan order: ascending block-in-strip, ascending position —
+        // matching the encoder's (frame, strip, symbol) rank order)
+        int64_t ptr = exc_off[(f - 1) * ns + s];
+        for (int64_t k = 0; k < strip; ++k)
+          for (int64_t e = 0; e < li_d.nesc; ++e) {
+            const int64_t i = li_d.escp[e];
+            int32_t* a32 = &acc[k * 64 + i];
+            if (*a32 == li_d.marker[e])
+              *a32 = static_cast<int32_t>(exc_val[ptr++]) + li_d.mid[i];
+          }
+      }
       const int64_t a = keyframes[f - 1], b = keyframes[f];
       for (int64_t k = 0; k < strip; ++k) {
         idct_block(acc + k * 64, li_d.mid, li_d.live, li_d.nlive, qd, pix[k],

@@ -137,6 +137,9 @@ struct PlaneTables {
   int64_t nw;
   float mid[64];  // centering offset per position (as float for fused dequant)
   int32_t midi[64];
+  int32_t escp[64];    // escape-coded positions (even level counts)
+  int32_t marker[64];  // escape marker symbol per escape position
+  int64_t nesc = 0;
   void init(int64_t nw_, const int64_t* goff_, const int64_t* gidx_,
             const int64_t* radix_, const int64_t* prediv_, const int64_t* levels) {
     nw = nw_;
@@ -154,6 +157,11 @@ struct PlaneTables {
     for (int i = 0; i < 64; ++i) {
       midi[i] = static_cast<int32_t>((levels[i] - 1) / 2);
       mid[i] = static_cast<float>(midi[i]);
+      if (levels[i] > 1 && levels[i] % 2 == 0) {
+        escp[nesc] = i;
+        marker[nesc] = static_cast<int32_t>(levels[i] - 1);
+        ++nesc;
+      }
     }
   }
   ~PlaneTables() {
@@ -292,7 +300,7 @@ int framecodec_decode_plane_chunk_u8_simd(
     double qstep_i, int64_t nw_d, const int64_t* goff_d,
     const int64_t* gidx_d, const int64_t* radix_d, const int64_t* prediv_d,
     const int64_t* levels_d, double qstep_d, uint8_t* out,
-    int64_t frame_stride) {
+    int64_t frame_stride, const int32_t* exc_off, const int16_t* exc_val) {
   if (H % 8 || W % 8 || nkf < 1 || strip < 1 || strip > 4) return 1;
   const int64_t bh = H / 8, bw = W / 8;
   const int64_t nb = bh * bw;
@@ -326,6 +334,33 @@ int framecodec_decode_plane_chunk_u8_simd(
       if (interp) std::memcpy(prev, pix, sizeof(pix));
       unpack_group(deltas + ((f - 1) * ns + g * 16) * nw_d * 4, nw_d * 4,
                    pt_d, acc, npos);
+      if (exc_val != nullptr && pt_d.nesc > 0) {
+        // escape fix-up: every lane (strip) owns an independent run of
+        // the exception stream, walked in ascending (block, position)
+        // order — one compare per escape position, masked gather +
+        // pointer bump only when a lane actually hit the marker. The
+        // 32-bit gather reads 2 bytes past the final int16 value; the
+        // encoder pads the section by 2 bytes for exactly this.
+        __m512i ptr = _mm512_loadu_si512(
+            reinterpret_cast<const void*>(exc_off + (f - 1) * ns + g * 16));
+        const __m512i one = _mm512_set1_epi32(1);
+        for (int64_t k = 0; k < strip; ++k)
+          for (int64_t e = 0; e < pt_d.nesc; ++e) {
+            const int i = pt_d.escp[e];
+            const int idx = static_cast<int>(k * 64 + i);
+            const __mmask16 m = _mm512_cmpeq_epi32_mask(
+                acc[idx], _mm512_set1_epi32(pt_d.marker[e]));
+            if (m) {
+              __m512i v = _mm512_mask_i32gather_epi32(
+                  _mm512_setzero_si512(), m, ptr,
+                  reinterpret_cast<const void*>(exc_val), 2);
+              v = _mm512_srai_epi32(_mm512_slli_epi32(v, 16), 16);
+              v = _mm512_add_epi32(v, _mm512_set1_epi32(pt_d.midi[i]));
+              acc[idx] = _mm512_mask_mov_epi32(acc[idx], m, v);
+              ptr = _mm512_mask_add_epi32(ptr, m, ptr, one);
+            }
+          }
+      }
       for (int64_t k = 0; k < strip; ++k) {
         idct16(acc + k * 64, pt_d.midi, qd, pix[k], true);
         for (int64_t j = a + 1; j < b; ++j) {
@@ -352,7 +387,7 @@ extern "C" int framecodec_decode_plane_chunk_u8_simd(
     int64_t, int64_t, const int64_t*, const int64_t*, const int64_t*,
     const int64_t*, const int64_t*, double, int64_t, const int64_t*,
     const int64_t*, const int64_t*, const int64_t*, const int64_t*, double,
-    uint8_t*, int64_t) {
+    uint8_t*, int64_t, const int32_t*, const int16_t*) {
   return 2;
 }
 

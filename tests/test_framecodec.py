@@ -308,3 +308,126 @@ def test_simd_chunk_decoder_matches_scalar(chroma_step):
     diff = np.abs(via_simd.astype(np.int32) - via_scalar.astype(np.int32))
     assert diff.max() <= 1, diff.max()
     assert (diff > 0).mean() < 0.01
+
+
+def _heavy_tail_frames(T=6, H=128, W=128, p_jump=0.002, seed=0):
+    """Smooth drift + sparse large jumps: the delta distribution is
+    strongly peaked with rare outliers — exactly the content class
+    escape coding (PFor-style, framecodec.py module docstring) wins on:
+    the clipped plan must size every position's alphabet for the
+    outliers, the escape plan ships them as exact int16 exceptions."""
+    rs = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = 128 + 70 * np.sin(xx / 9.0) * np.cos(yy / 13.0)
+    frames = []
+    for t in range(T):
+        f = base[..., None] + 3.0 * t + rs.randn(H, W, 1) * 4
+        f = f + (rs.rand(H, W, 1) < p_jump) * rs.randn(H, W, 1) * 120
+        frames.append(np.clip(np.repeat(f, 3, -1) + rs.randn(H, W, 3) * 2,
+                              0, 255).astype(np.uint8))
+    return np.stack(frames)
+
+
+def test_escape_coding_rate_and_roundtrip():
+    """Escape-coded delta positions (even level counts + int16
+    exception stream) must (a) actually engage on heavy-tailed content,
+    (b) beat the clipped plan's rate, and (c) round-trip through the
+    numpy decoder at full contract quality — escapes reconstruct the
+    out-of-range deltas EXACTLY, so PSNR must not drop vs clipped."""
+    frames = _heavy_tail_frames()
+    esc = fc.calibrate_chunk(frames[:4], escape="force")
+    clip = fc.calibrate_chunk(frames[:4], escape=False)
+    assert esc.esc_cap_y > 0
+    assert any(l % 2 == 0 and l > 1 for l in esc.delta.levels_y)
+    T = frames.shape[0]
+    assert esc.bits_per_pixel(T) < clip.bits_per_pixel(T)
+    ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
+    psnrs = {}
+    for name, codec in (("esc", esc), ("clip", clip)):
+        intra, deltas = fc.encode_chunk(jnp.asarray(frames), codec)
+        intra, deltas = np.asarray(intra), np.asarray(deltas)
+        assert deltas.shape == (codec.delta_bytes(T),)
+        import maua_tpu.ops.framecodec as fcmod
+        saved = fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED
+        fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = None, True
+        try:
+            dec = fc.decode_chunk(intra, deltas, codec)
+        finally:
+            fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = saved
+        psnrs[name] = min(_psnr(dec[t], ref[t]) for t in range(T))
+    assert psnrs["esc"] >= 40.0, psnrs
+    assert psnrs["esc"] >= psnrs["clip"] - 0.1, psnrs
+
+
+def test_escape_native_decoder_parity():
+    """Scalar C++ and (when available) AVX-512 chunk decoders must
+    reproduce the numpy escape-substitution path bit-for-bit up to the
+    usual +-1 float-association gray level — same exception stream walk
+    order (frame, strip, block, position)."""
+    from maua_tpu import native
+    import maua_tpu.ops.framecodec as fcmod
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    frames = _heavy_tail_frames()
+    codec = fc.calibrate_chunk(frames[:4], escape="force")
+    assert codec.esc_cap_y > 0
+    T = frames.shape[0]
+    intra, deltas = fc.encode_chunk(jnp.asarray(frames), codec)
+    intra, deltas = np.asarray(intra), np.asarray(deltas)
+
+    saved = fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED
+    fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = None, True
+    try:
+        via_numpy = fc.decode_chunk(intra, deltas, codec)
+    finally:
+        fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = saved
+
+    lib = native._lib()
+    paths = [("dispatch", None)]
+    if lib.framecodec_simd_available():
+        paths.append(("scalar", 0))  # force the scalar kernel too
+    for name, force in paths:
+        orig = lib.framecodec_simd_available
+        try:
+            if force is not None:
+                lib.framecodec_simd_available = lambda: force
+            via_native = native.framecodec_decode_chunk_u8(intra, deltas, codec, T)
+        finally:
+            lib.framecodec_simd_available = orig
+        diff = np.abs(via_native.astype(np.int32) - via_numpy.astype(np.int32))
+        assert diff.max() <= 1, (name, diff.max())
+        assert (diff > 0).mean() < 0.01, name
+
+
+def test_escape_capacity_overflow_degrades_to_clip():
+    """When a chunk produces more escapes than the calibrated capacity,
+    the encoder must degrade the overflow (suffix) to the old clipped
+    behavior — static shapes hold, decode stays consistent across numpy
+    and native, and quality degrades gracefully instead of corrupting."""
+    import dataclasses
+
+    from maua_tpu import native
+    import maua_tpu.ops.framecodec as fcmod
+
+    frames = _heavy_tail_frames()
+    codec = fc.calibrate_chunk(frames[:4], escape="force")
+    assert codec.esc_cap_y > 8
+    tiny = dataclasses.replace(codec, esc_cap_y=8)
+    T = frames.shape[0]
+    intra, deltas = fc.encode_chunk(jnp.asarray(frames), tiny)
+    intra, deltas = np.asarray(intra), np.asarray(deltas)
+    assert deltas.shape == (tiny.delta_bytes(T),)
+    saved = fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED
+    fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = None, True
+    try:
+        via_numpy = fc.decode_chunk(intra, deltas, tiny)
+    finally:
+        fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = saved
+    ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
+    # clipped-overflow quality floor: still a usable frame, not garbage
+    assert _psnr(via_numpy, ref) > 30.0
+    if native.available():
+        via_native = native.framecodec_decode_chunk_u8(intra, deltas, tiny, T)
+        diff = np.abs(via_native.astype(np.int32) - via_numpy.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
