@@ -98,8 +98,53 @@ def get_flow_model(which: Sequence[str] = ("farneback",)) -> Callable:
     for name in which:
         if name == "farneback":
             fns.append(farneback_flow)
-        elif name in ("hs", "jax", "unflow"):
+        elif name in ("hs", "jax"):
             fns.append(lambda a, b: np.asarray(jax_flow(a, b)))
+        elif name == "unflow":
+            # TPU-native UnFlow-CSS (flow/unflow.py); weights convert
+            # from the published network-css.pytorch when present
+            import os
+
+            from . import unflow as unflow_mod
+            from ..utility import MODELZOO
+
+            uf_params = None
+            for fname in ("unflow.pth", "network-css.pytorch", "unflow_css.pth"):
+                ckpt = os.path.join(MODELZOO, fname)
+                if os.path.exists(ckpt):
+                    try:
+                        import torch
+
+                        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+                        sd = {k: v.float().numpy() for k, v in sd.items()}
+                        uf_params = unflow_mod.params_from_torch(sd)
+                        break
+                    except Exception as e:
+                        print(f"unflow checkpoint load failed ({e}); using random init")
+            fns.append(lambda a, b, _p=uf_params: unflow_mod.unflow_flow(a, b, params=_p))
+        elif name == "liteflownet":
+            # TPU-native LiteFlowNet (flow/liteflownet.py); weights
+            # convert from the sniklaus network-default.pytorch
+            import os
+
+            from . import liteflownet as lfn_mod
+            from ..utility import MODELZOO
+
+            lfn_params = None
+            for fname in ("liteflownet.pth", "network-default-lfn.pytorch",
+                          "liteflownet_default.pth"):
+                ckpt = os.path.join(MODELZOO, fname)
+                if os.path.exists(ckpt):
+                    try:
+                        import torch
+
+                        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+                        sd = {k: v.float().numpy() for k, v in sd.items()}
+                        lfn_params = lfn_mod.params_from_torch(sd)
+                        break
+                    except Exception as e:
+                        print(f"liteflownet checkpoint load failed ({e}); using random init")
+            fns.append(lambda a, b, _p=lfn_params: lfn_mod.liteflownet_flow(a, b, params=_p))
         elif name in ("raft", "gma", "raft_large"):
             # TPU-native RAFT / GMA (flow/raft.py); weights convert
             # from torchvision raft_large or the published GMA
@@ -157,10 +202,9 @@ def get_flow_model(which: Sequence[str] = ("farneback",)) -> Callable:
                     except Exception as e:
                         print(f"pwc checkpoint load failed ({e}); using random init")
             fns.append(lambda a, b, _p=pwc_params: pwc_mod.pwc_flow(a, b, params=_p))
-        elif name in ("spynet", "liteflownet"):
-            # TPU-native SpyNet (flow/spynet.py) covers the sniklaus
-            # pyramidal-estimator role; weights convert from the
-            # published pytorch-spynet checkpoints in modelzoo/
+        elif name == "spynet":
+            # TPU-native SpyNet (flow/spynet.py); weights convert from
+            # the published pytorch-spynet checkpoints in modelzoo/
             import os
 
             from . import spynet as spynet_mod

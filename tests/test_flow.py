@@ -334,3 +334,178 @@ def test_pwc_converter_roundtrip_forward():
     out = pwc.pwc_forward(params, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
     assert out.shape == (1, 16, 16, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_liteflownet_shapes_and_ensemble():
+    from maua_tpu.flow import liteflownet as lfn, models
+
+    f1, f2 = _shifted_pair(shift=2)
+    flow = lfn.liteflownet_flow(f1, f2)
+    assert flow.shape == (*f1.shape[:2], 2)
+    assert np.isfinite(flow).all()
+    model = models.get_flow_model(("liteflownet",))
+    out = model(f1, f2)
+    assert out.shape == (*f1.shape[:2], 2)
+
+
+def test_unflow_shapes_and_ensemble():
+    from maua_tpu.flow import models, unflow as uf
+
+    f1, f2 = _shifted_pair(shift=2)
+    flow = uf.unflow_flow(f1, f2)
+    assert flow.shape == (*f1.shape[:2], 2)
+    assert np.isfinite(flow).all()
+    model = models.get_flow_model(("unflow",))
+    out = model(f1, f2)
+    assert out.shape == (*f1.shape[:2], 2)
+
+
+def test_liteflownet_grouped_deconv_matches_torch():
+    """The grouped (1ch/group, no bias) lhs-dilated deconv must equal
+    torch ConvTranspose2d(C, C, 4, 2, 1, groups=C, bias=False) — the
+    reference's netUpflow/netUpcorr modules."""
+    torch = pytest.importorskip("torch")
+    from maua_tpu.flow import liteflownet as lfn
+
+    rs = np.random.RandomState(7)
+    C = 2
+    x = rs.randn(1, 6, 5, C).astype(np.float32)
+    w = rs.randn(C, 1, 4, 4).astype(np.float32)
+    ref = torch.nn.functional.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
+        None, stride=2, padding=1, groups=C,
+    ).numpy().transpose(0, 2, 3, 1)
+    wf = jnp.asarray(w[:, 0, ::-1, ::-1].transpose(1, 2, 0)[..., None, :])
+    ours = np.asarray(lfn._deconv_grouped(jnp.asarray(x), wf))
+    assert ours.shape == ref.shape
+    assert np.abs(ours - ref).max() < 1e-5
+
+
+def test_liteflownet_strided_correlation_matches_torch_loop():
+    """The stride-2 cost volume (netUpcorr levels) must equal an
+    explicit torch loop: correlation evaluated on the half-resolution
+    spatial lattice, displacement window +-3, channel mean, lrelu."""
+    torch = pytest.importorskip("torch")
+    from maua_tpu.flow import liteflownet as lfn
+
+    rs = np.random.RandomState(8)
+    f1 = rs.randn(1, 8, 10, 5).astype(np.float32)
+    f2 = rs.randn(1, 8, 10, 5).astype(np.float32)
+    ours = np.asarray(lfn._correlation(jnp.asarray(f1), jnp.asarray(f2), stride=2))
+    t1 = torch.from_numpy(f1.transpose(0, 3, 1, 2))[:, :, ::2, ::2]
+    t2 = torch.nn.functional.pad(torch.from_numpy(f2.transpose(0, 3, 1, 2)), (3, 3, 3, 3))
+    refs = []
+    for dy in range(7):
+        for dx in range(7):
+            s = t2[:, :, dy : dy + 8 : 2, dx : dx + 10 : 2]
+            refs.append((t1 * s).mean(dim=1))
+    ref = torch.stack(refs, dim=-1).numpy()[0].transpose(0, 1, 2)
+    ref = np.where(ref > 0, ref, 0.1 * ref)
+    assert np.abs(ours[0] - ref).max() < 1e-5
+
+
+def test_liteflownet_regularization_preserves_constant_flow():
+    """The distance-softmax local filtering is a convex re-averaging of
+    the flow window: a spatially constant flow field must pass through
+    unchanged regardless of the learned distance logits (partition of
+    unity: netScaleX/Y with all-ones 1x1 weights and the divisor)."""
+    from maua_tpu.flow import liteflownet as lfn
+
+    params = lfn.init_params(jax.random.PRNGKey(3))
+    lvl = 6
+    p = jax.tree_util.tree_map(lambda x: x, params[f"regularization{lvl}"])
+    p["scale_x"] = [{"w": jnp.ones_like(params[f"regularization{lvl}"]["scale_x"][0]["w"]),
+                     "b": jnp.zeros((1,))}]
+    p["scale_y"] = [{"w": jnp.ones_like(params[f"regularization{lvl}"]["scale_y"][0]["w"]),
+                     "b": jnp.zeros((1,))}]
+    rs = np.random.RandomState(9)
+    im1 = jnp.asarray(rs.rand(1, 8, 8, 3), jnp.float32)
+    im2 = jnp.asarray(rs.rand(1, 8, 8, 3), jnp.float32)
+    feat = jnp.asarray(rs.rand(1, 8, 8, 192), jnp.float32)
+    flow = jnp.full((1, 8, 8, 2), 0.7, jnp.float32)
+    out = np.asarray(lfn._regularization(p, lvl, im1, im2, feat, flow))
+    # interior pixels see a full window of the constant flow; the
+    # zero-padded border mixes in zeros, so check the interior only
+    assert np.abs(out[:, 2:-2, 2:-2] - 0.7).max() < 1e-5
+
+
+def test_liteflownet_converter_roundtrip_forward():
+    """A synthetic state dict in the sniklaus key layout (ModuleList
+    index 0 = FINEST level 2) must convert and run the full forward;
+    level ordering is pinned by per-level-distinct biases on the final
+    Matching flow conv."""
+    from maua_tpu.flow import liteflownet as lfn
+
+    rs = np.random.RandomState(11)
+    sd = {}
+
+    def put_seq(prefix, specs, bias_val=0.0):
+        for i, (kh, kw, ci, co) in enumerate(specs):
+            sd[f"{prefix}.{2*i}.weight"] = rs.randn(co, ci, kh, kw).astype(np.float32) * 0.02
+            sd[f"{prefix}.{2*i}.bias"] = np.full(co, bias_val, np.float32)
+
+    for name, specs in lfn._feature_specs().items():
+        put_seq(f"netFeatures.net{name.capitalize()}", specs)
+    lvl_bias = {2: 0.11, 3: 0.22, 4: 0.33, 5: 0.44, 6: 0.55}
+    for i, lvl in enumerate(lfn.LEVELS):
+        ms = lfn._matching_specs(lvl)
+        put_seq(f"netMatching.{i}.netFeat", ms["feat"])
+        put_seq(f"netMatching.{i}.netMain", ms["main"], bias_val=lvl_bias[lvl])
+        if ms["upflow"]:
+            sd[f"netMatching.{i}.netUpflow.weight"] = rs.randn(2, 1, 4, 4).astype(np.float32) * 0.1
+        if ms["upcorr"]:
+            sd[f"netMatching.{i}.netUpcorr.weight"] = rs.randn(49, 1, 4, 4).astype(np.float32) * 0.1
+        ss = lfn._subpixel_specs(lvl)
+        put_seq(f"netSubpixel.{i}.netFeat", ss["feat"])
+        put_seq(f"netSubpixel.{i}.netMain", ss["main"])
+        rg = lfn._regularization_specs(lvl)
+        put_seq(f"netRegularization.{i}.netFeat", rg["feat"])
+        put_seq(f"netRegularization.{i}.netMain", rg["main"])
+        put_seq(f"netRegularization.{i}.netDist", rg["dist"])
+        put_seq(f"netRegularization.{i}.netScaleX", rg["scale_x"])
+        put_seq(f"netRegularization.{i}.netScaleY", rg["scale_y"])
+
+    params = lfn.params_from_torch(sd)
+    # ordering pin: ModuleList index i landed at level i+2
+    for i, lvl in enumerate(lfn.LEVELS):
+        got = float(np.asarray(params[f"matching{lvl}"]["main"][-1]["b"][0]))
+        assert abs(got - lvl_bias[lvl]) < 1e-6, (lvl, got)
+    out = lfn.liteflownet_forward(params, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 32, 32, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unflow_converter_roundtrip_forward():
+    """A synthetic state dict in the pytorch-unflow key layout
+    (netFlownets ModuleList, stage 0 = FlowNetC) must convert and run
+    the stacked CSS forward with correct shapes."""
+    from maua_tpu.flow import unflow as uf
+
+    rs = np.random.RandomState(12)
+    sd = {}
+
+    def put_conv(name, kh, kw, ci, co):
+        sd[f"{name}.weight"] = rs.randn(co, ci, kh, kw).astype(np.float32) * 0.02
+        sd[f"{name}.bias"] = np.zeros(co, np.float32)
+
+    def put_deconv(name, ci, co):
+        sd[f"{name}.weight"] = rs.randn(ci, co, 4, 4).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros(co, np.float32)
+
+    for s in range(3):
+        pre = f"netFlownets.{s}"
+        for name, k, ci, co, _ in uf._stage_specs(complex_=(s == 0)):
+            put_conv(f"{pre}.net{name.title().replace('_', '')}.0", k, k, ci, co)
+        put_conv(f"{pre}.netUpconv.netSixOut.0", 3, 3, 1024, 2)
+        for name, co, cin in uf._DEC:
+            put_deconv(f"{pre}.netUpconv.net{name.title()}Next.0", cin, co)
+            put_deconv(f"{pre}.netUpconv.net{name.title()}Up.0", 2, 2)
+        put_conv(f"{pre}.netUpconv.netFivOut.0", 3, 3, 512 + 512 + 2, 2)
+        put_conv(f"{pre}.netUpconv.netFouOut.0", 3, 3, 512 + 256 + 2, 2)
+        put_conv(f"{pre}.netUpconv.netThrOut.0", 3, 3, 256 + 128 + 2, 2)
+        put_conv(f"{pre}.netUpconv.netTwoOut.0", 3, 3, 128 + 64 + 2, 2)
+
+    params = uf.params_from_torch(sd)
+    out = uf.unflow_forward(params, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 64, 64, 2)
+    assert np.isfinite(np.asarray(out)).all()
