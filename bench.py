@@ -167,15 +167,43 @@ def main():
         smooth = frac * frac * (3.0 - 2.0 * frac)  # smoothstep easing
         return (1.0 - smooth) * kf[i0] + smooth * kf[i1]
 
-    def render_frames(params, noises_b, c):
+    # MAUA_BENCH_NOISE=rotate renders with PER-FRAME noise modulation
+    # (LoopNoise-style Gaussian-preserving rotation between two noise
+    # states over the latent loop, the audio-reactive patch behavior —
+    # `maua/audiovisual/patches/primitives/noise.py:6-58`) instead of
+    # fixed buffers, to measure what per-frame noise costs the
+    # delivery rate (bpp goes up with the delta statistics).
+    noise_mode = os.environ.get("MAUA_BENCH_NOISE", "fixed")
+    noises2 = None
+    if noise_mode == "rotate":
+        key2 = jax.random.PRNGKey(7)
+        noises2 = {}
+        for k, v in noises.items():
+            key2, sub = jax.random.split(key2)
+            noises2[k] = jax.random.normal(sub, v.shape, v.dtype)
+
+    def render_frames(params, noises_b, c, noises2_b=None):
         idx = c * e2e_batch + jnp.arange(e2e_batch)
-        img = fs.synthesis_fast(params, plan, _ws_at(idx), cfg, noises=noises_b)
+        nb = noises_b
+        if noises2_b is not None:
+            theta = (idx.astype(jnp.float32) / loop_frames * 2.0 * np.pi)
+            nb = {}
+            for k in noises_b:
+                t = theta.reshape((-1,) + (1,) * (noises_b[k].ndim - 1))
+                nb[k] = (jnp.cos(t) * noises_b[k].astype(jnp.float32)
+                         + jnp.sin(t) * noises2_b[k].astype(jnp.float32)).astype(noises_b[k].dtype)
+        img = fs.synthesis_fast(params, plan, _ws_at(idx), cfg, noises=nb)
         return jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
 
     from maua_tpu.ops.video import fetch_parallel
 
-    render_rgb = jax.jit(render_frames)
     noises_b = {k: v[:e2e_batch] for k, v in noises.items()}
+    if noise_mode == "rotate":
+        noises2_b = {k: v[:e2e_batch] for k, v in noises2.items()}
+        render_rgb = jax.jit(lambda p, n, c: render_frames(p, n, c, noises2_b))
+        print("bench.py e2e: per-frame LoopNoise rotation ON", file=sys.stderr)
+    else:
+        render_rgb = jax.jit(render_frames)
     # calibrate on an 8-frame prefix: plenty of block statistics
     # (7 deltas x 16k blocks) at 1/4 the raw-RGB calibration fetch
     rgb0 = fetch_parallel(render_rgb(params, noises_b, jnp.int32(0))[:8])

@@ -265,6 +265,69 @@ def conv2d_resample(
     )
 
 
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C) cell grid; channel index is
+    (p*2+q)*C + c for fine position (p, q) inside the 2x2 cell."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def depth_to_space(x: jax.Array) -> jax.Array:
+    """Inverse of `space_to_depth`."""
+    B, h, w, C4 = x.shape
+    C = C4 // 4
+    x = x.reshape(B, h, w, 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * h, 2 * w, C)
+
+
+def s2d_cell_kernel(w: jax.Array) -> jax.Array:
+    """Lift a 3x3 HWIO kernel to the 2x2-cell grid: the stride-1 SAME
+    conv on the fine grid equals a 3x3 SAME conv between
+    `space_to_depth` grids with this (3, 3, 4Ci, 4Co) kernel.
+
+    Fine output row 2I+p' draws on fine rows 2I+p'+d (d in [-1,1]) =
+    cell row I+a, phase p with 2a+p = p'+d; blocks outside that
+    relation are zero. The dense cell conv runs 4x the fine FLOPs, but
+    with 4x the channels it keeps the MXU's 128 lanes full where the
+    fine conv idles on lane padding (Ci/Co < 128 at large spatial
+    sizes) — measured net wins on the SG3 tail and RRDB trunks."""
+    kh, kw, ci, co = w.shape
+    if (kh, kw) != (3, 3):
+        raise ValueError("s2d_cell_kernel supports 3x3 kernels")
+    blocks = []
+    for a in (-1, 0, 1):
+        row = []
+        for b in (-1, 0, 1):
+            # (4Ci, 4Co) block for cell offset (a, b)
+            cell = []
+            for p in (0, 1):
+                for q in (0, 1):
+                    rowb = []
+                    for pp in (0, 1):
+                        for qq in (0, 1):
+                            d = 2 * a + p - pp
+                            e = 2 * b + q - qq
+                            if -1 <= d <= 1 and -1 <= e <= 1:
+                                rowb.append(w[d + 1, e + 1])
+                            else:
+                                rowb.append(jnp.zeros((ci, co), w.dtype))
+                    cell.append(jnp.concatenate(rowb, axis=1))  # (ci, 4co)
+            row.append(jnp.concatenate(cell, axis=0))  # (4ci, 4co)
+        blocks.append(jnp.stack(row))  # (3, 4ci, 4co)
+    return jnp.stack(blocks)  # (3, 3, 4ci, 4co)
+
+
+def conv2d_s2d(x: jax.Array, w: jax.Array) -> jax.Array:
+    """SAME-padded stride-1 3x3 conv evaluated on the 2x2 cell grid
+    (`s2d_cell_kernel`); exact vs the direct conv for even H, W."""
+    y = jax.lax.conv_general_dilated(
+        space_to_depth(x), s2d_cell_kernel(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=_DN,
+    )
+    return depth_to_space(y)
+
+
 def modulated_conv2d(
     x: jax.Array,  # (B, H, W, Ci)
     weight: jax.Array,  # (kh, kw, Ci, Co) HWIO
@@ -275,6 +338,7 @@ def modulated_conv2d(
     padding: int = 0,
     resample_filter: Optional[np.ndarray] = None,
     demodulate: bool = True,
+    s2d: bool = False,
 ) -> jax.Array:
     """Style-modulated conv (`inference/ops.py:146-186`), reformulated
     as input-scale -> shared conv -> output-demod so the conv stays one
@@ -288,7 +352,13 @@ def modulated_conv2d(
     """
     in_dtype = x.dtype
     x = x * styles.astype(in_dtype)[:, None, None, :]
-    y = conv2d_resample(x, weight.astype(in_dtype), f=resample_filter, up=up, down=down, padding=padding)
+    if s2d and up == 1 and down == 1 and weight.shape[:2] == (3, 3) and padding == 1 \
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        # cell-grid evaluation: 4x FLOPs, full MXU lanes (see
+        # s2d_cell_kernel) — the winning trade at Co < 128 and large H
+        y = conv2d_s2d(x, weight.astype(in_dtype))
+    else:
+        y = conv2d_resample(x, weight.astype(in_dtype), f=resample_filter, up=up, down=down, padding=padding)
     if demodulate:
         w32 = weight.astype(jnp.float32)
         w2 = jnp.sum(jnp.square(w32), axis=(0, 1))  # (Ci, Co)

@@ -277,8 +277,20 @@ def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[j
         if int8_plan is not None and f"L{i}" in int8_plan:
             x = _modconv_int8(x, int8_plan[f"L{i}"], w, styles)
         else:
+            import os
+
+            # dense space-to-depth for the lane-starved tail convs was
+            # measured on chip and REJECTED: 25.6 -> 19.6 fps at batch 8
+            # (4x FLOP inflation beats the lane-padding win; the direct
+            # conv already sits near the HBM roofline at these shapes).
+            # Kept opt-in for profiling (MAUA_SG3_S2D=1).
+            use_s2d = (os.environ.get("MAUA_SG3_S2D", "0") == "1"
+                       and not is_torgb and w.shape[0] == 3
+                       and w.shape[-1] < 128 and min(x.shape[1], x.shape[2]) >= 512
+                       and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                       and jax.default_backend() in ("tpu", "axon"))
             x = ops.modulated_conv2d(x, w.astype(x.dtype), styles, padding=w.shape[0] // 2,
-                                     demodulate=not is_torgb)
+                                     demodulate=not is_torgb, s2d=use_s2d)
         x = x + layer["bias"].astype(x.dtype)
 
         if is_torgb:

@@ -12,6 +12,9 @@ import pytest
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
 from maua_tpu.gan import ops as gops  # noqa: E402
 
 
@@ -212,3 +215,46 @@ def test_normalize_2nd_moment():
     out = np.asarray(gops.normalize_2nd_moment(x))
     ref = x / np.sqrt(np.mean(x**2, axis=-1, keepdims=True) + 1e-8)
     assert np.allclose(out, ref, atol=1e-5)
+
+
+def test_space_to_depth_roundtrip():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 12, 5).astype(np.float32))
+    cells = gops.space_to_depth(x)
+    assert cells.shape == (2, 4, 6, 20)
+    assert np.allclose(np.asarray(gops.depth_to_space(cells)), np.asarray(x))
+    # channel order: (p*2+q)*C + c
+    assert np.allclose(np.asarray(cells[0, 0, 0, 5:10]), np.asarray(x[0, 0, 1, :]))
+    assert np.allclose(np.asarray(cells[0, 0, 0, 10:15]), np.asarray(x[0, 1, 0, :]))
+
+
+def test_conv2d_s2d_exact_vs_direct():
+    """The cell-grid 3x3 conv (4x FLOPs, full MXU lanes) must equal the
+    direct SAME conv bit-for-bit up to float association — including at
+    the borders, where the cell conv's 2-fine-pixel padding must
+    reproduce the fine conv's 1-pixel zero pad."""
+    rs = np.random.RandomState(1)
+    for (h, w, ci, co) in [(8, 8, 3, 5), (16, 12, 7, 4), (6, 10, 1, 1)]:
+        x = jnp.asarray(rs.randn(2, h, w, ci).astype(np.float32))
+        k = jnp.asarray(rs.randn(3, 3, ci, co).astype(np.float32))
+        direct = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        cell = gops.conv2d_s2d(x, k)
+        assert np.abs(np.asarray(cell) - np.asarray(direct)).max() < 1e-4, (h, w, ci, co)
+
+
+def test_modulated_conv2d_s2d_matches_plain():
+    """modulated_conv2d(s2d=True) must match the default path (same
+    modulation/demodulation, conv evaluated on the cell grid)."""
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 12, 12, 6).astype(np.float32))
+    w = jnp.asarray(rs.randn(3, 3, 6, 9).astype(np.float32) * 0.2)
+    styles = jnp.asarray(rs.rand(2, 6).astype(np.float32) + 0.5)
+    a = gops.modulated_conv2d(x, w, styles, padding=1, demodulate=True)
+    b = gops.modulated_conv2d(x, w, styles, padding=1, demodulate=True, s2d=True)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
+    # odd spatial size must fall back to the direct path (still correct)
+    x3 = jnp.asarray(rs.randn(2, 11, 12, 6).astype(np.float32))
+    a3 = gops.modulated_conv2d(x3, w, styles, padding=1, demodulate=True)
+    b3 = gops.modulated_conv2d(x3, w, styles, padding=1, demodulate=True, s2d=True)
+    assert np.abs(np.asarray(a3) - np.asarray(b3)).max() < 1e-4
