@@ -73,6 +73,9 @@ def _build() -> Optional[ctypes.CDLL]:
         # escape-coded delta positions: per-(frame,strip) exception
         # stream offsets + exact int16 values (NULL = no escapes)
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int16),
+        # per-position prediction-order flags (64 int64, 1 = order-2 /
+        # second difference; NULL = all order-1)
+        _i64p,
     ]
     lib.framecodec_decode_plane_chunk_u8.restype = ctypes.c_int
     lib.framecodec_decode_plane_chunk_u8.argtypes = chunk_sig
@@ -261,21 +264,30 @@ def framecodec_decode_chunk_u8(intra: np.ndarray, deltas, codec, n_frames: int) 
     off_u, val_u, eoff = esc_arrays(eoff, ecc, evc)
     off_v, val_v, eoff = esc_arrays(eoff, ecc, evc)
 
+    def ord_arr(flags):
+        if not flags:
+            return None
+        return np.ascontiguousarray(np.asarray(flags, np.int64))
+
+    o2y, o2c = ord_arr(getattr(codec, "order2_y", ())), ord_arr(getattr(codec, "order2_c", ()))
     plane_geom = [
         (H, W, 0, ci.plane_bytes_y, flat[:sy], ks_full, ci.strip_y,
-         ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y, cd.groups_y, cd.qstep_y, off_y, val_y),
+         ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y, cd.groups_y, cd.qstep_y,
+         off_y, val_y, o2y),
         (H // 2, W // 2, H * W, ci.plane_bytes_c, flat[sy : sy + sc], ks_chroma, ci.strip_c,
-         ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c, off_u, val_u),
+         ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c,
+         off_u, val_u, o2c),
         (H // 2, W // 2, H * W + H * W // 4, ci.plane_bytes_c, flat[sy + sc : sy + 2 * sc],
          ks_chroma, ci.strip_c,
-         ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c, off_v, val_v),
+         ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c, cd.groups_c, cd.qstep_c,
+         off_v, val_v, o2c),
     ]
     ioff = 0
     base = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     _I32P = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     _I16P = lambda a: ctypes.cast(a.ctypes.data, ctypes.POINTER(ctypes.c_int16))
     for (ph, pw, out_off, isz, dsec, ks, strip, lev_i, grp_i, q_i, lev_d, grp_d, q_d,
-         eoffs, evals) in plane_geom:
+         eoffs, evals, o2) in plane_geom:
         nw_i, li, oi, xi, ri, pi = _codec_tables(lev_i, grp_i)
         nw_d, ld, od, xd, rd, pd = _codec_tables(lev_d, grp_d)
         isec = np.ascontiguousarray(intra[ioff : ioff + isz])
@@ -288,6 +300,7 @@ def framecodec_decode_chunk_u8(intra: np.ndarray, deltas, codec, n_frames: int) 
             dst, frame_stride,
             None if eoffs is None else _I32P(eoffs),
             None if evals is None else _I16P(evals),
+            None if o2 is None else _I64P(o2),
         )
         rc = 2
         if lib.framecodec_simd_available():

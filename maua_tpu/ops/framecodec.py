@@ -68,6 +68,20 @@ under a measured-rate blowout — degrade to the old clipped behavior).
 Level-count parity is the mode flag: odd = clipped (old behavior),
 even = base + escape; the unsigned centering offset (L-1)//2 equals m
 in BOTH modes, so the packed-word machinery is shared unchanged.
+
+Delta positions also choose a PREDICTION ORDER per position (static,
+calibrated): order-1 ships the frame-to-frame coefficient difference;
+order-2 ships the difference OF the differences (with C[-1] := C[0],
+so the first delta frame degenerates to order-1 automatically and the
+stream layout never changes). Render content is dominated by smooth
+latent interpolation, where coefficients move almost linearly in time
+— second differences are several times smaller than first differences
+at the busy low-frequency positions, which is worth 1-3 bits/symbol
+there; positions dominated by quantizer rounding jitter keep order-1
+(a second difference would triple the jitter variance). The decoder
+integrates order-2 positions twice (a per-position velocity
+accumulator in the C++/SIMD kernels; one extra cumsum in numpy);
+coding stays exact in the integer domain so there is still zero drift.
 """
 
 from __future__ import annotations
@@ -394,13 +408,20 @@ class ChunkCodec:
     esc_cap_y / esc_cap_c: calibrated exception-stream capacity PER
     DELTA FRAME per plane for the escape-coded delta positions (even
     level counts in `delta.levels_*`); 0 disables the escape sections
-    entirely (pure clipped coding, the pre-escape stream layout)."""
+    entirely (pure clipped coding, the pre-escape stream layout).
+
+    order2_y / order2_c: per-zigzag-position prediction order flags
+    (64 ints, 1 = the position ships second differences and the
+    decoder integrates it twice; empty tuple = all order-1, the
+    pre-order-2 stream semantics)."""
 
     intra: CodecConfig
     delta: CodecConfig
     chroma_step: int = 1
     esc_cap_y: int = 0
     esc_cap_c: int = 0
+    order2_y: Tuple[int, ...] = ()
+    order2_c: Tuple[int, ...] = ()
 
     @property
     def luma_delta_bytes(self) -> int:
@@ -449,15 +470,12 @@ class ChunkCodec:
         return 8.0 * self.chunk_bytes(n_frames) / (n_frames * self.intra.height * self.intra.width)
 
 
-def _delta_levels(planes, qstep: float, levels_i, margin: float) -> np.ndarray:
-    """Observed integer-coefficient deltas -> odd level counts. planes:
-    (T,...) sample planes; deltas are measured on the same quantized
-    grid the encoder ships, with a multiplicative safety margin (a
-    clipped out-of-range delta distorts the rest of its chunk — no
-    closed-loop correction until the next intra frame; the delivered
-    PSNR gates in bench.py/tests bound the damage)."""
-    C = _host_quantize_int(_host_block_dct(planes), qstep, levels_i)
-    d = np.abs(C[1:] - C[:-1]).reshape(-1, 64)
+def _levels_from_deltas(a: np.ndarray, live: np.ndarray, margin: float) -> np.ndarray:
+    """|deltas| (N, 64) -> odd level counts covering the observed range
+    with a multiplicative safety margin (a clipped out-of-range delta
+    distorts the rest of its chunk — no closed-loop correction until
+    the next intra frame; the delivered PSNR gates in bench.py/tests
+    bound the damage)."""
     # 99.9th-percentile range, not max: one busy block must not set
     # every block's bit budget (max-based allocation measured ~2 bits/
     # coef fatter on real content). The ~1e-3 of deltas beyond the
@@ -470,13 +488,32 @@ def _delta_levels(planes, qstep: float, levels_i, margin: float) -> np.ndarray:
     # (it IS the sample max, which still underestimates the population
     # tail), so small samples fall back to max coverage with the old
     # conservative margin.
-    if d.shape[0] >= 10_000:
-        dq = np.quantile(d, 0.999, axis=0) * margin
+    if a.shape[0] >= 10_000:
+        dq = np.quantile(a, 0.999, axis=0) * margin
     else:
-        dq = d.max(axis=0) * max(margin, 1.5)
-    live = np.asarray(levels_i, np.int64) > 1
+        dq = a.max(axis=0) * max(margin, 1.5)
     m = np.where(live, np.maximum(np.ceil(dq).astype(np.int64), 1), 0)
     return 2 * m + 1
+
+
+def _plane_diffs(planes, qstep: float, levels_i) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Quantized-coefficient temporal differences of sample planes:
+    (d1, d2, n_blocks) with d1/d2 flattened to (N, 64). d2 is the
+    second difference under the C[-1] := C[0] convention (its first
+    frame IS d1's first frame), exactly what `encode_chunk` ships for
+    order-2 positions."""
+    C = _host_quantize_int(_host_block_dct(planes), qstep, levels_i)
+    d1 = C[1:] - C[:-1]
+    d2 = np.concatenate([d1[:1], d1[1:] - d1[:-1]], axis=0) if d1.shape[0] else d1
+    return d1.reshape(-1, 64), d2.reshape(-1, 64), C.shape[1]
+
+
+def _delta_levels(planes, qstep: float, levels_i, margin: float) -> np.ndarray:
+    """Observed order-1 integer-coefficient deltas -> odd level counts
+    (back-compat wrapper over `_levels_from_deltas`)."""
+    d1, _, _ = _plane_diffs(planes, qstep, levels_i)
+    live = np.asarray(levels_i, np.int64) > 1
+    return _levels_from_deltas(np.abs(d1), live, margin)
 
 
 def _host_quantize_int(coefs, qstep: float, levels) -> np.ndarray:
@@ -484,43 +521,42 @@ def _host_quantize_int(coefs, qstep: float, levels) -> np.ndarray:
     return np.clip(np.round(np.asarray(coefs, np.float64) / qstep), -m, m).astype(np.int64)
 
 
-def _escape_delta_levels(planes, qstep: float, levels_i, margin: float,
-                         esc_bits: float = 18.0) -> Tuple[np.ndarray, float]:
-    """Per-position escape-coded delta plan: choose the base bound m
-    minimizing log2(2m+2) + P(|d|>m) * esc_bits (the exact int16
-    exception plus amortized counts/slack overhead), falling back to
-    the clipped plan (odd 2M+1) where that is cheaper. Returns (levels
-    — parity encodes the mode — and the expected escapes per delta
-    frame across the whole plane)."""
-    C = _host_quantize_int(_host_block_dct(planes), qstep, levels_i)
-    d = (C[1:] - C[:-1]).reshape(-1, 64)
-    n_blocks = C.shape[1]
+def _escape_plan(d: np.ndarray, live: np.ndarray, margin: float,
+                 esc_bits: float = 18.0) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-position escape-coded plan over observed integer deltas d
+    (N, 64): choose the base bound m minimizing log2(2m+2) + P(|d|>m) *
+    esc_bits (the exact int16 exception plus amortized counts/slack
+    overhead), falling back to the clipped plan (odd 2M+1) where that
+    is cheaper. Returns (levels — parity encodes the mode —, the
+    per-position expected bits/symbol, and the per-position escape
+    probability)."""
     a = np.abs(d)
-    live = np.asarray(levels_i, np.int64) > 1
-    clipped = _delta_levels(planes, qstep, levels_i, margin)
+    clipped = _levels_from_deltas(a, live, margin)
     levels = np.asarray(clipped, np.int64).copy()
-    esc_rate = 0.0
+    cost = np.where(live, np.log2(np.maximum(clipped.astype(np.float64), 1.0)), 0.0)
+    esc_p = np.zeros(64)
     for i in np.nonzero(live)[0]:
         col = np.sort(a[:, i])
         n = col.size
         hi = int(col[-1])
         qs = col[np.minimum((np.asarray([0.3, 0.5, 0.65, 0.8, 0.9, 0.95,
                                          0.98, 0.99, 0.995, 0.999]) * n).astype(np.int64), n - 1)]
-        best = (np.log2(max(float(clipped[i]), 1.0)), None, 0.0)  # clipped cost
+        best = (float(cost[i]), None, 0.0)  # clipped cost
         for m in np.unique(np.concatenate([[0, hi], qs])):
             p = float(np.mean(a[:, i] > m))
-            cost = np.log2(2.0 * m + 2.0) + p * esc_bits
-            if cost < best[0]:
-                best = (cost, int(m), p)
+            c = np.log2(2.0 * m + 2.0) + p * esc_bits
+            if c < best[0]:
+                best = (c, int(m), p)
         if best[1] is not None:
             levels[i] = 2 * best[1] + 2  # even = escape mode
-            esc_rate += best[2]
-    return levels, esc_rate * n_blocks
+            cost[i], esc_p[i] = best[0], best[2]
+    return levels, cost, esc_p
 
 
 def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5,
                     delta_margin: float = 1.3, chroma_step: str = "auto",
-                    escape: bool = True, esc_cap_margin: float = 1.5) -> ChunkCodec:
+                    escape: bool = True, esc_cap_margin: float = 1.5,
+                    order2: str = "auto") -> ChunkCodec:
     """Calibrate intra + delta plans from a sample chunk ((T,H,W,3)
     uint8 RGB, consecutive frames of the target content). The delta
     plan covers the observed quantized-coefficient deltas x margin; its
@@ -535,7 +571,15 @@ def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5,
     base alphabet + exact int16 exceptions beats the clipped plan
     (~14% fewer bits on bench content, and out-of-range deltas become
     exact instead of clipped); the exception capacity per delta frame
-    is the measured expected escape count x esc_cap_margin."""
+    is the measured expected escape count x esc_cap_margin.
+
+    order2="auto" additionally picks, per position, the prediction
+    order (first vs second temporal difference) with the lower
+    expected bits/symbol — smooth interpolation content moves
+    coefficients nearly linearly, so second differences are several
+    times smaller at the busy positions. False forces order-1
+    everywhere; "force" evaluates order-2 even on small samples (the
+    escape-rate caveat above applies)."""
     rgb = np.asarray(frames)
     T, H, W, _ = rgb.shape
     if H % 16 or W % 16:
@@ -556,32 +600,71 @@ def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5,
         step = 2
 
     us, vs = (u[::step], v[::step]) if step > 1 else (u, v)
+    live_y = np.asarray(intra.levels_y, np.int64) > 1
+    live_c = np.asarray(intra.levels_c, np.int64) > 1
+    d1y, d2y, nb_y = _plane_diffs(y, intra.qstep_y, intra.levels_y)
+    d1u, d2u, nb_c = _plane_diffs(us, intra.qstep_c, intra.levels_c)
+    d1v, d2v, _ = _plane_diffs(vs, intra.qstep_c, intra.levels_c)
+    # order-2 stats need more than one second difference to mean
+    # anything (T >= 3 coded frames on the relevant lattice)
+    try_o2 = order2 in ("auto", "force", True) and d1y.shape[0] >= 2 * nb_y
+    try_o2_c = try_o2 and d1u.shape[0] >= 2 * nb_c
+    o2y = np.zeros(64, bool)
+    o2c = np.zeros(64, bool)
     cap_y = cap_c = 0
     # small samples make the per-position escape-rate estimates pure
     # noise — fall back to clipped coding below ~10k delta blocks
     # (escape="force" overrides, for tests/small content)
     if escape and ((T - 1) * (H // 8) * (W // 8) >= 10_000 or escape == "force"):
-        ly, ry = _escape_delta_levels(y, intra.qstep_y, intra.levels_y, delta_margin)
-        lu, ru = _escape_delta_levels(us, intra.qstep_c, intra.levels_c, delta_margin)
-        lv, rv = _escape_delta_levels(vs, intra.qstep_c, intra.levels_c, delta_margin)
+        ly1, cy1, ry1 = _escape_plan(d1y, live_y, delta_margin)
+        lu1, cu1, ru1 = _escape_plan(d1u, live_c, delta_margin)
+        lv1, cv1, rv1 = _escape_plan(d1v, live_c, delta_margin)
+        ly, ry_pos = ly1, ry1
+        lu, ru_pos, lv, rv_pos = lu1, ru1, lv1, rv1
+        if try_o2:
+            ly2, cy2, ry2 = _escape_plan(d2y, live_y, delta_margin)
+            o2y = cy2 < cy1 - 1e-9
+            ly = np.where(o2y, ly2, ly1)
+            ry_pos = np.where(o2y, ry2, ry1)
+        if try_o2_c:
+            lu2, cu2, ru2 = _escape_plan(d2u, live_c, delta_margin)
+            lv2, cv2, rv2 = _escape_plan(d2v, live_c, delta_margin)
+            # u and v share one plan, so they share the order decision
+            o2c = (cu2 + cv2) < (cu1 + cv1) - 1e-9
+            lu, ru_pos = np.where(o2c, lu2, lu1), np.where(o2c, ru2, ru1)
+            lv, rv_pos = np.where(o2c, lv2, lv1), np.where(o2c, rv2, rv1)
         # u and v share one plan: per position keep whichever mode/size
         # covers both (max radix; escape beats clipped when either chose it)
         lc = np.maximum(lu, lv)
+        ry = float(ry_pos.sum()) * nb_y
+        rc = float(np.maximum(ru_pos, rv_pos).sum()) * nb_c
         cap_y = int(np.ceil(ry * esc_cap_margin)) + 64 if (ly % 2 == 0).any() else 0
-        cap_c = int(np.ceil(max(ru, rv) * esc_cap_margin)) + 64 if (lc % 2 == 0).any() else 0
+        cap_c = int(np.ceil(rc * esc_cap_margin)) + 64 if (lc % 2 == 0).any() else 0
     else:
-        ly = _delta_levels(y, intra.qstep_y, intra.levels_y, delta_margin)
-        lc = np.maximum(
-            _delta_levels(us, intra.qstep_c, intra.levels_c, delta_margin),
-            _delta_levels(vs, intra.qstep_c, intra.levels_c, delta_margin),
-        )
+        ly1 = _levels_from_deltas(np.abs(d1y), live_y, delta_margin)
+        lu1 = _levels_from_deltas(np.abs(d1u), live_c, delta_margin)
+        lv1 = _levels_from_deltas(np.abs(d1v), live_c, delta_margin)
+        ly, lu, lv = ly1, lu1, lv1
+        if order2 == "force" and try_o2:
+            ly2 = _levels_from_deltas(np.abs(d2y), live_y, delta_margin)
+            o2y = ly2 < ly1
+            ly = np.where(o2y, ly2, ly1)
+            if try_o2_c:
+                lu2 = _levels_from_deltas(np.abs(d2u), live_c, delta_margin)
+                lv2 = _levels_from_deltas(np.abs(d2v), live_c, delta_margin)
+                o2c = (lu2.astype(np.int64) * lv2) < (lu1.astype(np.int64) * lv1)
+                lu = np.where(o2c, lu2, lu1)
+                lv = np.where(o2c, lv2, lv1)
+        lc = np.maximum(lu, lv)
     delta = CodecConfig(
         height=H, width=W, qstep_y=intra.qstep_y, qstep_c=intra.qstep_c,
         levels_y=tuple(int(x) for x in ly), levels_c=tuple(int(x) for x in lc),
         groups_y=_plan_words(ly, intra.strip_y), groups_c=_plan_words(lc, intra.strip_c),
     )
     return ChunkCodec(intra=intra, delta=delta, chroma_step=step,
-                      esc_cap_y=cap_y, esc_cap_c=cap_c)
+                      esc_cap_y=cap_y, esc_cap_c=cap_c,
+                      order2_y=tuple(int(x) for x in o2y) if o2y.any() else (),
+                      order2_c=tuple(int(x) for x in o2c) if o2c.any() else ())
 
 
 def encode_chunk(rgb, codec: ChunkCodec):
@@ -612,7 +695,8 @@ def encode_chunk(rgb, codec: ChunkCodec):
         return jnp.stack([(x_u32 & 0xFF).astype(jnp.uint8),
                           ((x_u32 >> 8) & 0xFF).astype(jnp.uint8)], axis=-1)
 
-    def plane(pl, lev_i, grp_i, q_i, lev_d, grp_d, strip, cap_frame, keyframes=None):
+    def plane(pl, lev_i, grp_i, q_i, lev_d, grp_d, strip, cap_frame, keyframes=None,
+              order2=None):
         mi = jnp.asarray((np.asarray(lev_i, np.int64) - 1) // 2, jnp.float32)
         C = jnp.clip(jnp.round(_block_dct_device(pl) / q_i), -mi, mi).astype(jnp.int32)
         intra_p = _pack_device(C[:1] + mi.astype(jnp.int32), lev_i, grp_i, strip)
@@ -621,6 +705,13 @@ def encode_chunk(rgb, codec: ChunkCodec):
         lev_np = np.asarray(lev_d, np.int64)
         md = jnp.asarray((lev_np - 1) // 2, jnp.int32)  # == m in both modes
         d = C[1:] - C[:-1]
+        o2 = np.zeros(64, bool) if not order2 else np.asarray(order2, bool)
+        if o2.any() and d.shape[0] > 1:
+            # order-2 positions ship the second difference (C[-1] :=
+            # C[0], so the first delta frame stays the first difference
+            # and the stream layout is unchanged)
+            d2 = jnp.concatenate([d[:1], d[1:] - d[:-1]], axis=0)
+            d = jnp.where(jnp.asarray(o2)[None, None, :], d2, d)
         esc_np = (lev_np % 2 == 0) & (lev_np > 1)
         F, nb, _ = d.shape
         if cap_frame == 0 or F == 0 or not esc_np.any():
@@ -652,11 +743,14 @@ def encode_chunk(rgb, codec: ChunkCodec):
 
     chroma_ks = ks if codec.chroma_step > 1 else None
     iy, dy, cy, vy = plane(y, ci.levels_y, ci.groups_y, ci.qstep_y, cd.levels_y,
-                           cd.groups_y, ci.strip_y, codec.esc_cap_y)
+                           cd.groups_y, ci.strip_y, codec.esc_cap_y,
+                           order2=codec.order2_y)
     iu, du, cu, vu = plane(u, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c,
-                           cd.groups_c, ci.strip_c, codec.esc_cap_c, chroma_ks)
+                           cd.groups_c, ci.strip_c, codec.esc_cap_c, chroma_ks,
+                           order2=codec.order2_c)
     iv, dv, cv, vv = plane(v, ci.levels_c, ci.groups_c, ci.qstep_c, cd.levels_c,
-                           cd.groups_c, ci.strip_c, codec.esc_cap_c, chroma_ks)
+                           cd.groups_c, ci.strip_c, codec.esc_cap_c, chroma_ks,
+                           order2=codec.order2_c)
     intra = jnp.concatenate([iy, iu, iv], axis=1)[0]
     parts = [dy.reshape(-1), du.reshape(-1), dv.reshape(-1)]
     for sec in (cy, vy, cu, vu, cv, vv):
@@ -712,7 +806,7 @@ def decode_chunk(intra: np.ndarray, deltas: np.ndarray, codec: ChunkCodec,
         esc_vals.append(np.frombuffer(vs.tobytes(), dtype="<i2").astype(np.int64))
         off += cbytes + vbytes
 
-    def unpack_deltas(section, nb, levels, groups, qstep, strip, vals):
+    def unpack_deltas(section, nb, levels, groups, qstep, strip, vals, order2):
         sym = _host_unpack_sym(section, nb, levels, groups, strip)
         lev = np.asarray(levels, np.int64)
         q = sym - ((lev - 1) // 2)[None, None, :]
@@ -723,14 +817,22 @@ def decode_chunk(intra: np.ndarray, deltas: np.ndarray, codec: ChunkCodec,
             ranks = np.cumsum(flatm) - 1
             qf = q.reshape(-1)
             qf[flatm] = vals[ranks[flatm]]
+        if order2:
+            # order-2 positions shipped second differences: integrate
+            # once here; the shared pixel-domain cumsum below is the
+            # second integration (exact in the integer domain)
+            o2 = np.asarray(order2, bool)
+            q[:, :, o2] = np.cumsum(q[:, :, o2], axis=0)
         return (q * qstep).astype(np.float32)
 
     dy = unpack_deltas(flat[:sy].reshape(T - 1, -1), cd.n_blocks_y, cd.levels_y,
-                       cd.groups_y, cd.qstep_y, cd.strip_y, esc_vals[0])
+                       cd.groups_y, cd.qstep_y, cd.strip_y, esc_vals[0], codec.order2_y)
     du = unpack_deltas(flat[sy : sy + sc].reshape(n_ck - 1, -1), cd.n_blocks_c,
-                       cd.levels_c, cd.groups_c, cd.qstep_c, cd.strip_c, esc_vals[1])
+                       cd.levels_c, cd.groups_c, cd.qstep_c, cd.strip_c, esc_vals[1],
+                       codec.order2_c)
     dv = unpack_deltas(flat[sy + sc : sy + 2 * sc].reshape(n_ck - 1, -1), cd.n_blocks_c,
-                       cd.levels_c, cd.groups_c, cd.qstep_c, cd.strip_c, esc_vals[2])
+                       cd.levels_c, cd.groups_c, cd.qstep_c, cd.strip_c, esc_vals[2],
+                       codec.order2_c)
     y = np.concatenate([iy, _host_idct(dy, H, W)], axis=0).cumsum(axis=0, dtype=np.float32)
     uk = np.concatenate([iu, _host_idct(du, H // 2, W // 2)], axis=0).cumsum(axis=0, dtype=np.float32)
     vk = np.concatenate([iv, _host_idct(dv, H // 2, W // 2)], axis=0).cumsum(axis=0, dtype=np.float32)

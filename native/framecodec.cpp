@@ -143,6 +143,9 @@ inline void idct_block(const int32_t* acc, const int32_t* mid,
 // table. Even level counts mark ESCAPE-coded positions (framecodec.py:
 // base alphabet [-m, m] at radix 2m+2; the top symbol 2m+1 is the
 // escape marker whose exact int16 value ships in a side stream).
+// order2 (may be null) flags positions shipping SECOND differences:
+// the decoder keeps a per-block velocity accumulator for them and
+// integrates twice.
 struct LevelInfo {
   int32_t mid[64];
   int64_t live[64];
@@ -150,7 +153,9 @@ struct LevelInfo {
   int64_t escp[64];
   int32_t marker[64];
   int64_t nesc = 0;
-  void init(const int64_t* levels) {
+  int64_t ord2[64];
+  int64_t nord2 = 0;
+  void init(const int64_t* levels, const int64_t* order2 = nullptr) {
     for (int i = 0; i < 64; ++i) {
       mid[i] = static_cast<int32_t>((levels[i] - 1) / 2);
       if (levels[i] > 1) {
@@ -160,6 +165,7 @@ struct LevelInfo {
           marker[nesc] = static_cast<int32_t>(levels[i] - 1);
           ++nesc;
         }
+        if (order2 != nullptr && order2[i]) ord2[nord2++] = i;
       }
     }
   }
@@ -228,7 +234,8 @@ int framecodec_decode_plane_chunk_u8(
     double qstep_i, int64_t nw_d, const int64_t* goff_d,
     const int64_t* gidx_d, const int64_t* radix_d, const int64_t* prediv_d,
     const int64_t* levels_d, double qstep_d, uint8_t* out,
-    int64_t frame_stride, const int32_t* exc_off, const int16_t* exc_val) {
+    int64_t frame_stride, const int32_t* exc_off, const int16_t* exc_val,
+    const int64_t* order2) {
   if (H % 8 || W % 8 || nkf < 1 || strip < 1 || strip > 4) return 1;
   const int64_t bh = H / 8, bw = W / 8;
   const int64_t nb = bh * bw;
@@ -239,7 +246,7 @@ int framecodec_decode_plane_chunk_u8(
   st_d.init(nw_d, goff_d, radix_d);
   LevelInfo li_i, li_d;
   li_i.init(levels_i);
-  li_d.init(levels_d);
+  li_d.init(levels_d, order2);
   const float qi = static_cast<float>(qstep_i);
   const float qd = static_cast<float>(qstep_d);
 
@@ -248,6 +255,8 @@ int framecodec_decode_plane_chunk_u8(
     float pix[4][64];   // DPCM pixel accumulators per block of the strip
     float prev[4][64];  // previous keyframe (chroma interpolation)
     int32_t acc[4 * 64];
+    int32_t vel[4 * 64];  // order-2 velocity accumulators (integer, exact)
+    std::memset(vel, 0, sizeof(int32_t) * strip * 64);
 
     auto emit = [&](int64_t t, int64_t k, const float* px) {
       const int64_t blk = s * strip + k;
@@ -287,6 +296,16 @@ int framecodec_decode_plane_chunk_u8(
               *a32 = static_cast<int32_t>(exc_val[ptr++]) + li_d.mid[i];
           }
       }
+      // order-2 positions: integrate the decoded second difference into
+      // the velocity, then hand the velocity to the (pixel-domain)
+      // DPCM accumulation as this frame's coefficient delta
+      for (int64_t k = 0; k < strip; ++k)
+        for (int64_t e = 0; e < li_d.nord2; ++e) {
+          const int64_t i = li_d.ord2[e];
+          int32_t* a32 = &acc[k * 64 + i];
+          vel[k * 64 + i] += *a32 - li_d.mid[i];
+          *a32 = vel[k * 64 + i] + li_d.mid[i];
+        }
       const int64_t a = keyframes[f - 1], b = keyframes[f];
       for (int64_t k = 0; k < strip; ++k) {
         idct_block(acc + k * 64, li_d.mid, li_d.live, li_d.nlive, qd, pix[k],

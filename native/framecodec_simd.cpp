@@ -140,8 +140,11 @@ struct PlaneTables {
   int32_t escp[64];    // escape-coded positions (even level counts)
   int32_t marker[64];  // escape marker symbol per escape position
   int64_t nesc = 0;
+  int32_t ord2[64];  // order-2 (second-difference) positions
+  int64_t nord2 = 0;
   void init(int64_t nw_, const int64_t* goff_, const int64_t* gidx_,
-            const int64_t* radix_, const int64_t* prediv_, const int64_t* levels) {
+            const int64_t* radix_, const int64_t* prediv_, const int64_t* levels,
+            const int64_t* order2 = nullptr) {
     nw = nw_;
     goff = goff_;
     nslots = goff_[nw_];
@@ -162,6 +165,7 @@ struct PlaneTables {
         marker[nesc] = static_cast<int32_t>(levels[i] - 1);
         ++nesc;
       }
+      if (order2 != nullptr && order2[i] && levels[i] > 1) ord2[nord2++] = i;
     }
   }
   ~PlaneTables() {
@@ -300,7 +304,8 @@ int framecodec_decode_plane_chunk_u8_simd(
     double qstep_i, int64_t nw_d, const int64_t* goff_d,
     const int64_t* gidx_d, const int64_t* radix_d, const int64_t* prediv_d,
     const int64_t* levels_d, double qstep_d, uint8_t* out,
-    int64_t frame_stride, const int32_t* exc_off, const int16_t* exc_val) {
+    int64_t frame_stride, const int32_t* exc_off, const int16_t* exc_val,
+    const int64_t* order2) {
   if (H % 8 || W % 8 || nkf < 1 || strip < 1 || strip > 4) return 1;
   const int64_t bh = H / 8, bw = W / 8;
   const int64_t nb = bh * bw;
@@ -311,7 +316,7 @@ int framecodec_decode_plane_chunk_u8_simd(
 
   PlaneTables pt_i, pt_d;
   pt_i.init(nw_i, goff_i, gidx_i, radix_i, prediv_i, levels_i);
-  pt_d.init(nw_d, goff_d, gidx_d, radix_d, prediv_d, levels_d);
+  pt_d.init(nw_d, goff_d, gidx_d, radix_d, prediv_d, levels_d, order2);
   const float qi = static_cast<float>(qstep_i);
   const float qd = static_cast<float>(qstep_d);
 
@@ -319,9 +324,13 @@ int framecodec_decode_plane_chunk_u8_simd(
 #pragma omp parallel for schedule(static)
   for (int64_t g = 0; g < ng; ++g) {
     __m512i acc[4 * 64];
+    __m512i vel[4 * 64];  // order-2 velocity accumulators (integer, exact)
     __m512 pix[4][64];   // DPCM accumulators per block-slot
     __m512 prev[4][64];  // previous keyframe (chroma interpolation)
     const int64_t blk0 = g * 16 * strip;
+    for (int64_t k = 0; k < strip; ++k)
+      for (int64_t e = 0; e < pt_d.nord2; ++e)
+        vel[k * 64 + pt_d.ord2[e]] = _mm512_setzero_si512();
 
     unpack_group(intra + g * 16 * nw_i * 4, nw_i * 4, pt_i, acc, npos);
     for (int64_t k = 0; k < strip; ++k) {
@@ -361,6 +370,18 @@ int framecodec_decode_plane_chunk_u8_simd(
             }
           }
       }
+      // order-2 positions: fold this frame's decoded second difference
+      // into the velocity, then present the velocity as the coefficient
+      // delta the pixel-domain DPCM below accumulates
+      for (int64_t k = 0; k < strip; ++k)
+        for (int64_t e = 0; e < pt_d.nord2; ++e) {
+          const int i = pt_d.ord2[e];
+          const int idx = static_cast<int>(k * 64 + i);
+          const __m512i c = _mm512_sub_epi32(acc[idx],
+                                             _mm512_set1_epi32(pt_d.midi[i]));
+          vel[idx] = _mm512_add_epi32(vel[idx], c);
+          acc[idx] = _mm512_add_epi32(vel[idx], _mm512_set1_epi32(pt_d.midi[i]));
+        }
       for (int64_t k = 0; k < strip; ++k) {
         idct16(acc + k * 64, pt_d.midi, qd, pix[k], true);
         for (int64_t j = a + 1; j < b; ++j) {
@@ -387,7 +408,7 @@ extern "C" int framecodec_decode_plane_chunk_u8_simd(
     int64_t, int64_t, const int64_t*, const int64_t*, const int64_t*,
     const int64_t*, const int64_t*, double, int64_t, const int64_t*,
     const int64_t*, const int64_t*, const int64_t*, const int64_t*, double,
-    uint8_t*, int64_t, const int32_t*, const int16_t*) {
+    uint8_t*, int64_t, const int32_t*, const int16_t*, const int64_t*) {
   return 2;
 }
 

@@ -431,3 +431,118 @@ def test_escape_capacity_overflow_degrades_to_clip():
         via_native = native.framecodec_decode_chunk_u8(intra, deltas, tiny, T)
         diff = np.abs(via_native.astype(np.int32) - via_numpy.astype(np.int32))
         assert diff.max() <= 1, diff.max()
+
+
+def _smooth_morph_frames(T=8, H=128, W=128, seed=0, noise=1.5):
+    """Smoothstep crossfade between two structured images + small static
+    texture: coefficients move nearly linearly in time, so SECOND
+    differences are several times smaller than first differences — the
+    content class the per-position order-2 prediction is built for
+    (latent-interpolation renders, framecodec.py module docstring)."""
+    rs = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    a = np.stack([128 + 90 * np.sin(xx / 7.0) * np.cos(yy / 11.0),
+                  128 + 70 * np.cos(xx / 13.0), 128 + 50 * np.sin(yy / 9.0)], -1)
+    b = np.stack([128 - 80 * np.cos(xx / 9.0), 128 + 85 * np.sin((xx + yy) / 15.0),
+                  128 - 60 * np.cos(yy / 8.0)], -1)
+    tex = rs.randn(H, W, 3).astype(np.float32) * noise
+    ts = np.linspace(0.0, 1.0, T, dtype=np.float32)
+    frames = []
+    for t in ts:
+        s = t * t * (3.0 - 2.0 * t)  # smoothstep easing
+        frames.append(np.clip(np.round((1 - s) * a + s * b + tex), 0, 255).astype(np.uint8))
+    return np.stack(frames)
+
+
+def test_order2_engages_and_cuts_rate():
+    """On smooth morph content the calibrator must pick order-2 at a
+    meaningful share of the busy positions and the resulting plan must
+    be strictly smaller than the order-1 plan."""
+    frames = _smooth_morph_frames()
+    o2 = fc.calibrate_chunk(frames[:6], escape="force", order2="force", chroma_step=1)
+    o1 = fc.calibrate_chunk(frames[:6], escape="force", order2=False, chroma_step=1)
+    assert o2.order2_y and sum(o2.order2_y) >= 2, o2.order2_y
+    assert not o1.order2_y and not o1.order2_c
+    T = frames.shape[0]
+    assert o2.bits_per_pixel(T) < o1.bits_per_pixel(T), (
+        o2.bits_per_pixel(T), o1.bits_per_pixel(T))
+
+
+def test_order2_roundtrip_psnr():
+    """Order-2 coding is exact in the integer domain (double cumulative
+    sum), so every frame must still hold the >=40 dB contract through
+    the numpy decoder."""
+    import maua_tpu.ops.framecodec as fcmod
+
+    frames = _smooth_morph_frames()
+    codec = fc.calibrate_chunk(frames[:6], escape="force", order2="force", chroma_step=1)
+    assert codec.order2_y
+    T = frames.shape[0]
+    intra, deltas = fc.encode_chunk(jnp.asarray(frames), codec)
+    intra, deltas = np.asarray(intra), np.asarray(deltas)
+    assert deltas.shape == (codec.delta_bytes(T),)
+    saved = fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED
+    fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = None, True
+    try:
+        dec = fc.decode_chunk(intra, deltas, codec)
+    finally:
+        fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = saved
+    ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
+    per_frame = [_psnr(dec[t], ref[t]) for t in range(T)]
+    assert min(per_frame) >= 40.0, per_frame
+
+
+@pytest.mark.parametrize("chroma_step", [1, 2])
+def test_order2_native_decoder_parity(chroma_step):
+    """Scalar C++ and (when available) AVX-512 decoders must reproduce
+    the numpy order-2 double-integration bit-for-bit up to the usual
+    +-1 float-association gray level — including on the chroma keyframe
+    lattice."""
+    from maua_tpu import native
+    import maua_tpu.ops.framecodec as fcmod
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    frames = _smooth_morph_frames()
+    codec = fc.calibrate_chunk(frames[:6], escape="force", order2="force",
+                               chroma_step=chroma_step)
+    assert codec.order2_y
+    T = frames.shape[0]
+    intra, deltas = fc.encode_chunk(jnp.asarray(frames), codec)
+    intra, deltas = np.asarray(intra), np.asarray(deltas)
+
+    saved = fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED
+    fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = None, True
+    try:
+        via_numpy = fc.decode_chunk(intra, deltas, codec)
+    finally:
+        fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = saved
+
+    lib = native._lib()
+    paths = [("dispatch", None)]
+    if lib.framecodec_simd_available():
+        paths.append(("scalar", 0))
+    for name, force in paths:
+        orig = lib.framecodec_simd_available
+        try:
+            if force is not None:
+                lib.framecodec_simd_available = lambda: force
+            via_native = native.framecodec_decode_chunk_u8(intra, deltas, codec, T)
+        finally:
+            lib.framecodec_simd_available = orig
+        diff = np.abs(via_native.astype(np.int32) - via_numpy.astype(np.int32))
+        assert diff.max() <= 1, (name, diff.max())
+        assert (diff > 0).mean() < 0.01, name
+
+
+def test_order1_stream_unchanged_by_order2_fields():
+    """A codec with empty order tuples must produce and decode the
+    exact same stream as before the order-2 feature (back-compat: the
+    field defaults must not perturb the order-1 path)."""
+    frames = _sg2_frames(T=5)
+    codec = fc.calibrate_chunk(frames[:4], order2=False)
+    assert codec.order2_y == () and codec.order2_c == ()
+    intra, deltas = fc.encode_chunk(jnp.asarray(frames), codec)
+    dec = fc.decode_chunk(np.asarray(intra), np.asarray(deltas), codec)
+    ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
+    assert min(_psnr(dec[t], ref[t]) for t in range(5)) >= 40.0
