@@ -357,6 +357,12 @@ def modulated_conv2d(
         # cell-grid evaluation: 4x FLOPs, full MXU lanes (see
         # s2d_cell_kernel) — the winning trade at Co < 128 and large H
         y = conv2d_s2d(x, weight.astype(in_dtype))
+    elif weight.shape[:2] == (1, 1) and up == 1 and down == 1 and padding == 0:
+        # 1x1 conv as a plain contraction: XLA's conv lowering costs 4x
+        # a dot at these shapes (torgb 1024^2 32->3 measured 19.2 ms as
+        # conv_general_dilated vs 4.9 ms as einsum, f32, batch 8 —
+        # workspace/profiling/bench_sg3_convs.py)
+        y = jnp.einsum("bhwc,co->bhwo", x, weight[0, 0].astype(in_dtype))
     else:
         y = conv2d_resample(x, weight.astype(in_dtype), f=resample_filter, up=up, down=down, padding=padding)
     if demodulate:

@@ -192,33 +192,74 @@ def _filtered_lrelu_direct(x: jax.Array, up_f, down_f, up: int, down: int) -> ja
 _CHUNK_TMP_ELEMS = 3_200_000_000
 
 
-def _filtered_lrelu(x: jax.Array, up_f, down_f, up: int, down: int) -> jax.Array:
+def _filtered_lrelu(x: jax.Array, up_f, down_f, up: int, down: int,
+                    pre_scale: Optional[jax.Array] = None,
+                    pre_add: Optional[jax.Array] = None,
+                    post_scale: Optional[jax.Array] = None) -> jax.Array:
     """Filtered nonlinearity dispatch. On TPU, big layers run the fused
     Pallas polyphase kernel (`kernels/filtered_lrelu.py`): the
     2x-oversampled tmp grid never exists, one HBM read + one write,
     ~4-10x faster than the XLA path at the 1024^2 tail. Small layers
     (and non-TPU backends) use the XLA path, row-banded only as an OOM
-    escape valve."""
+    escape valve.
+
+    pre_scale/pre_add (B, C): per-plane input affine (the preceding
+    modulated conv's demodulation + bias — XLA cannot fuse elementwise
+    passes into conv operands, so each costs a full HBM round-trip at
+    1044^2; the Pallas kernel applies them per-plane for free).
+    post_scale (B, C): output scale (the NEXT conv's style modulation).
+    Semantics are identical on every dispatch path."""
     import os
 
     b, hi, wi, c = x.shape
     use_pallas = os.environ.get("MAUA_SG3_PALLAS", "1") != "0"
-    # up4 (transition) layers measure faster on the XLA path (the
-    # stacked-phase W-down costs ~4x the up2 case per point); the fused
-    # kernel wins on the same-rate layers, which dominate at the tail
-    if (use_pallas and up == 2 and down == 2 and up_f is not None
+    # Pallas wins where channels are lane-starved and W is large: the
+    # same-rate up2 tail (c<=81 at 1044^2, 2-3x) and the big up4
+    # transition via the reordered W-cheap schedule (532^2 c81: 63 vs
+    # 83 ms XLA). Small up4 layers (<512) keep XLA: at c>=128 the
+    # depthwise FIRs already fill the VPU lanes and measure 1.5-3x
+    # faster than either Pallas schedule (workspace/profiling/
+    # bench_flrelu_reorder.py).
+    if (use_pallas and up in (2, 4) and down == 2 and up_f is not None
             and down_f is not None and min(hi, wi) >= 512
             and jax.default_backend() == "tpu"):
         from ..kernels.filtered_lrelu import filtered_lrelu_pallas
 
-        return filtered_lrelu_pallas(x, up_f, down_f, up, down)
+        if up == 4:
+            # up4/down2 == zero-stuff-2 -> up2/down2 on the stuffed grid
+            # (stuff4 = stuff2 o stuff2; the up filter carries the extra
+            # x2 gain). The same-rate up2 schedule runs the big
+            # transition ~1.6x faster than the direct up4 kernel (the
+            # W-passes cost per PLANE row, and the up4 schedule runs
+            # 12-20 of them vs up2's ~6 — measured 532^2 c81: 63 ms
+            # direct-up4 vs ~40 ms stuffed-up2 incl. the stuff pass).
+            if pre_scale is not None:
+                x = x * pre_scale.astype(x.dtype)[:, None, None, :]
+            if pre_add is not None:
+                # bias applies to the samples, not the stuffed zeros
+                x = x + pre_add.astype(x.dtype)[:, None, None, :]
+            x2 = jnp.pad(x[:, :, None, :, None, :],
+                         ((0, 0), (0, 0), (0, 1), (0, 0), (0, 1), (0, 0)))
+            x2 = x2.reshape(b, hi * 2, wi * 2, c)
+            return filtered_lrelu_pallas(x2, np.asarray(up_f) * 2.0, down_f, 2, 2,
+                                         post_scale=post_scale)
+        return filtered_lrelu_pallas(x, up_f, down_f, up, down, pre_scale=pre_scale,
+                                     pre_add=pre_add, post_scale=post_scale)
+    if pre_scale is not None:
+        x = x * pre_scale.astype(x.dtype)[:, None, None, :]
+    if pre_add is not None:
+        x = x + pre_add.astype(x.dtype)[:, None, None, :]
     tmp_elems = b * hi * up * wi * up * c
     bands = int(os.environ.get("MAUA_SG3_BANDS", "0"))
     if bands == 0:
         bands = max(1, int(np.ceil(tmp_elems / _CHUNK_TMP_ELEMS)))
+    if post_scale is not None:
+        post = lambda yy: yy * post_scale.astype(yy.dtype)[:, None, None, :]
+    else:
+        post = lambda yy: yy
     fn = lambda xx: _filtered_lrelu_direct(xx, up_f, down_f, up, down)
     if bands <= 1:
-        return fn(x)
+        return post(fn(x))
 
     ho = jax.eval_shape(fn, x).shape[1]
     ratio = up / down
@@ -234,7 +275,7 @@ def _filtered_lrelu(x: jax.Array, up_f, down_f, up: int, down: int) -> jax.Array
         yb = fn(x[:, a:bb])
         off = int(round(a * ratio))
         outs.append(yb[:, s - off : e - off])
-    return jnp.concatenate(outs, axis=1)
+    return post(jnp.concatenate(outs, axis=1))
 
 
 def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[jax.Array] = None,
@@ -250,6 +291,22 @@ def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[j
     compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     x = synthesis_input(params, ws[:, 0], cfg, int(sizes[0]), float(srates[0]), transform)
 
+    # styles per layer up front (torgb folds the fan-in gain into its
+    # styles exactly once — networks_stylegan3 SynthesisLayer semantics)
+    styles_all = []
+    for i, layer in enumerate(params["layers"]):
+        s = fc_forward(layer["affine"], ws[:, i + 1])
+        if i == cfg.num_layers - 1:
+            s = s * (1.0 / math.sqrt(int(channels[i])))
+        styles_all.append(s)
+
+    # In the fused path each conv runs UNmodulated: the input style
+    # scale rides the PREVIOUS filtered-lrelu's per-plane post_scale and
+    # the demod+bias ride the NEXT one's pre affine (free in the Pallas
+    # kernel; explicit — i.e. exactly the legacy passes — on the XLA
+    # fallback). The int8/calibration paths keep the legacy structure.
+    fuse = int8_plan is None and _amax_tape is None
+
     for i, layer in enumerate(params["layers"]):
         is_torgb = i == cfg.num_layers - 1
         # bf16 through the resample-heavy trunk (the oversampled
@@ -260,22 +317,37 @@ def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[j
         in_cut, out_cut = float(cutoffs[i]), float(cutoffs[i + 1])
         in_hw, out_hw = float(half_widths[i]), float(half_widths[i + 1])
 
-        styles = fc_forward(layer["affine"], ws[:, i + 1])
+        styles = styles_all[i]
         w = layer["weight"]
-        if is_torgb:
-            # NVIDIA applies the fan-in gain exactly once for torgb,
-            # via the styles (networks_stylegan3 SynthesisLayer); the
-            # static w gain below is a no-op only for demodulated
-            # layers, so it must NOT also apply here
-            styles = styles * (1.0 / math.sqrt(int(channels[i])))
-        else:
+        if not is_torgb:
             w = w * (1.0 / math.sqrt(np.prod(layer["weight"].shape[:3])))
         w = w / jnp.maximum(jnp.sqrt(layer["magnitude_ema"]), 1e-8)
         if _amax_tape is not None and not is_torgb:
             xs32 = x.astype(jnp.float32) * styles.astype(jnp.float32)[:, None, None, :]
             _amax_tape[f"L{i}"] = jnp.max(jnp.abs(xs32), axis=(0, 1, 2))
+        demod = None
         if int8_plan is not None and f"L{i}" in int8_plan:
             x = _modconv_int8(x, int8_plan[f"L{i}"], w, styles)
+            x = x + layer["bias"].astype(x.dtype)
+        elif fuse:
+            if i == 0:
+                x = x * styles.astype(x.dtype)[:, None, None, :]
+            # x is already style-scaled (layer 0 above; otherwise by the
+            # previous flrelu's post_scale) — plain shared-weight conv
+            if w.shape[0] == 1:
+                y = jnp.einsum("bhwc,co->bhwo", x, w[0, 0].astype(x.dtype))
+            else:
+                k = w.shape[0]
+                y = jax.lax.conv_general_dilated(
+                    x, w.astype(x.dtype), (1, 1), ((k // 2, (k - 1) // 2),) * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if not is_torgb:
+                w32 = w.astype(jnp.float32)
+                w2 = jnp.sum(jnp.square(w32), axis=(0, 1))  # (Ci, Co)
+                demod = jax.lax.rsqrt(jnp.square(styles.astype(jnp.float32)) @ w2 + 1e-8)
+                x = y
+            else:
+                x = y + layer["bias"].astype(y.dtype)
         else:
             import os
 
@@ -291,7 +363,7 @@ def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[j
                        and jax.default_backend() in ("tpu", "axon"))
             x = ops.modulated_conv2d(x, w.astype(x.dtype), styles, padding=w.shape[0] // 2,
                                      demodulate=not is_torgb, s2d=use_s2d)
-        x = x + layer["bias"].astype(x.dtype)
+            x = x + layer["bias"].astype(x.dtype)
 
         if is_torgb:
             break
@@ -305,8 +377,13 @@ def synthesis(params: Dict, ws: jax.Array, cfg: SG3Config, transform: Optional[j
         up_f = _lowpass(up_taps, in_cut, in_hw, tmp_rate)
         down_f = _lowpass(down_taps, out_cut, out_hw, tmp_rate)
 
-        # filter with 'same'-ish padding then center-crop/pad to out_size
-        x = _filtered_lrelu(x, up_f, down_f, up, down)
+        if fuse and demod is not None:
+            b = x.shape[0]
+            bias_b = jnp.broadcast_to(layer["bias"].astype(jnp.float32), (b, w.shape[-1]))
+            x = _filtered_lrelu(x, up_f, down_f, up, down, pre_scale=demod,
+                                pre_add=bias_b, post_scale=styles_all[i + 1])
+        else:
+            x = _filtered_lrelu(x, up_f, down_f, up, down)
         # center crop / pad to the target canvas
         h = x.shape[1]
         if h > out_size:
