@@ -51,13 +51,27 @@ def _init_rdb(key, nf, gc):
 
 
 def _rdb(p, x):
+    """Residual dense block. Each stage's conv over the growing concat
+    is evaluated as per-part partial convs summed (exact by linearity:
+    conv(concat[a, b], W) = conv(a, W[:ca]) + conv(b, W[ca:])) — the
+    concat tensors (96..192 channels at full resolution, ~600 MB HBM
+    writes+reads per RDB at 256^2 batch 8) never materialize."""
     lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
-    x1 = lrelu(conv(p["conv1"], x))
-    x2 = lrelu(conv(p["conv2"], jnp.concatenate([x, x1], -1)))
-    x3 = lrelu(conv(p["conv3"], jnp.concatenate([x, x1, x2], -1)))
-    x4 = lrelu(conv(p["conv4"], jnp.concatenate([x, x1, x2, x3], -1)))
-    x5 = conv(p["conv5"], jnp.concatenate([x, x1, x2, x3, x4], -1))
-    return x5 * 0.2 + x
+    feats = [x]
+    for i in range(1, 6):
+        w, b = p[f"conv{i}"]["w"], p[f"conv{i}"]["b"]
+        off, acc = 0, None
+        for t in feats:
+            c = t.shape[-1]
+            y = jax.lax.conv_general_dilated(
+                t, w[:, :, off : off + c].astype(t.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            acc = y if acc is None else acc + y
+            off += c
+        acc = acc + b.astype(acc.dtype)
+        if i < 5:
+            feats.append(lrelu(acc))
+    return acc * 0.2 + x
 
 
 def _init_rrdb(key, nf, gc):
