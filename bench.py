@@ -210,14 +210,19 @@ def main():
     # I420 reference of the gate chunk — codec-independent, fetch once
     ref0 = fetch_parallel(rgb_to_yuv420(render_rgb(params, noises_b, jnp.int32(2))))
 
-    # Calibrate + PSNR-gate, RE-calibrating at a finer quality step when
-    # the delivered PSNR lands under the target instead of aborting the
-    # run (rate is content-dependent; a marginal calibration must cost
-    # bits, not the whole bench). quality 1.1 lands ~40.5-41 dB on bench
-    # content; the contract floor stays 40.0.
-    quality = float(os.environ.get("MAUA_BENCH_DCT_QUALITY", "1.1"))
-    psnr_target = float(os.environ.get("MAUA_BENCH_PSNR_TARGET", "40.5"))
-    for cal_attempt in range(3):
+    # Calibrate + PSNR-gate, AUTO-TUNING the quantizer both ways: the
+    # contract is >= 40 dB, and every dB above it is bits the 1-core
+    # host must fetch AND decode for nothing (~5% of the stream per
+    # 0.65 dB, measured round 4: 41.15 dB delivered vs the 40.5
+    # target = the whole remaining gap to 30 fps at 44 MB/s). A
+    # uniform quantizer moves PSNR by -20*log10(quality), so one
+    # predictive step lands within ~0.1 dB; the loop re-calibrates
+    # finer OR coarser until delivered PSNR sits in aim +- band, with
+    # the 40.0 dB floor still hard (refuse, never ship lossier).
+    quality = float(os.environ.get("MAUA_BENCH_DCT_QUALITY", "1.19"))
+    psnr_aim = float(os.environ.get("MAUA_BENCH_PSNR_AIM", "40.4"))
+    psnr_band = 0.35
+    for cal_attempt in range(4):
         codec = fc.calibrate_chunk(rgb0, quality=quality)
         encode = jax.jit(lambda x: fc.encode_chunk(x, codec))
         print(f"bench.py e2e: codec {codec.bits_per_pixel(e2e_batch):.2f} bits/pixel "
@@ -247,11 +252,11 @@ def main():
         mse = np.mean((dec0.astype(np.float64) - ref0.astype(np.float64)) ** 2)
         psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
         print(f"bench.py e2e: delivered-frame PSNR {psnr:.2f} dB", file=sys.stderr)
-        if psnr >= psnr_target:
+        if abs(psnr - psnr_aim) <= psnr_band and psnr >= 40.0:
             break
-        if cal_attempt < 2:
-            quality *= 0.8  # finer quantizer: spend bits, keep the bench
-            print(f"bench.py e2e: PSNR under the {psnr_target} dB target — "
+        if cal_attempt < 3:
+            quality *= 10.0 ** ((psnr - psnr_aim) / 20.0)
+            print(f"bench.py e2e: PSNR outside {psnr_aim}±{psnr_band} dB — "
                   f"re-calibrating at quality {quality:.3f}", file=sys.stderr)
     if psnr < 40.0:
         print(f"bench.py: delivered-frame PSNR {psnr:.2f} dB < 40 after recalibration — "
@@ -307,6 +312,53 @@ def main():
               f"decode {stage_stats['decode_s'] / stage_stats['frames'] * 1e3:.1f} ms/frame",
               file=sys.stderr)
     e2e_fps = n_e2e * e2e_batch / min(e2e_times)
+
+    # --- StyleGAN3 fps, driver-visible: a time-budgeted run of the
+    # second synthesis family so its number lands in the driver's
+    # artifact instead of being self-reported (bench_sg3.py remains the
+    # full standalone bench). MAUA_BENCH_SG3=0 skips; any failure here
+    # must not cost the headline numbers.
+    if os.environ.get("MAUA_BENCH_SG3", "1") == "1":
+        try:
+            from maua_tpu.gan import stylegan3 as sg3
+            from maua_tpu.profiling import mfu as _mfu, sg3_frame_flops
+
+            sg3_batch = int(os.environ.get("MAUA_BENCH_SG3_BATCH", "8"))
+            sg3_chunks = int(os.environ.get("MAUA_BENCH_SG3_CHUNKS", "3"))
+            cfg3 = sg3.SG3Config(img_resolution=1024, dtype="bfloat16")
+            params3 = jax.device_put(sg3.init_params(jax.random.PRNGKey(0), cfg3))
+
+            def render3(params3, ws0, keys):
+                def body(carry, k):
+                    ws = ws0 + 0.1 * jax.random.normal(k, ws0.shape, jnp.float32)
+                    img = sg3.synthesis(params3, ws, cfg3)
+                    img8 = jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+                    return carry + jnp.sum(img8.astype(jnp.uint32)), ()
+
+                return jax.lax.scan(body, jnp.uint32(0), keys)[0]
+
+            render3 = jax.jit(render3)
+            ws0 = jax.random.normal(jax.random.PRNGKey(1),
+                                    (sg3_batch, cfg3.num_ws, cfg3.w_dim), jnp.float32)
+            float(render3(params3, ws0, jax.random.split(jax.random.PRNGKey(2), sg3_chunks)))
+            t3 = []
+            for trial in range(2):
+                keys3 = jax.random.split(jax.random.PRNGKey(4 + trial), sg3_chunks)
+                t0 = time.perf_counter()
+                float(render3(params3, ws0, keys3))
+                t3.append(time.perf_counter() - t0)
+            sg3_fps = sg3_batch * sg3_chunks / min(t3)
+            fl3 = sg3_frame_flops(cfg3)
+            print(json.dumps({
+                "metric": "stylegan3_1024_frames_per_sec_per_chip",
+                "value": round(sg3_fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(sg3_fps / 30.0, 3),
+                "mfu": round(_mfu(fl3 * sg3_fps, 1.0), 3),
+            }))
+        except Exception as e:
+            print(f"bench.py: SG3 section failed ({type(e).__name__}: {e}); "
+                  "headline numbers unaffected", file=sys.stderr)
 
     # MFU: analytic model FLOPs per frame over achieved frame rate,
     # against the v5e bf16 peak (MFU accounting, PERFORMANCE.md)

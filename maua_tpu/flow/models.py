@@ -91,9 +91,54 @@ def jax_flow(frame1, frame2, levels: int = 4) -> jnp.ndarray:
     return flow
 
 
-def get_flow_model(which: Sequence[str] = ("farneback",)) -> Callable:
+def _neural_params(name: str, candidates: Sequence[str], convert: Callable,
+                   allow_random: bool):
+    """Load + convert the first present torch checkpoint in modelzoo/.
+
+    A neural estimator with RANDOM weights silently corrupts every
+    downstream warp when averaged into the ensemble, so a missing
+    checkpoint RAISES unless the caller explicitly opts in with
+    allow_random=True (architecture smoke runs / tests). The reference
+    hard-depends on its submodule checkpoints instead
+    (`maua/flow/__init__.py:24-49`)."""
+    import os
+
+    from ..utility import MODELZOO
+
+    errs = []
+    for fname in candidates:
+        ckpt = os.path.join(MODELZOO, fname)
+        if os.path.exists(ckpt):
+            try:
+                import torch
+
+                sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+                if isinstance(sd, dict) and "model" in sd:
+                    sd = sd["model"]  # training-state wrapper (raft/gma)
+                sd = {k: v.float().numpy() for k, v in sd.items()}
+                return convert(sd)
+            except Exception as e:
+                errs.append(f"{ckpt}: {e}")
+    if allow_random:
+        if errs:
+            print(f"{name} checkpoint load failed ({'; '.join(errs)}); using random init")
+        return None
+    paths = ", ".join(os.path.join(MODELZOO, f) for f in candidates)
+    raise FileNotFoundError(
+        f"flow model {name!r} has no checkpoint (looked for: {paths})"
+        + (f"; load errors: {'; '.join(errs)}" if errs else "")
+        + " -- pass allow_random=True to get_flow_model to run it with random weights"
+    )
+
+
+def get_flow_model(which: Sequence[str] = ("farneback",), allow_random: bool = False) -> Callable:
     """Ensemble-averaged flow callable (`flow/__init__.py:9-64`).
-    Returns fn(frame1, frame2) -> (H, W, 2) numpy flow."""
+    Returns fn(frame1, frame2) -> (H, W, 2) numpy flow.
+
+    Neural estimators (spynet/pwc/liteflownet/unflow/raft/gma) need
+    their converted checkpoints in modelzoo/ and raise FileNotFoundError
+    when absent; allow_random=True opts into random initialization
+    instead (tests, architecture smoke runs)."""
     fns: List[Callable] = []
     for name in which:
         if name == "farneback":
@@ -102,128 +147,53 @@ def get_flow_model(which: Sequence[str] = ("farneback",)) -> Callable:
             fns.append(lambda a, b: np.asarray(jax_flow(a, b)))
         elif name == "unflow":
             # TPU-native UnFlow-CSS (flow/unflow.py); weights convert
-            # from the published network-css.pytorch when present
-            import os
-
+            # from the published network-css.pytorch
             from . import unflow as unflow_mod
-            from ..utility import MODELZOO
 
-            uf_params = None
-            for fname in ("unflow.pth", "network-css.pytorch", "unflow_css.pth"):
-                ckpt = os.path.join(MODELZOO, fname)
-                if os.path.exists(ckpt):
-                    try:
-                        import torch
-
-                        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
-                        sd = {k: v.float().numpy() for k, v in sd.items()}
-                        uf_params = unflow_mod.params_from_torch(sd)
-                        break
-                    except Exception as e:
-                        print(f"unflow checkpoint load failed ({e}); using random init")
-            fns.append(lambda a, b, _p=uf_params: unflow_mod.unflow_flow(a, b, params=_p))
+            p = _neural_params(name, ("unflow.pth", "network-css.pytorch", "unflow_css.pth"),
+                               unflow_mod.params_from_torch, allow_random)
+            fns.append(lambda a, b, _p=p: unflow_mod.unflow_flow(a, b, params=_p))
         elif name == "liteflownet":
             # TPU-native LiteFlowNet (flow/liteflownet.py); weights
             # convert from the sniklaus network-default.pytorch
-            import os
-
             from . import liteflownet as lfn_mod
-            from ..utility import MODELZOO
 
-            lfn_params = None
-            for fname in ("liteflownet.pth", "network-default-lfn.pytorch",
-                          "liteflownet_default.pth"):
-                ckpt = os.path.join(MODELZOO, fname)
-                if os.path.exists(ckpt):
-                    try:
-                        import torch
-
-                        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
-                        sd = {k: v.float().numpy() for k, v in sd.items()}
-                        lfn_params = lfn_mod.params_from_torch(sd)
-                        break
-                    except Exception as e:
-                        print(f"liteflownet checkpoint load failed ({e}); using random init")
-            fns.append(lambda a, b, _p=lfn_params: lfn_mod.liteflownet_flow(a, b, params=_p))
+            p = _neural_params(name, ("liteflownet.pth", "network-default-lfn.pytorch",
+                                      "liteflownet_default.pth"),
+                               lfn_mod.params_from_torch, allow_random)
+            fns.append(lambda a, b, _p=p: lfn_mod.liteflownet_flow(a, b, params=_p))
         elif name in ("raft", "gma", "raft_large"):
             # TPU-native RAFT / GMA (flow/raft.py); weights convert
-            # from torchvision raft_large or the published GMA
-            # checkpoints when present in modelzoo/
+            # from torchvision raft_large or the published GMA ckpts
             from . import raft as raft_mod
-            import os
-
-            from ..utility import MODELZOO
 
             gma = name == "gma"
-            params = None
-            candidates = (
-                ("gma-sintel.pth", "gma-things.pth", "gma.pth")
-                if gma else ("raft_large.pth",)
+            p = _neural_params(
+                name,
+                ("gma-sintel.pth", "gma-things.pth", "gma.pth") if gma else ("raft_large.pth",),
+                raft_mod.params_from_torch_gma if gma else raft_mod.params_from_torch,
+                allow_random,
             )
-            for fname in candidates:
-                ckpt = os.path.join(MODELZOO, fname)
-                if os.path.exists(ckpt):
-                    try:
-                        import torch
-
-                        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
-                        if isinstance(sd, dict) and "model" in sd:
-                            sd = sd["model"]
-                        sd = {k: v.float().numpy() for k, v in sd.items()}
-                        params = (raft_mod.params_from_torch_gma(sd) if gma
-                                  else raft_mod.params_from_torch(sd))
-                        break
-                    except Exception as e:
-                        print(f"{name} checkpoint load failed ({e}); using random init")
-            if params is None and gma:
-                import jax as _jax
-
-                params = raft_mod.init_params(_jax.random.PRNGKey(0), gma=True)
-            fns.append(lambda a, b, _p=params: raft_mod.raft_flow(a, b, params=_p))
+            if p is None and gma:
+                p = raft_mod.init_params(jax.random.PRNGKey(0), gma=True)
+            fns.append(lambda a, b, _p=p: raft_mod.raft_flow(a, b, params=_p))
         elif name in ("pwc", "pwcnet"):
             # TPU-native PWC-Net (flow/pwc.py); weights convert from
-            # the sniklaus network-default.pytorch when present
-            import os
-
+            # the sniklaus network-default.pytorch
             from . import pwc as pwc_mod
-            from ..utility import MODELZOO
 
-            pwc_params = None
-            for fname in ("pwc.pth", "network-default.pytorch", "pwc_default.pth"):
-                ckpt = os.path.join(MODELZOO, fname)
-                if os.path.exists(ckpt):
-                    try:
-                        import torch
-
-                        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
-                        sd = {k: v.float().numpy() for k, v in sd.items()}
-                        pwc_params = pwc_mod.params_from_torch(sd)
-                        break
-                    except Exception as e:
-                        print(f"pwc checkpoint load failed ({e}); using random init")
-            fns.append(lambda a, b, _p=pwc_params: pwc_mod.pwc_flow(a, b, params=_p))
+            p = _neural_params(name, ("pwc.pth", "network-default.pytorch", "pwc_default.pth"),
+                               pwc_mod.params_from_torch, allow_random)
+            fns.append(lambda a, b, _p=p: pwc_mod.pwc_flow(a, b, params=_p))
         elif name == "spynet":
             # TPU-native SpyNet (flow/spynet.py); weights convert from
-            # the published pytorch-spynet checkpoints in modelzoo/
-            import os
-
+            # the published pytorch-spynet checkpoints
             from . import spynet as spynet_mod
-            from ..utility import MODELZOO
 
-            sp_params = None
-            for fname in ("spynet.pth", "network-sintel-final.pytorch", "spynet_sintel_final.pth"):
-                ckpt = os.path.join(MODELZOO, fname)
-                if os.path.exists(ckpt):
-                    try:
-                        import torch
-
-                        sd = torch.load(ckpt, map_location="cpu", weights_only=False)
-                        sd = {k: v.float().numpy() for k, v in sd.items()}
-                        sp_params = spynet_mod.params_from_torch(sd)
-                        break
-                    except Exception as e:
-                        print(f"spynet checkpoint load failed ({e}); using random init")
-            fns.append(lambda a, b, _p=sp_params: spynet_mod.spynet_flow(a, b, params=_p))
+            p = _neural_params(name, ("spynet.pth", "network-sintel-final.pytorch",
+                                      "spynet_sintel_final.pth"),
+                               spynet_mod.params_from_torch, allow_random)
+            fns.append(lambda a, b, _p=p: spynet_mod.spynet_flow(a, b, params=_p))
         else:
             print(f"flow model {name} unavailable in this build; using farneback")
             fns.append(farneback_flow)

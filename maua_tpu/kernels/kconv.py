@@ -104,7 +104,7 @@ def _kconv(x, w, bias, style, demod, alpha, gain, band_r, interpret):
     R = int(os.environ.get("MAUA_KCONV_R", "0")) or band_r
     if R == 0:
         # VMEM: P_i (W, 9cip) + x window + out block; keep P under ~2.5 MB
-        R = 8 if wd * 9 * cip * 2 <= 2_500_000 else 4
+        R = 8 if wd * 9 * cip * x.dtype.itemsize <= 2_500_000 else 4
     hp = -h % R
     # rows: R zero rows on each side so the staggered band views exist
     xpad = jnp.pad(x, ((0, 0), (R, R + hp), (1, 1), (0, cip - ci)))

@@ -645,7 +645,11 @@ def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5,
         lu1 = _levels_from_deltas(np.abs(d1u), live_c, delta_margin)
         lv1 = _levels_from_deltas(np.abs(d1v), live_c, delta_margin)
         ly, lu, lv = ly1, lu1, lv1
-        if order2 == "force" and try_o2:
+        # "auto" picks order-2 here by STATIC level counts (the escape
+        # branch compares expected bits/symbol instead); small-sample
+        # level estimates are max-based, so the comparison is the
+        # conservative one
+        if order2 in ("auto", "force", True) and try_o2:
             ly2 = _levels_from_deltas(np.abs(d2y), live_y, delta_margin)
             o2y = ly2 < ly1
             ly = np.where(o2y, ly2, ly1)
@@ -724,8 +728,24 @@ def encode_chunk(rgb, codec: ChunkCodec):
         # within a strip; the decoders walk the same order
         mask = jnp.asarray(esc_np)[None, None, :] & (jnp.abs(d) > md)
         flat = mask.reshape(-1)
-        rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
-        keep = flat & (rank < cap_t)  # capacity overflow -> clip (suffix only)
+        if o2.any() and d.shape[0] > 1:
+            # Capacity overflow drops ORDER-1 escapes first: a clipped
+            # order-1 delta costs a constant offset for the rest of the
+            # chunk, while a clipped order-2 (second-difference) delta
+            # is a velocity error the decoder integrates TWICE — the
+            # distortion would grow linearly over every remaining
+            # frame. Order-2 escapes therefore claim capacity ahead of
+            # order-1 escapes (per-class suffix drop). The value stream
+            # stays in scan order of the KEPT set, which is all the
+            # decoders assume (they walk markers, not ranks).
+            is2 = jnp.broadcast_to(jnp.asarray(o2)[None, None, :], d.shape).reshape(-1)
+            r2 = jnp.cumsum((flat & is2).astype(jnp.int32))
+            r1 = jnp.cumsum((flat & ~is2).astype(jnp.int32))
+            keep = flat & jnp.where(is2, r2 - 1 < cap_t, r2[-1] + r1 - 1 < cap_t)
+            rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        else:
+            rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
+            keep = flat & (rank < cap_t)  # capacity overflow -> clip (suffix only)
         keep3 = keep.reshape(d.shape)
         base = jnp.where(keep3, 2 * md + 1, jnp.clip(d, -md, md) + md)
         delta_p = _pack_device(base, lev_d, grp_d, strip)

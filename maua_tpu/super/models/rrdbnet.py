@@ -50,12 +50,13 @@ def _init_rdb(key, nf, gc):
     return {f"conv{i + 1}": _conv_init(ks[i], nf + i * gc, gc if i < 4 else nf, scale=0.1) for i in range(5)}
 
 
-def _rdb(p, x):
-    """Residual dense block. Each stage's conv over the growing concat
-    is evaluated as per-part partial convs summed (exact by linearity:
-    conv(concat[a, b], W) = conv(a, W[:ca]) + conv(b, W[ca:])) — the
-    concat tensors (96..192 channels at full resolution, ~600 MB HBM
-    writes+reads per RDB at 256^2 batch 8) never materialize."""
+def _rdb_partial(p, x):
+    """Residual dense block as stage-wise partial convs summed (exact
+    by linearity: conv(concat[a, b], W) = conv(a, W[:ca]) + conv(b,
+    W[ca:])) — the concat tensors (96..192 channels at full resolution,
+    ~600 MB HBM writes+reads per RDB at 256^2 batch 8) never
+    materialize. Kept for measurement (MAUA_RRDB_MODE=partial); every
+    conv here has Co=32, a 25% fill of the 128-lane MXU output tile."""
     lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
     feats = [x]
     for i in range(1, 6):
@@ -74,15 +75,77 @@ def _rdb(p, x):
     return acc * 0.2 + x
 
 
+def _rdb_concat(p, x):
+    """Reference formulation: each stage convolves its materialized
+    growing concat (what basicsr runs). Measurement baseline
+    (MAUA_RRDB_MODE=concat)."""
+    lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+    feats = [x]
+    for i in range(1, 6):
+        acc = conv(p[f"conv{i}"], jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0])
+        if i < 5:
+            feats.append(lrelu(acc))
+    return acc * 0.2 + x
+
+
+def _rdb(p, x):
+    """Residual dense block, INPUT-grouped partial convs (default).
+
+    Same linearity identity as `_rdb_partial`, regrouped by which
+    tensor feeds each partial: once feats[i] exists, ALL five stages'
+    slices of weights that consume it fuse into ONE conv whose output
+    channels stack the consuming stages. Stage outputs then assemble as
+    slice-sums. This fixes the MXU geometry that caps the stage-wise
+    forms: every conv's Co was 32 (25% of the 128-lane output tile,
+    16.6% MFU measured round 4); grouped, Co runs 192/160/128/96/64 —
+    a FLOP-weighted 93% output-lane fill — and each feats[i] is read
+    from HBM once instead of (5-i) times. Exact to the usual bf16
+    partial-sum roundoff (tests pin grouped == concat in f32)."""
+    lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+    widths = [p[f"conv{j}"]["w"].shape[-1] for j in range(1, 6)]  # 32,32,32,32,nf
+    feats = [x]
+    partial = [None] * 5
+    acc = None
+    for i in range(5):  # i = input index; feats[i] just became available
+        f = feats[i]
+        ci = f.shape[-1]
+        off = 0 if i == 0 else feats[0].shape[-1] + (i - 1) * widths[0]
+        wcat = jnp.concatenate(
+            [p[f"conv{j + 1}"]["w"][:, :, off : off + ci, :] for j in range(i, 5)], axis=-1)
+        y = jax.lax.conv_general_dilated(
+            f, wcat.astype(f.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        o = 0
+        for j in range(i, 5):
+            part = y[..., o : o + widths[j]]
+            partial[j] = part if partial[j] is None else partial[j] + part
+            o += widths[j]
+        # stage i+1 has now received every input it consumes
+        acc = partial[i] + p[f"conv{i + 1}"]["b"].astype(y.dtype)
+        if i < 4:
+            feats.append(lrelu(acc))
+    return acc * 0.2 + x
+
+
+_RDB_MODES = {"grouped": _rdb, "partial": _rdb_partial, "concat": _rdb_concat}
+
+
+def _rdb_fn():
+    import os
+
+    return _RDB_MODES[os.environ.get("MAUA_RRDB_MODE", "grouped")]
+
+
 def _init_rrdb(key, nf, gc):
     ks = jax.random.split(key, 3)
     return {f"rdb{i + 1}": _init_rdb(ks[i], nf, gc) for i in range(3)}
 
 
 def _rrdb(p, x):
-    out = _rdb(p["rdb1"], x)
-    out = _rdb(p["rdb2"], out)
-    out = _rdb(p["rdb3"], out)
+    rdb = _rdb_fn()
+    out = rdb(p["rdb1"], x)
+    out = rdb(p["rdb2"], out)
+    out = rdb(p["rdb3"], out)
     return out * 0.2 + x
 
 

@@ -176,7 +176,7 @@ def test_spynet_shapes_and_ensemble():
     flow = spynet.spynet_flow(f1, f2)
     assert flow.shape == (40, 56, 2) and np.isfinite(flow).all()
     # the full declared ensemble contract (`flow/__init__.py:9-64`)
-    model = models.get_flow_model(("spynet", "farneback", "hs"))
+    model = models.get_flow_model(("spynet", "farneback", "hs"), allow_random=True)
     out = model(f1, f2)
     assert out.shape == (40, 56, 2) and np.isfinite(out).all()
 
@@ -248,7 +248,7 @@ def test_pwc_shapes_and_ensemble():
     flow = pwc.pwc_flow(f1, f2)
     assert flow.shape == (64, 64, 2)
     assert np.isfinite(flow).all()
-    model = models.get_flow_model(("pwc", "farneback"))
+    model = models.get_flow_model(("pwc", "farneback"), allow_random=True)
     out = model(f1, f2)
     assert out.shape == (64, 64, 2)
 
@@ -343,9 +343,23 @@ def test_liteflownet_shapes_and_ensemble():
     flow = lfn.liteflownet_flow(f1, f2)
     assert flow.shape == (*f1.shape[:2], 2)
     assert np.isfinite(flow).all()
-    model = models.get_flow_model(("liteflownet",))
+    model = models.get_flow_model(("liteflownet",), allow_random=True)
     out = model(f1, f2)
     assert out.shape == (*f1.shape[:2], 2)
+
+
+def test_missing_flow_weights_raise(tmp_path, monkeypatch):
+    """A neural ensemble member without its checkpoint must fail loudly
+    — averaging a random-init net into the ensemble silently corrupts
+    every downstream warp. allow_random=True is the explicit opt-in.
+    Reference contract: `maua/flow/__init__.py:24-49` (hard submodule
+    dependency instead)."""
+    from maua_tpu import utility
+
+    monkeypatch.setattr(utility, "MODELZOO", str(tmp_path))  # no checkpoints here
+    for name in ("liteflownet", "unflow", "spynet", "pwc", "raft"):
+        with pytest.raises(FileNotFoundError, match="allow_random"):
+            models.get_flow_model((name,))
 
 
 def test_unflow_shapes_and_ensemble():
@@ -355,7 +369,7 @@ def test_unflow_shapes_and_ensemble():
     flow = uf.unflow_flow(f1, f2)
     assert flow.shape == (*f1.shape[:2], 2)
     assert np.isfinite(flow).all()
-    model = models.get_flow_model(("unflow",))
+    model = models.get_flow_model(("unflow",), allow_random=True)
     out = model(f1, f2)
     assert out.shape == (*f1.shape[:2], 2)
 

@@ -433,6 +433,71 @@ def test_escape_capacity_overflow_degrades_to_clip():
         assert diff.max() <= 1, diff.max()
 
 
+def test_escape_overflow_with_order2_drops_order1_escapes_first():
+    """Under capacity overflow, order-2 escape positions must keep their
+    escapes while order-1 escapes absorb the drop: a clipped order-1
+    delta is a constant offset for the rest of the chunk, but a clipped
+    order-2 (second-difference) delta is a velocity error the decoder
+    integrates twice — linearly growing distortion. Checks the kept-set
+    mechanism directly via the escape markers in the packed stream,
+    plus numpy/native agreement on the squeezed stream."""
+    import dataclasses
+
+    from maua_tpu import native
+    import maua_tpu.ops.framecodec as fcmod
+
+    # smooth morph (order-2 engages on the busy positions) + sparse
+    # impulses the calibration window never sees (escapes everywhere)
+    frames = _smooth_morph_frames(T=8, noise=1.0).copy()
+    rs = np.random.RandomState(7)
+    for t in range(2, 8):
+        pts = rs.randint(0, 128, size=(40, 2))
+        frames[t, pts[:, 0], pts[:, 1]] = rs.randint(0, 256, size=(40, 3))
+    codec = fc.calibrate_chunk(frames[:5], escape="force", order2="force")
+    assert codec.order2_y and any(codec.order2_y), "test content must engage order-2"
+    assert codec.esc_cap_y > 0
+
+    T = frames.shape[0]
+    cd = codec.delta
+    lev = np.asarray(cd.levels_y, np.int64)
+    escp = (lev % 2 == 0) & (lev > 1)
+    o2 = np.asarray(codec.order2_y, bool)
+
+    def marker_counts(codec_v):
+        intra, deltas = map(np.asarray, fc.encode_chunk(jnp.asarray(frames), codec_v))
+        sy = (T - 1) * codec_v.luma_delta_bytes
+        sym = fc._host_unpack_sym(deltas[:sy].reshape(T - 1, -1), cd.n_blocks_y,
+                                  cd.levels_y, cd.groups_y, cd.strip_y)
+        mark = escp[None, None, :] & (sym == (lev - 1)[None, None, :])
+        return (int(mark[:, :, o2].sum()), int(mark[:, :, ~o2].sum()), intra, deltas)
+
+    n2_full, n1_full, _, _ = marker_counts(codec)
+    assert n2_full > 0 and n1_full > 4, (n2_full, n1_full)  # both classes escape
+
+    # squeeze capacity between n2 and the total: all order-2 escapes
+    # must survive, order-1 escapes take the entire drop
+    F = T - 1
+    cap = -(-(n2_full + n1_full // 2) // F)
+    tiny = dataclasses.replace(codec, esc_cap_y=cap)
+    assert n2_full <= cap * F < n2_full + n1_full
+    n2_sq, n1_sq, intra, deltas = marker_counts(tiny)
+    assert n2_sq == n2_full, (n2_sq, n2_full)
+    assert n1_sq == cap * F - n2_full, (n1_sq, cap * F, n2_full)
+
+    saved = fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED
+    fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = None, True
+    try:
+        via_numpy = fc.decode_chunk(intra, deltas, tiny)
+    finally:
+        fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = saved
+    ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
+    assert _psnr(via_numpy, ref) > 30.0
+    if native.available():
+        via_native = native.framecodec_decode_chunk_u8(intra, deltas, tiny, T)
+        diff = np.abs(via_native.astype(np.int32) - via_numpy.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
+
+
 def _smooth_morph_frames(T=8, H=128, W=128, seed=0, noise=1.5):
     """Smoothstep crossfade between two structured images + small static
     texture: coefficients move nearly linearly in time, so SECOND

@@ -131,7 +131,7 @@ def test_ensemble_raft(monkeypatch):
         return original(a, b, params=params, cfg=CFG)
 
     monkeypatch.setattr(raft, "raft_flow", tiny_raft_flow)
-    model = get_flow_model(("raft",))
+    model = get_flow_model(("raft",), allow_random=True)
     rs = np.random.RandomState(5)
     flow = model(rs.rand(24, 24, 3).astype(np.float32), rs.rand(24, 24, 3).astype(np.float32))
     assert flow.shape == (24, 24, 2)

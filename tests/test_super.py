@@ -22,6 +22,19 @@ def test_rrdb_shapes_and_scale():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_rdb_modes_agree():
+    """The three RDB evaluation orders (input-grouped / stage-partial /
+    materialized-concat) are the same linear map regrouped — in f32
+    they must agree to roundoff. The grouped form is the production
+    path (Co 192..64 instead of 32: MXU output-lane fill)."""
+    params = rrdbnet.init_params(jax.random.PRNGKey(2), TINY_RRDB)
+    blk = params["body"][0]["rdb1"]
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 12, 12, 16).astype(np.float32))
+    outs = {name: np.asarray(fn(blk, x)) for name, fn in rrdbnet._RDB_MODES.items()}
+    for name, out in outs.items():
+        np.testing.assert_allclose(out, outs["concat"], rtol=1e-5, atol=1e-5, err_msg=name)
+
+
 def test_rrdb_converter_roundtrip():
     """Synthetic basicsr-style state dict converts to matching shapes."""
     rs = np.random.RandomState(1)

@@ -21,7 +21,11 @@ from maua_tpu.ops import framecodec as fc
 
 
 def load_chunks():
-    return [np.load(f"workspace/bench_frames_c{i}.npy") for i in range(3)]
+    import glob
+    paths = sorted(glob.glob("workspace/bench_frames_c*.npy"))
+    if not paths:
+        raise FileNotFoundError("run dump_bench_frames.py first")
+    return [np.load(p) for p in paths]
 
 
 def psnr_vs_i420(dec_yuv, rgb):
