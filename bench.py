@@ -204,9 +204,13 @@ def main():
         print("bench.py e2e: per-frame LoopNoise rotation ON", file=sys.stderr)
     else:
         render_rgb = jax.jit(render_frames)
-    # calibrate on an 8-frame prefix: plenty of block statistics
-    # (7 deltas x 16k blocks) at 1/4 the raw-RGB calibration fetch
-    rgb0 = fetch_parallel(render_rgb(params, noises_b, jnp.int32(0))[:8])
+    # calibrate on the FULL first chunk (32 consecutive frames): the
+    # latent loop's smoothstep pacing means an 8-frame prefix samples
+    # only the slowest deltas — ranges/escape capacity calibrated there
+    # starve on the mid-segment speed peak (measured: V-plane capacity
+    # blowout, PSNR 40.4 -> 31 dB across one chunk pre-closed-loop).
+    # One-time cost: ~75 MB extra calibration fetch (~2 s).
+    rgb0 = fetch_parallel(render_rgb(params, noises_b, jnp.int32(0)))
     # I420 reference of the gate chunk — codec-independent, fetch once
     ref0 = fetch_parallel(rgb_to_yuv420(render_rgb(params, noises_b, jnp.int32(2))))
 

@@ -49,8 +49,10 @@ class FFMPEG:
         # device (ops/framecodec DPCM DCT, pix_fmt="dct") cuts the
         # device->host frame bytes ~4-8x vs rgb24 at >=40 dB — the
         # default delivery path. "dct" self-degrades to plain I420 for
-        # non-16-aligned sizes (ops/video.pipelined_frames).
-        pix_fmt = self.pix_fmt or ("dct" if ffmpeg_available() else "rgb24")
+        # non-16-aligned sizes (ops/video.pipelined_frames); without an
+        # ffmpeg binary the cv2 writer consumes the I420 frames
+        # directly, so the compressed delivery path stays the default.
+        pix_fmt = self.pix_fmt or "dct"
         latents, translation, zoom, rotation, noises = _split_inputs(synthesizer_inputs)
 
         def make_iter(fmt):

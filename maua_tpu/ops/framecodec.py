@@ -19,16 +19,19 @@ feed in the reference, `maua/ops/video.py:42-77`):
   only fetched artifact is the packed stream.
 - video chunks additionally use DPCM in the QUANTIZED-COEFFICIENT
   domain (`encode_chunk`): every frame's DCT coefficients quantize to
-  the integer grid in one batched pass, frame 0 ships intra, and each
-  following frame ships the INTEGER coefficient delta — exact, so the
-  decoder's cumulative sum reconstructs every frame with exactly one
-  quantization error and zero drift, while the encoder stays fully
-  parallel (no sequential reconstruction loop, no on-device IDCT; an
-  earlier closed-loop lax.scan formulation measured 256 ms/frame on
-  v5e vs ~4 ms/frame for this one). Delta level counts are calibrated
-  from observed integer deltas; a clipped outlier delta (rarer than
-  the calibration margin) distorts at most the remainder of its chunk
-  — the next chunk re-intras.
+  the integer grid in one batched pass (no on-device IDCT; an earlier
+  formulation with the full transform inside a reconstruction scan
+  measured 256 ms/frame on v5e vs ~4 ms/frame batched), frame 0 ships
+  intra, and each following frame ships the INTEGER coefficient delta
+  — exact, so the decoder's cumulative sum reconstructs every frame
+  with exactly one quantization error and zero drift. The clip/escape
+  decision runs CLOSED-LOOP in a lightweight integer lax.scan over
+  frames (elementwise + cumsum per step): the carry tracks the
+  decoder's exact reconstruction, so a clipped outlier delta (rarer
+  than the calibration margin) feeds back into the next frame's delta
+  and self-corrects in one frame instead of integrating into drift
+  for the rest of the chunk. When nothing clips, the stream is
+  bit-identical to the open-loop frame difference.
 - decode runs on the host (numpy, vectorized; a C++/OpenMP kernel in
   native/framecodec.cpp takes over when built) and emits the exact
   planar yuv420p byte layout ffmpeg reads as `-pix_fmt yuv420p`
@@ -677,10 +680,12 @@ def encode_chunk(rgb, codec: ChunkCodec):
 
     Coefficient-domain DPCM: every frame's DCT coefficients quantize
     to the integer grid in ONE batched pass; frame 0 ships intra and
-    frames 1..T-1 ship the exact integer deltas (clipped to the
-    calibrated delta range). The decoder's cumulative sum reconstructs
-    each frame with exactly one quantization error — closed-loop
-    quality without any sequential reconstruction on device.
+    frames 1..T-1 ship integer deltas against the decoder's exact
+    reconstruction (closed-loop clip/escape feedback via an integer
+    lax.scan — bit-identical to open-loop frame differences when
+    nothing clips, self-correcting instead of drifting when
+    calibration margins are exceeded). The decoder's cumulative sum
+    reconstructs each frame with exactly one quantization error.
 
     The flat delta stream lays out [luma deltas (T-1 frames) | u
     deltas | v deltas | per-plane escape sections (counts + values,
@@ -708,53 +713,92 @@ def encode_chunk(rgb, codec: ChunkCodec):
             C = C[keyframes]  # static gather on the frame axis
         lev_np = np.asarray(lev_d, np.int64)
         md = jnp.asarray((lev_np - 1) // 2, jnp.int32)  # == m in both modes
-        d = C[1:] - C[:-1]
         o2 = np.zeros(64, bool) if not order2 else np.asarray(order2, bool)
-        if o2.any() and d.shape[0] > 1:
-            # order-2 positions ship the second difference (C[-1] :=
-            # C[0], so the first delta frame stays the first difference
-            # and the stream layout is unchanged)
-            d2 = jnp.concatenate([d[:1], d[1:] - d[:-1]], axis=0)
-            d = jnp.where(jnp.asarray(o2)[None, None, :], d2, d)
+        o2j = jnp.asarray(o2)
         esc_np = (lev_np % 2 == 0) & (lev_np > 1)
-        F, nb, _ = d.shape
-        if cap_frame == 0 or F == 0 or not esc_np.any():
-            delta_p = _pack_device(jnp.clip(d, -md, md) + md, lev_d, grp_d, strip)
-            return intra_p, delta_p, None, None
+        F, nb = C.shape[0] - 1, C.shape[1]
+        if F <= 0:
+            empty = jnp.zeros((0, nb, 64), jnp.int32)
+            return intra_p, _pack_device(empty, lev_d, grp_d, strip), None, None
+
+        # CLOSED-LOOP delta coding: the carry tracks the decoder's
+        # exact reconstruction R (and velocity V for order-2
+        # positions), so each frame ships d = C_t - prediction(R, V)
+        # rather than the open-loop frame difference. When nothing
+        # clips and every escape fits capacity the stream is
+        # BIT-IDENTICAL to the open-loop formulation (d telescopes to
+        # C_t - C_{t-1}); when a delta clips or an escape drops, the
+        # error feeds back into the next frame's delta and corrects
+        # itself instead of integrating into drift for the rest of the
+        # chunk (measured: a V-plane escape-rate blowout on content the
+        # 8-frame calibration never saw walked PSNR 40.4 -> 31 dB over
+        # one open-loop chunk). The quantize/DCT stays one batched
+        # pass; only this integer clip/escape feedback runs as a scan
+        # (elementwise + cumsum per step — nothing transform-sized).
+        # Decoders are untouched: they integrate shipped values either
+        # way. For order-1 positions V is simply the shipped delta, so
+        # one update rule covers both orders: V' = o2 ? V + sd : sd;
+        # R' = R + V'.
+        import jax
+
+        if cap_frame == 0 or not esc_np.any():
+
+            def body0(carry, C_t):
+                R, V = carry
+                ideal = C_t - R - jnp.where(o2j[None, :], V, 0)
+                sd = jnp.clip(ideal, -md, md)
+                Vn = jnp.where(o2j[None, :], V + sd, sd)
+                return (R + Vn, Vn), sd + md
+
+            _, base = jax.lax.scan(body0, (C[0], jnp.zeros_like(C[0])), C[1:])
+            return intra_p, _pack_device(base, lev_d, grp_d, strip), None, None
+
         ns = nb // strip
         cap_t = cap_frame * F
-        # escape ranks in (frame, strip, symbol) scan order — which is
-        # exactly C-order over (F, nb, 64) since blocks are consecutive
-        # within a strip; the decoders walk the same order
-        mask = jnp.asarray(esc_np)[None, None, :] & (jnp.abs(d) > md)
-        flat = mask.reshape(-1)
-        if o2.any() and d.shape[0] > 1:
-            # Capacity overflow drops ORDER-1 escapes first: a clipped
-            # order-1 delta costs a constant offset for the rest of the
-            # chunk, while a clipped order-2 (second-difference) delta
-            # is a velocity error the decoder integrates TWICE — the
-            # distortion would grow linearly over every remaining
-            # frame. Order-2 escapes therefore claim capacity ahead of
-            # order-1 escapes (per-class suffix drop). The value stream
-            # stays in scan order of the KEPT set, which is all the
-            # decoders assume (they walk markers, not ranks).
-            is2 = jnp.broadcast_to(jnp.asarray(o2)[None, None, :], d.shape).reshape(-1)
-            r2 = jnp.cumsum((flat & is2).astype(jnp.int32))
-            r1 = jnp.cumsum((flat & ~is2).astype(jnp.int32))
-            keep = flat & jnp.where(is2, r2 - 1 < cap_t, r2[-1] + r1 - 1 < cap_t)
-            rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        else:
-            rank = jnp.cumsum(flat.astype(jnp.int32)) - 1
-            keep = flat & (rank < cap_t)  # capacity overflow -> clip (suffix only)
-        keep3 = keep.reshape(d.shape)
-        base = jnp.where(keep3, 2 * md + 1, jnp.clip(d, -md, md) + md)
+        escj = jnp.asarray(esc_np)
+        has_o2 = bool(o2.any()) and F > 1
+
+        def body(carry, C_t):
+            R, V, used, buf = carry
+            ideal = C_t - R - jnp.where(o2j[None, :], V, 0)
+            clipped = jnp.clip(ideal, -md, md)
+            # escape ranks in (strip, symbol) scan order — C-order over
+            # (nb, 64) since blocks are consecutive within a strip; the
+            # decoders walk the same order. Capacity is global across
+            # the chunk (a busy frame borrows later frames' headroom).
+            over = escj[None, :] & (jnp.abs(ideal) > md)
+            flat = over.reshape(-1)
+            avail = cap_t - used
+            if has_o2:
+                # overflow drops ORDER-1 escapes first: with the
+                # closed-loop feedback both classes self-correct, but a
+                # dropped order-2 escape still distorts velocity (two
+                # integrations) vs the order-1 one-frame blip
+                is2 = jnp.broadcast_to(o2j[None, :], over.shape).reshape(-1)
+                r2 = jnp.cumsum((flat & is2).astype(jnp.int32))
+                r1 = jnp.cumsum((flat & ~is2).astype(jnp.int32))
+                keep = flat & jnp.where(is2, r2 - 1 < avail, r2[-1] + r1 - 1 < avail)
+            else:
+                rank0 = jnp.cumsum(flat.astype(jnp.int32)) - 1
+                keep = flat & (rank0 < avail)
+            keep2 = keep.reshape(over.shape)
+            sd = jnp.where(keep2, ideal, clipped)
+            Vn = jnp.where(o2j[None, :], V + sd, sd)
+            sym = jnp.where(keep2, 2 * md + 1, clipped + md)
+            # exact int16 exception values compacted by scatter-add
+            # (dropped/non-escape symbols collide on the discard slot);
+            # `used` carries the global value-stream position
+            rank = jnp.cumsum(keep.astype(jnp.int32)) - 1 + used
+            idx = jnp.where(keep, rank, cap_t)
+            buf = buf.at[idx].add(jnp.where(keep, ideal.reshape(-1), 0))
+            counts = keep2.reshape(ns, strip * 64).sum(-1).astype(jnp.int32)
+            used = used + jnp.sum(keep.astype(jnp.int32))
+            return (R + Vn, Vn, used, buf), (sym, counts)
+
+        init = (C[0], jnp.zeros_like(C[0]), jnp.int32(0),
+                jnp.zeros((cap_t + 1,), jnp.int32))
+        (_, _, _, vals), (base, counts) = jax.lax.scan(body, init, C[1:])
         delta_p = _pack_device(base, lev_d, grp_d, strip)
-        counts = keep3.reshape(F, ns, strip * 64).sum(-1).astype(jnp.int32)
-        # exact int16 exception values compacted by scatter-add (slots
-        # for dropped/non-escape symbols collide on the discard slot)
-        idx = jnp.where(keep, rank, cap_t)
-        vals = jnp.zeros((cap_t + 1,), jnp.int32).at[idx].add(
-            jnp.where(keep, d.reshape(-1), 0))
         vals16 = vals[:cap_t] & 0xFFFF
         # +2 pad bytes: the SIMD decoder's 32-bit masked gather may read
         # 2 bytes past the final value

@@ -281,15 +281,20 @@ class WriteWorker(threading.Thread):
 
 class _CV2Worker:
     """Fallback writer when no ffmpeg binary exists (mp4v via OpenCV;
-    no audio muxing)."""
+    no audio muxing). Accepts rgb24 or planar yuv420p frames — the
+    latter keeps the on-device I420/DCT delivery path (half/quarter the
+    device->host bytes, the e2e bottleneck) usable on ffmpeg-less
+    hosts."""
 
-    def __init__(self, output_file: str, output_size: Tuple[int, int], fps: float, audio_file=None, **_):
+    def __init__(self, output_file: str, output_size: Tuple[int, int], fps: float,
+                 audio_file=None, pix_fmt: str = "rgb24", **_):
         import cv2
 
         if audio_file is not None:
             print(f"warning: no ffmpeg binary found — writing {output_file} WITHOUT the audio track {audio_file}")
         self.cv2 = cv2
         self.size = output_size
+        self.pix_fmt = pix_fmt
         os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
         fourcc = cv2.VideoWriter_fourcc(*"mp4v")
         self.writer = cv2.VideoWriter(output_file, fourcc, fps, output_size)
@@ -299,6 +304,10 @@ class _CV2Worker:
 
     def write(self, frame_bytes: bytes):
         w, h = self.size
+        if self.pix_fmt == "yuv420p":
+            yuv = np.frombuffer(frame_bytes, np.uint8).reshape(h * 3 // 2, w)
+            self.writer.write(self.cv2.cvtColor(yuv, self.cv2.COLOR_YUV2BGR_I420))
+            return
         frame = np.frombuffer(frame_bytes, np.uint8).reshape(h, w, 3)
         self.writer.write(self.cv2.cvtColor(frame, self.cv2.COLOR_RGB2BGR))
 
@@ -328,11 +337,10 @@ class VideoWriter:
         self.value_range = value_range
         self.pix_fmt = pix_fmt
         have_ffmpeg = ffmpeg_available()
-        if pix_fmt != "rgb24" and not have_ffmpeg:
+        if pix_fmt not in ("rgb24", "yuv420p") and not have_ffmpeg:
             raise ValueError(f"pix_fmt={pix_fmt!r} requires the ffmpeg rawvideo pipe (no ffmpeg binary found)")
         cls = WriteWorker if have_ffmpeg else _CV2Worker
-        if have_ffmpeg:
-            kwargs["pix_fmt"] = pix_fmt
+        kwargs["pix_fmt"] = pix_fmt
         self.worker = cls(
             output_file, output_size, fps, audio_file=audio_file, audio_offset=audio_offset,
             audio_duration=audio_duration, **kwargs,

@@ -433,14 +433,15 @@ def test_escape_capacity_overflow_degrades_to_clip():
         assert diff.max() <= 1, diff.max()
 
 
-def test_escape_overflow_with_order2_drops_order1_escapes_first():
-    """Under capacity overflow, order-2 escape positions must keep their
-    escapes while order-1 escapes absorb the drop: a clipped order-1
-    delta is a constant offset for the rest of the chunk, but a clipped
-    order-2 (second-difference) delta is a velocity error the decoder
-    integrates twice — linearly growing distortion. Checks the kept-set
-    mechanism directly via the escape markers in the packed stream,
-    plus numpy/native agreement on the squeezed stream."""
+def test_escape_overflow_selfcorrects_with_order2():
+    """Squeezed escape capacity must degrade GRACEFULLY: the closed-loop
+    encoder feeds every clip/drop error back into the next frame's
+    delta, so per-frame error stays bounded instead of integrating into
+    drift (order-2 positions would otherwise integrate a dropped escape
+    twice — linearly growing distortion; measured pre-fix: a V-plane
+    escape blowout walked PSNR 40.4 -> 31 dB across one chunk). Within
+    a frame, order-2 escapes claim capacity ahead of order-1 ones.
+    Also pins numpy/native agreement on an overflowing stream."""
     import dataclasses
 
     from maua_tpu import native
@@ -455,34 +456,13 @@ def test_escape_overflow_with_order2_drops_order1_escapes_first():
         frames[t, pts[:, 0], pts[:, 1]] = rs.randint(0, 256, size=(40, 3))
     codec = fc.calibrate_chunk(frames[:5], escape="force", order2="force")
     assert codec.order2_y and any(codec.order2_y), "test content must engage order-2"
-    assert codec.esc_cap_y > 0
+    assert codec.esc_cap_y > 8
 
     T = frames.shape[0]
-    cd = codec.delta
-    lev = np.asarray(cd.levels_y, np.int64)
-    escp = (lev % 2 == 0) & (lev > 1)
-    o2 = np.asarray(codec.order2_y, bool)
-
-    def marker_counts(codec_v):
-        intra, deltas = map(np.asarray, fc.encode_chunk(jnp.asarray(frames), codec_v))
-        sy = (T - 1) * codec_v.luma_delta_bytes
-        sym = fc._host_unpack_sym(deltas[:sy].reshape(T - 1, -1), cd.n_blocks_y,
-                                  cd.levels_y, cd.groups_y, cd.strip_y)
-        mark = escp[None, None, :] & (sym == (lev - 1)[None, None, :])
-        return (int(mark[:, :, o2].sum()), int(mark[:, :, ~o2].sum()), intra, deltas)
-
-    n2_full, n1_full, _, _ = marker_counts(codec)
-    assert n2_full > 0 and n1_full > 4, (n2_full, n1_full)  # both classes escape
-
-    # squeeze capacity between n2 and the total: all order-2 escapes
-    # must survive, order-1 escapes take the entire drop
-    F = T - 1
-    cap = -(-(n2_full + n1_full // 2) // F)
-    tiny = dataclasses.replace(codec, esc_cap_y=cap)
-    assert n2_full <= cap * F < n2_full + n1_full
-    n2_sq, n1_sq, intra, deltas = marker_counts(tiny)
-    assert n2_sq == n2_full, (n2_sq, n2_full)
-    assert n1_sq == cap * F - n2_full, (n1_sq, cap * F, n2_full)
+    tiny = dataclasses.replace(codec, esc_cap_y=max(1, codec.esc_cap_y // 8),
+                               esc_cap_c=max(1, codec.esc_cap_c // 8) if codec.esc_cap_c else 0)
+    intra, deltas = map(np.asarray, fc.encode_chunk(jnp.asarray(frames), tiny))
+    assert deltas.shape == (tiny.delta_bytes(T),)
 
     saved = fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED
     fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = None, True
@@ -492,6 +472,11 @@ def test_escape_overflow_with_order2_drops_order1_escapes_first():
         fcmod._NATIVE_CHUNK_FN, fcmod._NATIVE_CHUNK_CHECKED = saved
     ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
     assert _psnr(via_numpy, ref) > 30.0
+    # bounded, not drifting: last-frame error comparable to early-frame
+    # error (pre-fix the same squeeze integrated linearly per frame)
+    err = via_numpy.astype(np.float64) - ref.astype(np.float64)
+    mse = (err.reshape(T, -1) ** 2).mean(axis=1)
+    assert mse[-1] <= 5.0 * np.median(mse[1:4]) + 1.0, mse.tolist()
     if native.available():
         via_native = native.framecodec_decode_chunk_u8(intra, deltas, tiny, T)
         diff = np.abs(via_native.astype(np.int32) - via_numpy.astype(np.int32))
