@@ -140,7 +140,11 @@ def main():
     from maua_tpu.ops import framecodec as fc
     from maua_tpu.ops.video import presplit, rgb_to_yuv420, submit_fetches
 
-    e2e_batch = min(batch, 32)  # long chunks amortize the intra frame + fetch latency
+    # long chunks amortize the intra frame + per-chunk sync overhead
+    # (measured grid: batch 48 ran 30.4/29.6 fps vs batch 32's noisier
+    # 33.2/15.8 under the same relay weather; bpp also drops 8.31->8.28)
+    e2e_batch = int(os.environ.get("MAUA_BENCH_E2E_BATCH", "48"))
+    e2e_batch = min(batch, e2e_batch)
 
     # e2e workload = BASELINE config #3: latent-INTERPOLATION video
     # (`audioreactive/latent.py:105-162` recipe) — a smooth slerp loop

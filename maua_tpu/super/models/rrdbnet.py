@@ -127,7 +127,45 @@ def _rdb(p, x):
     return acc * 0.2 + x
 
 
-_RDB_MODES = {"grouped": _rdb, "partial": _rdb_partial, "concat": _rdb_concat}
+def _rdb_paired(p, x):
+    """Residual dense block with BOTH matmul dims packed.
+
+    The input-grouped form (`_rdb`) fixes output-lane fill (Co
+    192..64) but still feeds the MXU Ci=32 tensors for 54% of the
+    FLOPs. Deferring each f_i's partials until its successor exists
+    lets them batch pairwise — conv(concat[f1,f2], W) for stages 3-5,
+    conv(concat[f3,f4], W) for stage 5 — while the only partials that
+    cannot wait (f1->stage2, f3->stage4) stay as small 32x32 convs:
+    92% of the FLOPs then run with Ci=64 AND Co>=64 (measured:
+    concat 14.0 -> grouped 17.9 -> paired, see PERFORMANCE.md).
+    Exact regrouping of the same linear map (conv over a concat equals
+    the sum of partial convs)."""
+    lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+    cv = lambda t, wk: jax.lax.conv_general_dilated(
+        t, wk.astype(t.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    w = lambda j, off, ci: p[f"conv{j}"]["w"][:, :, off : off + ci, :]
+    b = lambda j, ref: p[f"conv{j}"]["b"].astype(ref.dtype)
+    c0 = x.shape[-1]
+    widths = [p[f"conv{j}"]["w"].shape[-1] for j in range(1, 6)]
+    cuts = np.cumsum(widths)[:-1]
+    a1, a2, a3, a4, a5 = jnp.split(
+        cv(x, jnp.concatenate([w(j, 0, c0) for j in range(1, 6)], axis=-1)), cuts, axis=-1)
+    f1 = lrelu(a1 + b(1, a1))
+    g = widths[0]  # grow channels (f1..f4 width)
+    f2 = lrelu(a2 + cv(f1, w(2, c0, g)) + b(2, a2))
+    c3, c4, c5 = jnp.split(
+        cv(jnp.concatenate([f1, f2], axis=-1),
+           jnp.concatenate([w(j, c0, 2 * g) for j in (3, 4, 5)], axis=-1)),
+        np.cumsum(widths[2:4]), axis=-1)
+    f3 = lrelu(a3 + c3 + b(3, a3))
+    f4 = lrelu(a4 + c4 + cv(f3, w(4, c0 + 2 * g, g)) + b(4, a4))
+    out = a5 + c5 + cv(jnp.concatenate([f3, f4], axis=-1), w(5, c0 + 2 * g, 2 * g)) + b(5, a5)
+    return out * 0.2 + x
+
+
+_RDB_MODES = {"grouped": _rdb, "partial": _rdb_partial, "concat": _rdb_concat,
+              "paired": _rdb_paired}
 
 
 def _rdb_fn():
@@ -169,6 +207,58 @@ def _up2(x):
     return jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
 
 
+def _fold_up2_conv(p, x):
+    """nearest-2x upsample + 3x3 SAME conv, folded into one 2x2 conv
+    producing the four output phases on the SMALL grid + depth-to-space.
+
+    Output pixel (2i+a, 2j+b) of conv(up2(x)) taps up2 rows
+    2i+a-1 .. 2i+a+1, which collapse onto TWO source rows
+    (i + floor((a+dy-1)/2)) with summed weights — so each phase is an
+    exact 2x2 kernel: 16 vs 36 ci*co MACs per source pixel (2.25x) and
+    the 2x-resized tensor never materializes (measured at 1024^2 b8:
+    resize+conv 28.8 ms, the resize alone ~12 ms of it). Border-exact:
+    the (1,1) source zero-pad reproduces SAME padding on the doubled
+    grid because both doubled rows of a source row share its value."""
+    w, b = p["w"], p["b"]
+    ci, co = w.shape[2], w.shape[3]
+    ks = []
+    for a in range(2):
+        for bb in range(2):
+            k = jnp.zeros((2, 2, ci, co), w.dtype)
+            for dy in range(3):
+                # tap dy of phase a reads source row i + (a+dy-1)//2;
+                # the sliced y-window for phase a starts at source row
+                # i-1+a, so the 2x2 kernel row is the difference
+                ty = (a + dy - 1) // 2 + 1 - a
+                for dx in range(3):
+                    tx = (bb + dx - 1) // 2 + 1 - bb
+                    k = k.at[ty, tx].add(w[dy, dx])
+            ks.append(k)
+    kall = jnp.concatenate(ks, axis=-1)  # (2, 2, ci, 4co)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, kall.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    B, h1, w1, _ = y.shape
+    h, wd = h1 - 1, w1 - 1
+    ph = [y[:, a : h + a, bb : wd + bb, (a * 2 + bb) * co : (a * 2 + bb + 1) * co]
+          for a in range(2) for bb in range(2)]
+    stacked = jnp.stack([jnp.stack(ph[0:2], axis=3), jnp.stack(ph[2:4], axis=3)], axis=2)
+    return stacked.reshape(B, 2 * h, 2 * wd, co) + b.astype(y.dtype)
+
+
+def _up2_conv(p, x):
+    import os
+
+    # measured e2e-NEUTRAL on the full net (17.9 vs 17.8 img/s): the
+    # 2.25x MAC saving is real but the depth-to-space relayout gives it
+    # back at these shapes — kept as an exact opt-in (the judge-by-e2e
+    # discipline, PERFORMANCE.md)
+    if os.environ.get("MAUA_RRDB_FOLDUP", "0") == "1":
+        return _fold_up2_conv(p, x)
+    return conv(p, _up2(x))
+
+
 def forward(params: Dict, img: jax.Array, cfg: RRDBConfig = RRDBConfig()) -> jax.Array:
     """img (B, H, W, C) in [0, 1] -> (B, scale*H, scale*W, C)."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -179,9 +269,9 @@ def forward(params: Dict, img: jax.Array, cfg: RRDBConfig = RRDBConfig()) -> jax
     for blk in params["body"]:
         body = _rrdb(blk, body)
     feat = feat + conv(params["conv_body"], body)
-    feat = lrelu(conv(params["conv_up1"], _up2(feat)))
+    feat = lrelu(_up2_conv(params["conv_up1"], feat))
     if cfg.scale >= 4:
-        feat = lrelu(conv(params["conv_up2"], _up2(feat)))
+        feat = lrelu(_up2_conv(params["conv_up2"], feat))
     out = conv(params["conv_last"], lrelu(conv(params["conv_hr"], feat)))
     return out.astype(jnp.float32)
 

@@ -35,6 +35,19 @@ def test_rdb_modes_agree():
         np.testing.assert_allclose(out, outs["concat"], rtol=1e-5, atol=1e-5, err_msg=name)
 
 
+def test_fold_up2_conv_matches_resize_conv():
+    """The 2x2 phase-kernel fold of nearest-up2 + 3x3 SAME conv must be
+    exact (including borders, where the source zero-pad reproduces the
+    doubled grid's SAME padding)."""
+    rs = np.random.RandomState(4)
+    p = {"w": jnp.asarray(rs.randn(3, 3, 6, 5).astype(np.float32)),
+         "b": jnp.asarray(rs.randn(5).astype(np.float32))}
+    x = jnp.asarray(rs.randn(2, 9, 7, 6).astype(np.float32))
+    ref = rrdbnet.conv(p, rrdbnet._up2(x))
+    out = rrdbnet._fold_up2_conv(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_rrdb_converter_roundtrip():
     """Synthetic basicsr-style state dict converts to matching shapes."""
     rs = np.random.RandomState(1)
