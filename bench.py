@@ -72,6 +72,14 @@ def _preflight(timeout: Optional[float] = None, attempts: int = 3, backoff: floa
 def main():
     _preflight()
 
+    # 12 fetch streams with the depth-2 pipeline: extra streams ride
+    # through per-stream relay stalls (A/B: worst trial 29.1 vs 23.6
+    # fps at 8 streams; medians equal). Must be set before
+    # maua_tpu.ops.video is (transitively) imported.
+    import os
+
+    os.environ.setdefault("MAUA_FETCH_STREAMS", "12")
+
     import jax
 
     from maua_tpu.utility import enable_compilation_cache
@@ -81,8 +89,6 @@ def main():
 
     from maua_tpu.gan import fast_synthesis as fs
     from maua_tpu.gan import stylegan2 as sg2
-
-    import os
 
     resolution = int(os.environ.get("MAUA_BENCH_RES", "1024"))
     batch = int(os.environ.get("MAUA_BENCH_BATCH", "56"))
@@ -300,18 +306,29 @@ def main():
     # ~2%, so the number reflects the steady-state delivery rate a
     # minutes-long render actually runs at. Per-trial stage stats print
     # so a slow run is attributable (fetch wait vs host decode).
+    # TWO chunks stay in flight: the relay's throughput is bursty
+    # (measured 26-46 MB/s across one day), and a second outstanding
+    # chunk's fetch threads keep draining through another chunk's slow
+    # patch — interleaved A/B measured median 29.4 -> 32.3 fps
+    # (workspace/profiling/bench_e2e_ab.py).
+    import collections
+
+    pipe_depth = int(os.environ.get("MAUA_BENCH_PIPE_DEPTH", "2"))
     n_e2e = 8
     e2e_times = []
     for trial in range(3):
         for k in stage_stats:
             stage_stats[k] = 0
         t0 = time.perf_counter()
-        pending = render_chunk_packed(0)
-        for i in range(1, n_e2e):
+        q = collections.deque()
+        for i in range(min(pipe_depth, n_e2e)):
+            q.append(render_chunk_packed(i))
+        for i in range(pipe_depth, n_e2e):
             nxt = render_chunk_packed(i)  # async dispatch
-            fetch_decode(pending)  # fetch+decode overlap the dispatched batch
-            pending = nxt
-        fetch_decode(pending)
+            fetch_decode(q.popleft())  # fetch+decode overlap the dispatched batches
+            q.append(nxt)
+        while q:
+            fetch_decode(q.popleft())
         dt = time.perf_counter() - t0
         e2e_times.append(dt)
         print(f"bench.py e2e trial {trial}: {n_e2e * e2e_batch / dt:.1f} fps | "

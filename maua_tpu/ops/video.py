@@ -70,6 +70,15 @@ def _fetch_pool():
     return _FETCH_POOL
 
 
+def _pipeline_depth() -> int:
+    """Outstanding batches in the delivery generators. 2 keeps a second
+    chunk's fetches draining through another chunk's slow relay patch
+    (bursty transport; interleaved A/B on the e2e bench measured median
+    29.4 -> 32.3 fps). MAUA_PIPELINE_DEPTH overrides (1 = the old
+    double-buffer)."""
+    return max(1, int(os.environ.get("MAUA_PIPELINE_DEPTH", "2")))
+
+
 def presplit(arr, n_streams: Optional[int] = None):
     """Split a device array into leading-axis slices for parallel
     fetching, dispatching the slice ops NOW.
@@ -141,22 +150,24 @@ def pipelined_frames(batches, pix_fmt: str = "rgb24", codec_quality: float = 1.0
     if pix_fmt == "dct":
         yield from _dct_pipelined_frames(batches, codec_quality)
         return
-    pending = None
+    import collections
+
+    depth = _pipeline_depth()
+    q: "collections.deque" = collections.deque()
     for item in batches:
         batch, n = item if isinstance(item, tuple) else (item, None)
         if pix_fmt == "yuv420p":
             batch = rgb_to_yuv420(batch)
         # slice + start fetching NOW: the worker threads block on the
         # device while the main thread keeps dispatching/consuming
-        futs = submit_fetches(presplit(batch))
-        if pending is not None:
-            prev, prev_n = pending
+        q.append((submit_fetches(presplit(batch)), n))
+        if len(q) > depth:
+            prev, prev_n = q.popleft()
             prev = gather_fetches(prev)
             for i in range(prev.shape[0] if prev_n is None else prev_n):
                 yield prev[i]
-        pending = (futs, n)
-    if pending is not None:
-        prev, prev_n = pending
+    while q:
+        prev, prev_n = q.popleft()
         prev = gather_fetches(prev)
         for i in range(prev.shape[0] if prev_n is None else prev_n):
             yield prev[i]
@@ -190,16 +201,18 @@ def _dct_pipelined_frames(batches, quality: float):
     for i in range(i420.shape[0] if fn is None else fn):
         yield i420[i]
 
-    pending = None
+    import collections
+
+    depth = _pipeline_depth()
+    q: "collections.deque" = collections.deque()
     for item in it:
         batch, n = item if isinstance(item, tuple) else (item, None)
-        intra, deltas = encode(batch)  # async dispatch BEFORE fetching the previous chunk
-        futs = submit_fetches([intra] + presplit(deltas))
-        if pending is not None:
-            yield from _emit_chunk(pending, codec)
-        pending = (futs, n)
-    if pending is not None:
-        yield from _emit_chunk(pending, codec)
+        intra, deltas = encode(batch)  # async dispatch BEFORE fetching earlier chunks
+        q.append((submit_fetches([intra] + presplit(deltas)), n))
+        if len(q) > depth:
+            yield from _emit_chunk(q.popleft(), codec)
+    while q:
+        yield from _emit_chunk(q.popleft(), codec)
 
 
 def _emit_chunk(pending, codec):
