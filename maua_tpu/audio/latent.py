@@ -18,6 +18,7 @@ from __future__ import annotations
 
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 
 
@@ -124,6 +125,7 @@ def natural_cubic_spline_evaluate(coeffs, t_out: jax.Array) -> jax.Array:
     return a[idx] + b[idx] * dt + c[idx] * dt**2 + d[idx] * dt**3
 
 
+@partial(jax.jit, static_argnames=("size", "n_loops"))
 def spline_loops(y: jax.Array, size: int, n_loops: int) -> jax.Array:
     """Looping natural-cubic-spline interpolation (`latent.py:82-91`).
     (K, L, D) -> (size, L, D)."""

@@ -12,6 +12,7 @@ and gaussian-smoothed on request.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -47,16 +48,39 @@ def _postprocess(env: jax.Array, n_frames: Optional[int], clip: Optional[float],
     return env
 
 
+# Each feature extractor compiles ONCE per (static-knob, input-shape)
+# combination: a full-track envelope is hundreds of XLA ops, and eager
+# dispatch pays the per-op round trip on remote backends (~26 ms on the
+# axon relay — the difference between minutes and seconds for one
+# process_audio). lru_cache holds the jitted program per knob tuple.
+@functools.lru_cache(maxsize=None)
+def _onsets_prog(sr, n_frames, margin, clip, smooth, type):
+    def f(y):
+        if margin:
+            y = _percussive(y, margin=float(margin))
+        env = _mir.onset_ensemble(y, sr) if type == "mm" else _beat.onset_strength(y, sr=sr)
+        return _postprocess(env, n_frames, clip, smooth)
+
+    return jax.jit(f)
+
+
 def onsets(
     audio, sr, n_frames: Optional[int] = None, margin: float = 2.0, clip: Optional[float] = 95.0,
     smooth: Optional[float] = 2.0, type: str = "mm",
 ) -> jax.Array:
     """Frame-aligned onset envelope in [0, 1]."""
-    y = jnp.asarray(audio)
-    if margin:
-        y = _percussive(y, margin=float(margin))
-    env = _mir.onset_ensemble(y, sr) if type == "mm" else _beat.onset_strength(y, sr=sr)
-    return _postprocess(env, n_frames, clip, smooth)
+    return _onsets_prog(float(sr), n_frames, float(margin),
+                        None if clip is None else float(clip),
+                        None if smooth is None else float(smooth), type)(jnp.asarray(audio))
+
+
+@functools.lru_cache(maxsize=None)
+def _rms_prog(n_frames, smooth, clip, power):
+    def f(y):
+        env = _rms(y) ** power
+        return _postprocess(env, n_frames, clip, smooth)
+
+    return jax.jit(f)
 
 
 def rms(
@@ -64,15 +88,38 @@ def rms(
     power: float = 1.0,
 ) -> jax.Array:
     """Frame-aligned loudness envelope in [0, 1]."""
-    env = _rms(jnp.asarray(audio)) ** power
-    return _postprocess(env, n_frames, clip, smooth)
+    return _rms_prog(n_frames, None if smooth is None else float(smooth),
+                     None if clip is None else float(clip), float(power))(jnp.asarray(audio))
+
+
+@functools.lru_cache(maxsize=None)
+def _chroma_prog(sr, n_frames, margin, type, notes):
+    def f(y):
+        ch = _mir.chroma(y, sr, type=type, preharmonic=margin, notes=notes)
+        if n_frames is not None:
+            ch = resample_1d(ch, n_frames)
+        return ch
+
+    return jax.jit(f)
+
+
+_CHROMA_EAGER_TYPES: set = set()
 
 
 def chroma(
     audio, sr, n_frames: Optional[int] = None, margin: float = 2.0, type: str = "cens", notes: int = 12,
 ) -> jax.Array:
     """Frame-aligned chromagram (n_frames, notes)."""
-    ch = _mir.chroma(audio, sr, type=type, preharmonic=margin, notes=notes)
+    y = jnp.asarray(audio)
+    if type not in _CHROMA_EAGER_TYPES:
+        try:
+            return _chroma_prog(float(sr), n_frames, float(margin), type, int(notes))(y)
+        except jax.errors.TracerArrayConversionError:
+            # this variant builds a data-dependent numpy table (tuning
+            # estimated from the audio, e.g. type="stft") — it cannot
+            # trace; run it eagerly from now on
+            _CHROMA_EAGER_TYPES.add(type)
+    ch = _mir.chroma(y, sr, type=type, preharmonic=margin, notes=notes)
     if n_frames is not None:
         ch = resample_1d(ch, n_frames)
     return ch
@@ -126,13 +173,17 @@ def separate_sources(
             )
         return umx.separate(audio, sr, params=params, cfg=cfg)
     y = jnp.asarray(audio)
-    harm = _harmonic(y, margin=3.0)
-    perc = _percussive(y, margin=3.0)
+    harm, perc = _hpss_prog()(y)
     drums = perc
     bass = jnp.asarray(low_pass(np.asarray(harm), sr, 250))
     vocals = jnp.asarray(band_pass(np.asarray(harm), sr, 250, 4000))
     other = harm - bass - vocals
     return vocals, drums, bass, other
+
+
+@functools.lru_cache(maxsize=None)
+def _hpss_prog():
+    return jax.jit(lambda y: (_harmonic(y, margin=3.0), _percussive(y, margin=3.0)))
 
 
 def chroma_weight_latents(chroma: jax.Array, latents: jax.Array) -> jax.Array:

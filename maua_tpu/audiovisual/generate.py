@@ -41,10 +41,22 @@ def generate_audiovisual_from_patch(
         resize_layer=resize_layer,
     )
 
-    patch.process_audio()
+    import sys
+    import time
+
+    stage_t: dict = {}
+
+    def _stage(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        stage_t[name] = time.perf_counter() - t0
+        return out
+
+    _stage("audio_features", patch.process_audio)
     mapper_inputs = patch.process_mapper_inputs()
-    mapped_inputs = patch.mapper(**mapper_inputs)
-    synthesizer_inputs = patch.process_synthesizer_inputs(mapped_inputs)
+    mapped_inputs = _stage("mapper", lambda: patch.mapper(**mapper_inputs))
+    synthesizer_inputs = _stage(
+        "modulation", lambda: patch.process_synthesizer_inputs(mapped_inputs))
     if not isinstance(synthesizer_inputs, dict):
         synthesizer_inputs = {"latent_w_plus": synthesizer_inputs}
 
@@ -54,7 +66,10 @@ def generate_audiovisual_from_patch(
     if renderer == "ffmpeg":
         renderer_kwargs.setdefault("audio_file", patch.audio_file)
     model = getattr(patch, "stylegan2", None) or getattr(patch, "stylegan3", None)
-    video = get_output_class(renderer)(**renderer_kwargs)(model.render, synthesizer_inputs, postprocess)
+    video = _stage("render_encode", lambda: get_output_class(renderer)(
+        **renderer_kwargs)(model.render, synthesizer_inputs, postprocess))
+    print("audiovisual stages: " + ", ".join(
+        f"{k} {v:.1f}s" for k, v in stage_t.items()), file=sys.stderr)
     return video, (patch.audio, patch.sr)
 
 

@@ -34,7 +34,7 @@ class FFMPEG:
     (`render/ffmpeg.py:21-77`)."""
 
     def __init__(self, output_file: str, fps: float = 24, audio_file: Optional[str] = None,
-                 batch_size: int = 8, pix_fmt: Optional[str] = None, **writer_kwargs):
+                 batch_size: int = 32, pix_fmt: Optional[str] = None, **writer_kwargs):
         self.output_file = output_file
         self.fps = fps
         self.audio_file = audio_file

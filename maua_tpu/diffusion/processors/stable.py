@@ -85,6 +85,34 @@ class StableDiffusion(BaseDiffusionProcessor):
         self.image_size = image_size
         self.grad_modules = [gm for gm in grad_modules if getattr(gm, "scale", 1) != 0]
 
+        # One jitted program per (shape, sigma-count) for the UNGUIDED
+        # path: eagerly-dispatched sampling pays the per-op round trip
+        # on remote backends (~26 ms on the axon relay — measured 50 s
+        # for a 50-step 256^2 sample that the jitted path runs in ~2 s).
+        # The guided path stays eager: grad-module targets mutate
+        # between calls and would bake into a trace as constants.
+        # sigmas ride as a STATIC tuple: several samplers derive host
+        # constants from the sigma values (lms quadrature coefficients,
+        # ancestral step sizes), so they must be concrete at trace time;
+        # one retrace per distinct schedule (one per (t_start, steps)).
+        # Params are ARGUMENTS, never closure captures: closed-over
+        # weights serialize into the HLO as constants — a multi-GB
+        # compile payload the relay's remote_compile rejects.
+        def _sample_unguided(unet_params, x, sigmas_t, cond, uncond, key):
+            sigmas = np.asarray(sigmas_t, np.float32)
+            den = EpsDenoiser(
+                lambda xx, t, context=None: unet_mod.forward(unet_params, xx, t, unet_cfg, context),
+                self.alphas_cumprod,
+            )
+            model_fn = cfg_denoiser(den, cond, uncond, self.cfg_scale)
+            if self.sampler_name in ("euler_ancestral", "dpm_2_ancestral"):
+                return self.sample_fn(model_fn, x, sigmas, key=key)
+            return self.sample_fn(model_fn, x, sigmas)
+
+        self._jit_sample = jax.jit(_sample_unguided, static_argnums=(2,))
+        self._jit_encode = jax.jit(lambda p, img: vae_mod.encode(p, img, self.vae_cfg))
+        self._jit_decode = jax.jit(lambda p, z: vae_mod.decode(p, z, self.vae_cfg))
+
     # ------------------------------------------------------ conditioning
     def conditioning(self, prompts):
         """Prompts -> (cond, uncond) embeddings (`stable.py:133-148`).
@@ -141,9 +169,10 @@ class StableDiffusion(BaseDiffusionProcessor):
             return img
 
         cond, uncond = self.conditioning(prompts)
+        guided = bool(self.grad_modules)
         model_fn = cfg_denoiser(self.denoiser, cond, uncond, self.cfg_scale)
 
-        if self.grad_modules:
+        if guided:
             for gm in self.grad_modules:
                 gm.set_targets(prompts)
 
@@ -160,7 +189,7 @@ class StableDiffusion(BaseDiffusionProcessor):
 
         ds = self.vae_cfg.downscale
         if t_start > 0 or reverse:
-            x = img if latent else self.encode(img)
+            x = img if latent else (self.encode(img) if guided else self._jit_encode(self.vae_params, jnp.asarray(img)))
             x = x + jax.random.normal(k_noise, x.shape) * sigmas[0]
         else:
             b = img.shape[0]
@@ -169,9 +198,12 @@ class StableDiffusion(BaseDiffusionProcessor):
                 h, w = h // ds, w // ds
             x = jax.random.normal(k_noise, (b, h, w, self.vae_cfg.z_channels)) * sigmas[0]
 
-        if self.sampler_name in ("euler_ancestral", "dpm_2_ancestral"):
-            out = self.sample_fn(model_fn, x, sigmas, key=k_sample)
+        if guided:
+            if self.sampler_name in ("euler_ancestral", "dpm_2_ancestral"):
+                out = self.sample_fn(model_fn, x, sigmas, key=k_sample)
+            else:
+                out = self.sample_fn(model_fn, x, sigmas)
         else:
-            out = self.sample_fn(model_fn, x, sigmas)
-        out = out if latent else self.decode(out)
+            out = self._jit_sample(self.unet_params, x, tuple(float(s) for s in sigmas), cond, uncond, k_sample)
+        out = out if latent else (self.decode(out) if guided else self._jit_decode(self.vae_params, out))
         return out.astype(jnp.float32)

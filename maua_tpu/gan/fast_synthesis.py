@@ -342,6 +342,19 @@ def _fused_epilogue(y, demod, n_cell, bias, clamp, pre_next=None, quant_out=Fals
     )
 
 
+def motion_layer_bound(plan: Dict, cfg: SG2Config) -> int:
+    """First per-conv layer index that falls inside the s2d tail —
+    motion transforms at indices below this run in the direct head and
+    are therefore fast-path compatible (wrappers.StyleGAN2.synthesizer
+    dispatch)."""
+    li = 2
+    for res in cfg.block_resolutions[1:]:
+        if res in plan["blocks"]:
+            return li
+        li += 2
+    return li
+
+
 def synthesis_fast(
     params: Dict,
     plan: Dict,
@@ -350,6 +363,10 @@ def synthesis_fast(
     noise_mode: str = "random",
     noises: Optional[Dict] = None,
     noise_key: Optional[jax.Array] = None,
+    translation: Optional[jax.Array] = None,
+    zoom: Optional[jax.Array] = None,
+    rotation: Optional[jax.Array] = None,
+    rcfg=None,
     _amax_tape: Optional[Dict] = None,
 ) -> jax.Array:
     """Exact fast-path synthesis: identical math to
@@ -369,6 +386,30 @@ def synthesis_fast(
     if noise_key is None:
         noise_key = jax.random.PRNGKey(0)
 
+    # motion transforms (translate/zoom/rotate at rcfg.*_layer) apply in
+    # the DIRECT head only — those layers sit at coarse resolutions
+    # (default 7 ~ b32), far below the s2d tail; `motion_layers_in_head`
+    # guards the dispatch. Same per-conv layer indexing as
+    # `stylegan2.synthesize` (li=0 after b4.conv1, then 2,3,... per conv).
+    if rcfg is None:
+        from .wrappers import RenderConfig
+
+        rcfg = RenderConfig()
+
+    def maybe_motion(x, idx):
+        from ..ops import warp as W
+
+        if translation is not None and idx == rcfg.translation_layer:
+            h, w = x.shape[1], x.shape[2]
+            t = jnp.asarray(translation, jnp.float32) * jnp.asarray([w, h], jnp.float32)
+            x = W.translate(x.astype(jnp.float32), t).astype(x.dtype)
+        if zoom is not None and idx == rcfg.zoom_layer:
+            x = W.zoom(x.astype(jnp.float32), zoom, rcfg.zoom_center).astype(x.dtype)
+        if rotation is not None and idx == rcfg.rotation_layer:
+            x = W.rotate(x.astype(jnp.float32), rotation, rcfg.rotation_center).astype(x.dtype)
+        return x
+
+    li = 1
     x = None
     img = None  # while in direct mode: (B, H, W, 3); in s2d mode: cell layout
     w_idx = 0
@@ -388,6 +429,8 @@ def synthesis_fast(
                 n = _layer_noise(block["conv1"], f"b{res}.conv1", res, batch, noise_mode, noises,
                                  jax.random.fold_in(noise_key, 2 * bi + 1))
                 x = synthesis_layer(block["conv1"], x, block_ws[:, 0], res, 1, rfilter, cfg, n)
+                x = maybe_motion(x, 0)
+                li = 2
             else:
                 x = x.astype(dtype)
                 n0 = _layer_noise(block["conv0"], f"b{res}.conv0", res, batch, noise_mode, noises,
@@ -395,7 +438,11 @@ def synthesis_fast(
                 n1 = _layer_noise(block["conv1"], f"b{res}.conv1", res, batch, noise_mode, noises,
                                   jax.random.fold_in(noise_key, 2 * bi + 1))
                 x = synthesis_layer(block["conv0"], x, block_ws[:, 0], res, 2, rfilter, cfg, n0)
+                x = maybe_motion(x, li)
+                li += 1
                 x = synthesis_layer(block["conv1"], x, block_ws[:, 1], res, 1, rfilter, cfg, n1)
+                x = maybe_motion(x, li)
+                li += 1
             if img is not None:
                 img = ops.upsample2d(img, rfilter)
             if res == cfg.img_resolution or cfg.architecture == "skip":

@@ -322,15 +322,30 @@ class StyleGAN2:
 
             self._fast_plan = build_fast_plan(self.params, self.cfg)
             plan = self._fast_plan
+            rcfg = self.rcfg
             if plan["blocks"]:
                 self._fast_synth = jax.jit(
-                    lambda p, ws, noises, nk: synthesis_fast(
-                        p, plan, ws, self.cfg, noise_mode="const", noises=noises, noise_key=nk
+                    lambda p, ws, noises, nk, t, z, r: synthesis_fast(
+                        p, plan, ws, self.cfg, noise_mode="const", noises=noises, noise_key=nk,
+                        translation=t, zoom=z, rotation=r, rcfg=rcfg,
                     )
                 )
             else:
                 self._fast_synth = False
         return self._fast_synth
+
+    def _motion_fast_ok(self, translation, zoom, rotation) -> bool:
+        """Motion mods are fast-path compatible when every active
+        transform layer sits in the direct head (below the s2d tail) —
+        the default layers (~b32) always do for 1024-class models."""
+        used = [layer for v, layer in ((translation, self.rcfg.translation_layer),
+                                       (zoom, self.rcfg.zoom_layer),
+                                       (rotation, self.rcfg.rotation_layer)) if v is not None]
+        if not used:
+            return True
+        from .fast_synthesis import motion_layer_bound
+
+        return max(used) < motion_layer_bound(self._fast_plan, self.cfg)
 
     # ------------------------------------------------------------ mapper
     def get_z_latents(self, seeds) -> jax.Array:
@@ -349,13 +364,13 @@ class StyleGAN2:
     # ------------------------------------------------------- synthesizer
     def synthesizer(self, latents, translation=None, zoom=None, rotation=None, noises=None,
                     noise_mode: str = "const", noise_key=None) -> jax.Array:
-        if (self._vanilla and translation is None and zoom is None and rotation is None
-                and noise_mode == "const"):
+        if self._vanilla and noise_mode == "const":
             fast = self._get_fast()
-            if fast:
+            if fast and self._motion_fast_ok(translation, zoom, rotation):
                 if noise_key is None:
                     noise_key = jax.random.PRNGKey(0)
-                return fast(self.params, jnp.asarray(latents), noises, noise_key)
+                return fast(self.params, jnp.asarray(latents), noises, noise_key,
+                            translation, zoom, rotation)
         return self._synth(
             self.params, jnp.asarray(latents), translation=translation, zoom=zoom, rotation=rotation,
             noises=noises, noise_mode=noise_mode, noise_key=noise_key,

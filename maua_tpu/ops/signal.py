@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnames=("size",))
 def resample_1d(x: jax.Array, size: int) -> jax.Array:
     """Linearly resample along the first (time) axis to `size` samples.
 
@@ -69,6 +70,7 @@ def _masked_kthvalue(values: jax.Array, mask: jax.Array, p: float) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("percent",))
+@partial(jax.jit, static_argnames=("percent",))
 def percentile_clip(signal: jax.Array, percent: float = 95.0) -> jax.Array:
     """Clip peaks above the `percent` percentile of local maxima, then
     normalize by the max (`audioreactive/signal.py:55-81`).
@@ -115,6 +117,7 @@ def _pad_time(x: jax.Array, radius: int, mode: str) -> jax.Array:
     raise ValueError(f"unknown pad mode {mode}")
 
 
+@partial(jax.jit, static_argnames=("sigma", "causal", "mode"))
 def gaussian_filter(x: jax.Array, sigma: float, causal=None, mode: str = "circular") -> jax.Array:
     """Smooth along the time (first) axis with a gaussian kernel.
 

@@ -111,3 +111,38 @@ def test_fast_synthesis_const_noise_mode():
     plan = fs.build_fast_plan(params, cfg, min_channels=9999)
     out = np.asarray(fs.synthesis_fast(params, plan, ws, cfg, noise_mode="const"))
     assert np.abs(out - ref).max() < 5e-3
+
+
+def test_fast_synthesis_motion_parity():
+    """Translate/zoom/rotate at direct-head layers must run through the
+    fast path (audio-reactive patches drive them per frame — routing
+    them to the vanilla path measured 8 fps where the fast path runs
+    30+) and match the vanilla synthesize to fast-path tolerance."""
+    from maua_tpu.gan import wrappers as wr
+
+    cfg = sg2.SG2Config(img_resolution=64, channel_base=64 * 32, channel_max=128, num_fp16_res=0)
+    params = sg2.init_params(jax.random.PRNGKey(0), cfg)
+    ws = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.num_ws, cfg.w_dim))
+    t = jnp.asarray([[0.05, -0.02], [0.0, 0.1]])
+    z = jnp.asarray([0.9, 1.15])
+    r = jnp.asarray([10.0, -4.0])
+
+    plan = fs.build_fast_plan(params, cfg, min_channels=48)
+    assert plan["blocks"]
+    assert fs.motion_layer_bound(plan, cfg) > 7  # default layers in head
+    ref = np.asarray(wr.synthesize(params, ws, translation=t, zoom=z, rotation=r,
+                                   noise_mode="none", cfg=cfg, rcfg=wr.RenderConfig()))
+    out = np.asarray(fs.synthesis_fast(params, plan, ws, cfg, noise_mode="none",
+                                       translation=t, zoom=z, rotation=r,
+                                       rcfg=wr.RenderConfig()))
+    assert np.abs(out - ref).max() < 5e-3
+
+    # the wrapper guard must agree with the layer bound of ITS plan
+    # (production 1024-class models put the s2d tail far above layer 7,
+    # so motion dispatches fast; this tiny model's default plan reaches
+    # b32 and the guard correctly refuses)
+    g = wr.StyleGAN2(params=params, cfg=cfg)
+    g._get_fast()
+    expect = fs.motion_layer_bound(g._fast_plan, cfg) > 7
+    assert g._motion_fast_ok(t, z, r) == expect
+    assert g._motion_fast_ok(None, None, None)
