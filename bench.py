@@ -316,6 +316,7 @@ def main():
     pipe_depth = int(os.environ.get("MAUA_BENCH_PIPE_DEPTH", "2"))
     n_e2e = 8
     e2e_times = []
+    eff_rates = []
     for trial in range(3):
         for k in stage_stats:
             stage_stats[k] = 0
@@ -331,6 +332,7 @@ def main():
             fetch_decode(q.popleft())
         dt = time.perf_counter() - t0
         e2e_times.append(dt)
+        eff_rates.append(stage_stats["fetch_bytes"] / max(stage_stats["fetch_s"], 1e-9) / 1e6)
         print(f"bench.py e2e trial {trial}: {n_e2e * e2e_batch / dt:.1f} fps | "
               f"fetch wait {stage_stats['fetch_s']:.2f}s "
               f"({stage_stats['fetch_bytes'] / max(stage_stats['fetch_s'], 1e-9) / 1e6:.1f} MB/s eff) | "
@@ -397,6 +399,10 @@ def main():
         "vs_baseline": round(e2e_fps / 30.0, 3),
         "delivered_psnr_db": round(psnr, 2),
         "codec_bits_per_pixel": round(codec.bits_per_pixel(e2e_batch), 2),
+        # transport context: the e2e number is relay-weather-bound
+        # (measured 13.7-32.1 fps across one day on identical code);
+        # this attributes any capture to its transport conditions
+        "fetch_mb_s_eff": round(sorted(eff_rates)[1], 1),
     }))
     print(json.dumps({
         "metric": f"stylegan2_{resolution}_frames_per_sec_per_chip",
