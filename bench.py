@@ -214,13 +214,15 @@ def main():
         print("bench.py e2e: per-frame LoopNoise rotation ON", file=sys.stderr)
     else:
         render_rgb = jax.jit(render_frames)
-    # calibrate on the FULL first chunk (32 consecutive frames): the
-    # latent loop's smoothstep pacing means an 8-frame prefix samples
-    # only the slowest deltas — ranges/escape capacity calibrated there
-    # starve on the mid-segment speed peak (measured: V-plane capacity
-    # blowout, PSNR 40.4 -> 31 dB across one chunk pre-closed-loop).
-    # One-time cost: ~75 MB extra calibration fetch (~2 s).
-    rgb0 = fetch_parallel(render_rgb(params, noises_b, jnp.int32(0)))
+    # calibrate on the FULL first chunk: the latent loop's smoothstep
+    # pacing means an 8-frame prefix samples only the slowest deltas —
+    # ranges/escape capacity calibrated there starve on the mid-segment
+    # speed peak (measured: V-plane capacity blowout, PSNR 40.4 -> 31
+    # dB across one chunk pre-closed-loop). Statistics run ON DEVICE
+    # (fc.calibrate_chunk_device): only ~400 KB of histograms cross the
+    # link instead of the raw chunk, and the 40-60 s of single-core
+    # numpy statistics disappear.
+    rgb0_dev = render_rgb(params, noises_b, jnp.int32(0))
     # I420 reference of the gate chunk — codec-independent, fetch once
     ref0 = fetch_parallel(rgb_to_yuv420(render_rgb(params, noises_b, jnp.int32(2))))
 
@@ -237,7 +239,7 @@ def main():
     psnr_aim = float(os.environ.get("MAUA_BENCH_PSNR_AIM", "40.4"))
     psnr_band = 0.35
     for cal_attempt in range(4):
-        codec = fc.calibrate_chunk(rgb0, quality=quality)
+        codec = fc.calibrate_chunk_device(rgb0_dev, quality=quality)
         encode = jax.jit(lambda x: fc.encode_chunk(x, codec))
         print(f"bench.py e2e: codec {codec.bits_per_pixel(e2e_batch):.2f} bits/pixel "
               f"(I420 is 12), chunk {codec.chunk_bytes(e2e_batch)/1e6:.2f} MB "

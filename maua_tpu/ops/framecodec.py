@@ -96,6 +96,7 @@ import numpy as np
 
 __all__ = [
     "CodecConfig", "ChunkCodec", "default_config", "calibrate", "calibrate_chunk",
+    "calibrate_chunk_device",
     "encode_frames", "decode_frames", "encode_chunk", "decode_chunk", "yuv420_to_rgb",
 ]
 
@@ -554,6 +555,196 @@ def _escape_plan(d: np.ndarray, live: np.ndarray, margin: float,
             levels[i] = 2 * best[1] + 2  # even = escape mode
             cost[i], esc_p[i] = best[0], best[2]
     return levels, cost, esc_p
+
+
+# -------------------------------------------- device-side calibration
+_ESC_HIST_BINS = 256
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _calib_stats_prog(quality: float):
+    """Jittable per-chunk calibration statistics: DCT/quantize/delta
+    work runs ON DEVICE and only ~400 KB of per-position histograms /
+    quantiles / spreads cross the link (the host path fetches the raw
+    chunk — ~100 MB at 1024^2 x 32 — and spends 40-60 s of numpy on
+    the 1-core bench host). One program per quality (qstep is static);
+    jit re-specializes per input shape."""
+    import jax
+    import jax.numpy as jnp
+
+    qstep = 7.0 * quality
+
+    def hist_abs(d):
+        a = jnp.abs(d)
+        cl = jnp.minimum(a, _ESC_HIST_BINS - 1)
+        idx = (jnp.arange(64, dtype=jnp.int32)[None, :] * _ESC_HIST_BINS + cl).reshape(-1)
+        hist = jnp.zeros((64 * _ESC_HIST_BINS,), jnp.int32).at[idx].add(1)
+        q999 = jnp.quantile(a.astype(jnp.float32), 0.999, axis=0)
+        return hist.reshape(64, _ESC_HIST_BINS), jnp.max(a, axis=0), q999
+
+    def plane_stats(pl):
+        C = _block_dct_device(pl)
+        flat = C.reshape(-1, 64)
+        out = {"sig_absmax": jnp.max(jnp.abs(flat), axis=0),
+               "sig_std": jnp.std(flat, axis=0)}
+        Ci = jnp.round(C / qstep).astype(jnp.int32)  # UNclipped: the intra
+        # clip range is unknown inside the one-pass program; only
+        # widens ranges/capacities (conservative)
+        d1 = (Ci[1:] - Ci[:-1]).reshape(-1, 64)
+        if Ci.shape[0] >= 3:
+            d2 = jnp.concatenate([Ci[1:2] - Ci[0:1], Ci[2:] - 2 * Ci[1:-1] + Ci[:-2]],
+                                 axis=0).reshape(-1, 64)
+        else:
+            d2 = d1
+        out["h1"], out["max1"], out["q999_1"] = hist_abs(d1)
+        out["h2"], out["max2"], out["q999_2"] = hist_abs(d2)
+        return out
+
+    def stats(rgb):
+        y, u, v = _yuv_planes_device(rgb)
+        out = {"y": plane_stats(y), "u": plane_stats(u), "v": plane_stats(v)}
+        if u.shape[0] >= 5:
+            out["u2"] = plane_stats(u[::2])
+            out["v2"] = plane_stats(v[::2])
+        if u.shape[0] >= 4:
+            out["interp_mse_c"] = 0.5 * (
+                jnp.mean(((u[:-2] + u[2:]) * 0.5 - u[1:-1]) ** 2)
+                + jnp.mean(((v[:-2] + v[2:]) * 0.5 - v[1:-1]) ** 2))
+        return out
+
+    return jax.jit(stats)
+
+
+def _levels_from_hist(st, order: int, live: np.ndarray, n: int, margin: float) -> np.ndarray:
+    """`_levels_from_deltas` on device histogram evidence."""
+    mx = np.asarray(st[f"max{order}"], np.float64)
+    q = np.asarray(st[f"q999_{order}"], np.float64)
+    dq = q * margin if n >= 10_000 else mx * max(margin, 1.5)
+    m = np.where(live, np.maximum(np.ceil(dq).astype(np.int64), 1), 0)
+    return 2 * m + 1
+
+
+def _escape_plan_hist(st, order: int, live: np.ndarray, n: int, margin: float,
+                      esc_bits: float = 18.0):
+    """`_escape_plan` on device histogram evidence. The sweep evaluates
+    EVERY candidate m in [0, 255] from the exact discrete histogram (a
+    superset of the host path's order-stat candidates)."""
+    h = np.asarray(st[f"h{order}"], np.int64)
+    mx = np.asarray(st[f"max{order}"], np.int64)
+    clipped = _levels_from_hist(st, order, live, n, margin)
+    levels = np.asarray(clipped, np.int64).copy()
+    cost = np.where(live, np.log2(np.maximum(clipped.astype(np.float64), 1.0)), 0.0)
+    esc_p = np.zeros(64)
+    exceed = n - np.cumsum(h, axis=1)  # count(|d| > m), m in 0..255
+    for i in np.nonzero(live)[0]:
+        hi = min(int(mx[i]), _ESC_HIST_BINS - 2)
+        ms = np.arange(hi + 1)
+        p = exceed[i, ms] / max(n, 1)
+        c = np.log2(2.0 * ms + 2.0) + p * esc_bits
+        j = int(np.argmin(c))
+        if c[j] < cost[i] - 1e-12:
+            levels[i] = 2 * int(ms[j]) + 2
+            cost[i], esc_p[i] = float(c[j]), float(p[j])
+    return levels, cost, esc_p
+
+
+def calibrate_chunk_device(frames, quality: float = 1.0, clip_sigmas: float = 4.5,
+                           delta_margin: float = 1.3, chroma_step: str = "auto",
+                           escape: bool = True, esc_cap_margin: float = 1.2,
+                           order2: str = "auto") -> ChunkCodec:
+    """`calibrate_chunk` with the statistics computed ON DEVICE.
+
+    frames: (T,H,W,3) uint8 device array. One jitted pass produces
+    per-position histograms/quantiles/spreads (~400 KB fetched) and
+    the host only builds the plan tables — replacing the host path's
+    raw-chunk fetch and its 40-60 s of single-core numpy. Plans differ
+    from the host path only through (a) exact-histogram escape sweeps
+    (better), (b) unclipped delta statistics (conservative), (c)
+    max(std_u, std_v) for the shared chroma spread (conservative)."""
+    import jax
+
+    T, H, W, _ = frames.shape
+    if H % 16 or W % 16:
+        raise ValueError(f"frame codec needs 16-aligned dimensions, got {H}x{W}")
+    st = jax.tree.map(np.asarray, _calib_stats_prog(float(quality))(frames))
+    qstep = 7.0 * quality
+
+    sig = lambda s: np.maximum(s["sig_absmax"] / clip_sigmas, s["sig_std"]).astype(np.float32)
+    sig_c = np.maximum(sig(st["u"]), sig(st["v"]))
+    intra = _make_config(H, W, sig(st["y"]), sig_c, qstep, clip_sigmas)
+    if T < 2:
+        return ChunkCodec(intra=intra, delta=intra)
+
+    step = 1
+    if chroma_step == "auto" and T >= 4:
+        if float(st["interp_mse_c"]) <= intra.qstep_c**2 / 24.0:
+            step = 2
+    elif chroma_step in (2, "2"):
+        step = 2
+    su, sv = (st["u2"], st["v2"]) if (step > 1 and "u2" in st) else (st["u"], st["v"])
+
+    nb_y = (H // 8) * (W // 8)
+    nb_c = (H // 16) * (W // 16)
+    Tc = -(-T // step)
+    n_y = (T - 1) * nb_y
+    n_c = (Tc - 1) * nb_c
+    live_y = np.asarray(intra.levels_y, np.int64) > 1
+    live_c = np.asarray(intra.levels_c, np.int64) > 1
+    try_o2 = order2 in ("auto", "force", True) and T >= 3
+    try_o2_c = try_o2 and Tc >= 3
+    o2y = np.zeros(64, bool)
+    o2c = np.zeros(64, bool)
+    cap_y = cap_c = 0
+    if escape and (n_y >= 10_000 or escape == "force"):
+        ly1, cy1, ry1 = _escape_plan_hist(st["y"], 1, live_y, n_y, delta_margin)
+        lu1, cu1, ru1 = _escape_plan_hist(su, 1, live_c, n_c, delta_margin)
+        lv1, cv1, rv1 = _escape_plan_hist(sv, 1, live_c, n_c, delta_margin)
+        ly, ry_pos = ly1, ry1
+        lu, ru_pos, lv, rv_pos = lu1, ru1, lv1, rv1
+        if try_o2:
+            ly2, cy2, ry2 = _escape_plan_hist(st["y"], 2, live_y, n_y, delta_margin)
+            o2y = cy2 < cy1 - 1e-9
+            ly = np.where(o2y, ly2, ly1)
+            ry_pos = np.where(o2y, ry2, ry1)
+        if try_o2_c:
+            lu2, cu2, ru2 = _escape_plan_hist(su, 2, live_c, n_c, delta_margin)
+            lv2, cv2, rv2 = _escape_plan_hist(sv, 2, live_c, n_c, delta_margin)
+            o2c = (cu2 + cv2) < (cu1 + cv1) - 1e-9
+            lu, ru_pos = np.where(o2c, lu2, lu1), np.where(o2c, ru2, ru1)
+            lv, rv_pos = np.where(o2c, lv2, lv1), np.where(o2c, rv2, rv1)
+        lc = np.maximum(lu, lv)
+        ry = float(ry_pos.sum()) * nb_y
+        rc = float(np.maximum(ru_pos, rv_pos).sum()) * nb_c
+        cap_y = int(np.ceil(ry * esc_cap_margin)) + 64 if (ly % 2 == 0).any() else 0
+        cap_c = int(np.ceil(rc * esc_cap_margin)) + 64 if (lc % 2 == 0).any() else 0
+    else:
+        ly1 = _levels_from_hist(st["y"], 1, live_y, n_y, delta_margin)
+        lu1 = _levels_from_hist(su, 1, live_c, n_c, delta_margin)
+        lv1 = _levels_from_hist(sv, 1, live_c, n_c, delta_margin)
+        ly, lu, lv = ly1, lu1, lv1
+        if order2 in ("auto", "force", True) and try_o2:
+            ly2 = _levels_from_hist(st["y"], 2, live_y, n_y, delta_margin)
+            o2y = ly2 < ly1
+            ly = np.where(o2y, ly2, ly1)
+            if try_o2_c:
+                lu2 = _levels_from_hist(su, 2, live_c, n_c, delta_margin)
+                lv2 = _levels_from_hist(sv, 2, live_c, n_c, delta_margin)
+                o2c = (lu2.astype(np.int64) * lv2) < (lu1.astype(np.int64) * lv1)
+                lu = np.where(o2c, lu2, lu1)
+                lv = np.where(o2c, lv2, lv1)
+        lc = np.maximum(lu, lv)
+    delta = CodecConfig(
+        height=H, width=W, qstep_y=intra.qstep_y, qstep_c=intra.qstep_c,
+        levels_y=tuple(int(x) for x in ly), levels_c=tuple(int(x) for x in lc),
+        groups_y=_plan_words(ly, intra.strip_y), groups_c=_plan_words(lc, intra.strip_c),
+    )
+    return ChunkCodec(intra=intra, delta=delta, chroma_step=step,
+                      esc_cap_y=cap_y, esc_cap_c=cap_c,
+                      order2_y=tuple(int(x) for x in o2y) if o2y.any() else (),
+                      order2_c=tuple(int(x) for x in o2c) if o2c.any() else ())
 
 
 def calibrate_chunk(frames, quality: float = 1.0, clip_sigmas: float = 4.5,

@@ -175,11 +175,14 @@ def pipelined_frames(batches, pix_fmt: str = "rgb24", codec_quality: float = 1.0
 
 def _dct_pipelined_frames(batches, quality: float):
     """DPCM DCT delivery: each batch is one chunk (frame 0 intra, the
-    rest closed-loop deltas). The first batch is fetched raw for codec
-    calibration and emitted via the host converter."""
+    rest closed-loop deltas). Calibration statistics run ON DEVICE
+    (framecodec.calibrate_chunk_device — ~400 KB of histograms fetched
+    instead of the raw first chunk); the first batch then flows through
+    the normal encoded path like every other chunk."""
     import itertools
 
     import jax
+    import jax.numpy as jnp
 
     from . import framecodec as fc
 
@@ -193,13 +196,9 @@ def _dct_pipelined_frames(batches, quality: float):
         yield from pipelined_frames(itertools.chain([first], it), "yuv420p")
         return
 
-    rgb0 = fetch_parallel(fbatch)
-    codec = fc.calibrate_chunk(rgb0, quality=quality)
+    codec = fc.calibrate_chunk_device(jnp.asarray(fbatch), quality=quality)
     encode = jax.jit(lambda x: fc.encode_chunk(x, codec))
-    y0, u0, v0 = fc._host_yuv_planes(rgb0)
-    i420 = fc._planes_to_output(y0, u0, v0, H, W, "yuv420")
-    for i in range(i420.shape[0] if fn is None else fn):
-        yield i420[i]
+    it = itertools.chain([first], it)
 
     import collections
 

@@ -596,3 +596,29 @@ def test_order1_stream_unchanged_by_order2_fields():
     dec = fc.decode_chunk(np.asarray(intra), np.asarray(deltas), codec)
     ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
     assert min(_psnr(dec[t], ref[t]) for t in range(5)) >= 40.0
+
+
+def test_device_calibration_matches_host_contract():
+    """`calibrate_chunk_device` (on-device histogram statistics, ~400 KB
+    fetched) must produce a codec equivalent to the host path: same
+    geometry/chroma decision, comparable rate (exact-histogram escape
+    sweeps and unclipped delta stats may shift individual levels), and
+    the same round-trip quality on the content it calibrated on."""
+    frames = _smooth_morph_frames(T=8, noise=2.0)
+    host = fc.calibrate_chunk(frames, quality=1.1, escape="force", order2="auto")
+    dev = fc.calibrate_chunk_device(jnp.asarray(frames), quality=1.1,
+                                    escape="force", order2="auto")
+    assert dev.intra.height == host.intra.height
+    assert dev.chroma_step == host.chroma_step
+    bpp_h, bpp_d = host.bits_per_pixel(8), dev.bits_per_pixel(8)
+    assert abs(bpp_d - bpp_h) / bpp_h < 0.25, (bpp_h, bpp_d)
+
+    intra, deltas = map(np.asarray, fc.encode_chunk(jnp.asarray(frames), dev))
+    assert deltas.shape == (dev.delta_bytes(8),)
+    out = fc.decode_chunk(intra, deltas, dev)
+    ref = np.asarray(rgb_to_yuv420(jnp.asarray(frames)))
+    p_dev = _psnr(out, ref)
+    intra_h, deltas_h = map(np.asarray, fc.encode_chunk(jnp.asarray(frames), host))
+    p_host = _psnr(fc.decode_chunk(intra_h, deltas_h, host), ref)
+    assert p_dev > p_host - 1.0, (p_dev, p_host)
+    assert p_dev > 38.0, p_dev
